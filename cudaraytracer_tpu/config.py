@@ -1,0 +1,98 @@
+"""Render configuration and reference-quirk flags.
+
+The reference (chocorone/CudaRaytracer) has no config system: everything is a
+compile-time constant (CudaTest/src/kernel.cu:44-51) or a commented-out line acting
+as a menu (render.h:119-121 integrator choice, kernel.cu:93-97 pipeline choice).
+This module replaces that with real dataclasses.
+
+Quirks are deliberate behaviors of the reference that differ from a textbook
+ray tracer.  Each flag cites the reference line it reproduces.  ``Quirks.reference()``
+matches the CUDA renderer bit-for-bit in deterministic components;
+``Quirks.fixed()`` is the physically-corrected profile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Quirks:
+    """Reference-compat switches (see SURVEY.md section 'Reference quirks')."""
+
+    # triangle.h:61 — `if (dot(r.direction(), normal) < 0) return false;`
+    # Only faces whose normal points *away* from the ray are hit (back faces).
+    triangle_backface_only: bool = True
+
+    # triangle.h:92-94 — Moller-Trumbore result `t` is never tested against
+    # t_min/t_max; only the caller's closest-so-far check (hitable_list.h:84)
+    # applies, so even negative t can register as a hit.
+    triangle_no_t_clip: bool = True
+
+    # render.h:61 — on scatter failure or depth exhaustion the path tracer
+    # returns emitted + vec3(0.1) instead of emitted only.
+    ambient_on_absorb: float = 0.1
+
+    # render.h:80 — LambertShade uses dot(r.direction(), normal) with the
+    # UNNORMALIZED camera-ray direction.
+    lambert_unnormalized_dot: bool = True
+
+    # createScene.h:99-109 — per-frame skinning rewrites triangle vertices but
+    # never recomputes the stored face normal; loaded bind-pose normals persist.
+    fixed_face_normals: bool = True
+
+    # material.h dielectric scatter: cosine for Schlick on the exiting side is
+    # sqrt(1 - ri^2 (1 - cos^2)) (a nonstandard form); kept verbatim.
+    dielectric_reference_cosine: bool = True
+
+    @staticmethod
+    def reference() -> "Quirks":
+        return Quirks()
+
+    @staticmethod
+    def fixed() -> "Quirks":
+        return Quirks(
+            triangle_backface_only=False,
+            triangle_no_t_clip=False,
+            ambient_on_absorb=0.0,
+            lambert_unnormalized_dot=False,
+            fixed_face_normals=False,
+            dielectric_reference_cosine=False,
+        )
+
+
+# Integrator names; the reference selects among these by (un)commenting
+# render.h:119-121.  'path' == shade(), 'lambert' == LambertShade() (the active
+# one), 'normal' == shade_normal().
+INTEGRATORS = ("path", "lambert", "normal")
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Equivalent of the constants at kernel.cu:44-51."""
+
+    width: int = 1024            # nx  (kernel.cu:44, RESOLUTION=1 render.h:26)
+    height: int = 512            # ny  (kernel.cu:45)
+    samples: int = 4             # samples per pixel (kernel.cu:49)
+    max_depth: int = 8           # bounce depth (kernel.cu:48)
+    integrator: str = "path"     # render.h:119-121 menu
+    t_min: float = 1e-3          # render.h:53 world->hit(r, 0.001, FLT_MAX, ...)
+    t_max: float = 3.4028235e38  # FLT_MAX
+    gamma: bool = True           # render.h:124-126 sqrt gamma
+    quirks: Quirks = dataclasses.field(default_factory=Quirks.reference)
+    # Rays are processed in chunks of this many pixels*samples to bound memory.
+    ray_chunk: int = 1 << 18
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.integrator not in INTEGRATORS:
+            raise ValueError(f"integrator must be one of {INTEGRATORS}")
+
+    @property
+    def aspect(self) -> float:
+        return float(self.width) / float(self.height)
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.height, self.width)

@@ -1,0 +1,141 @@
+"""Shading integrators — the reference's recursive shaders re-expressed as
+fixed-depth ``lax.scan`` with alive-masking.
+
+The reference ships three integrators, selected by (un)commenting
+render.h:119-121:
+
+  shade        (render.h:48-67)  — recursive path tracer: at a hit, radiance =
+               emitted + attenuation * shade(scattered, depth-1); on scatter
+               failure or depth exhaustion, emitted + vec3(0.1); on miss,
+               backgroundSky(dir).  Recursion depth 8 needs a 16KB device stack
+               (kernel.cu:48,67).  Here the recursion is a scan of
+               max_depth + 1 steps carrying (rays, throughput, radiance,
+               alive) — no stack, fully differentiable, and XLA unrolls the
+               short scan into straight-line fused code.
+  LambertShade (render.h:70-87)  — the ACTIVE integrator: single intersect,
+               attenuation * max(dot(dir, normal), 0) * sky(dir) * 0.2 +
+               emitted (with the UNNORMALIZED camera-ray direction).
+  shade_normal (render.h:90-103) — normal visualization.
+
+Differentiability: the discrete hit choice (argmin over primitives) is
+piecewise-constant — gradients flow through the continuous quantities (t, p,
+normal, attenuation) for the *selected* primitive, which is the standard
+detached-discrete / attached-continuous estimator; random draws are
+reparameterized (keys independent of scene parameters).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import vec as v3
+from ..core.rays import Rays
+from ..models import materials as _mat
+from ..models.scene import Scene
+from . import intersect as _isect
+
+Array = jnp.ndarray
+
+
+def background_sky(direction: Array) -> Array:
+    """render.h:41-46 — vertical gradient white -> (0.5, 0.7, 1.0)."""
+    unit = v3.unit_vector(direction)
+    t = 0.5 * (unit[..., 1] + 1.0)
+    return v3.lerp(t, jnp.ones_like(direction),
+                   jnp.broadcast_to(jnp.asarray([0.5, 0.7, 1.0]), direction.shape))
+
+
+def _intersect(scene: Scene, rays: Rays, cfg: RenderConfig, intersect_fn=None):
+    if intersect_fn is not None:
+        return intersect_fn(scene, rays)
+    return _isect.intersect_scene(scene, rays, cfg.t_min, cfg.t_max, cfg.quirks)
+
+
+def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
+               intersect_fn=None) -> Array:
+    """shade() as a wavefront scan. Returns radiance f32[N,3].
+
+    Step i corresponds to the recursive call at depth = max_depth - i; the
+    final step (depth 0) can no longer scatter (render.h:57 `depth > 0`), so
+    after max_depth+1 steps every lane has terminated.
+    """
+    n = rays.origin.shape[0]
+    throughput0 = jnp.ones((n, 3), jnp.float32)
+    radiance0 = jnp.zeros((n, 3), jnp.float32)
+    alive0 = jnp.ones((n,), bool)
+    ambient = jnp.float32(cfg.quirks.ambient_on_absorb)
+
+    def bounce(carry, step):
+        rays, throughput, radiance, alive = carry
+        bounce_key = jax.random.fold_in(key, step)
+        hits = _intersect(scene, rays, cfg, intersect_fn)
+
+        emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
+                               hits.u, hits.v, hits.p)
+        sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,
+                          hits.p, hits.normal, hits.u, hits.v, bounce_key,
+                          cfg.quirks.dielectric_reference_cosine)
+        sky = background_sky(rays.direction)
+
+        can_recurse = step < cfg.max_depth          # render.h:57 depth > 0
+        continues = alive & hits.hit & sc.ok & can_recurse
+        absorbed = alive & hits.hit & ~(sc.ok & can_recurse)
+        missed = alive & ~hits.hit
+
+        contrib = jnp.where(alive[..., None] & hits.hit[..., None], emitted, 0.0)
+        contrib += jnp.where(absorbed[..., None], ambient, 0.0)   # render.h:61
+        contrib += jnp.where(missed[..., None], sky, 0.0)          # render.h:64
+        radiance = radiance + throughput * contrib
+
+        throughput = jnp.where(continues[..., None],
+                               throughput * sc.attenuation, throughput)
+        new_rays = Rays(
+            jnp.where(continues[..., None], sc.scattered.origin, rays.origin),
+            jnp.where(continues[..., None], sc.scattered.direction, rays.direction),
+            jnp.where(continues, sc.scattered.time, rays.time))
+        return (new_rays, throughput, radiance, continues), None
+
+    carry = (rays, throughput0, radiance0, alive0)
+    carry, _ = jax.lax.scan(bounce, carry, jnp.arange(cfg.max_depth + 1))
+    return carry[2]
+
+
+def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
+                  intersect_fn=None) -> Array:
+    """LambertShade (render.h:70-87), the reference's active integrator."""
+    hits = _intersect(scene, rays, cfg, intersect_fn)
+    emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
+                           hits.u, hits.v, hits.p)
+    sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,
+                      hits.p, hits.normal, hits.u, hits.v, key,
+                      cfg.quirks.dielectric_reference_cosine)
+    direction = rays.direction if cfg.quirks.lambert_unnormalized_dot \
+        else v3.unit_vector(rays.direction)
+    t = jnp.maximum(v3.dot(direction, hits.normal), 0.0)      # render.h:80-81
+    sky = background_sky(rays.direction)
+    lit = sc.attenuation * t[..., None] * sky * 0.2 + emitted  # render.h:82
+    return jnp.where(hits.hit[..., None], lit, sky)
+
+
+def shade_normal(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
+                 intersect_fn=None) -> Array:
+    """shade_normal (render.h:90-103) — raw normals as color."""
+    hits = _intersect(scene, rays, cfg, intersect_fn)
+    sky = background_sky(rays.direction)
+    return jnp.where(hits.hit[..., None], hits.normal, sky)
+
+
+INTEGRATOR_FNS = {
+    "path": trace_path,
+    "lambert": lambert_shade,
+    "normal": shade_normal,
+}
+
+
+def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
+              intersect_fn=None) -> Array:
+    return INTEGRATOR_FNS[cfg.integrator](scene, rays, key, cfg, intersect_fn)

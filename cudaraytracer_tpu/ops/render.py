@@ -1,0 +1,77 @@
+"""Render driver — the ``render`` megakernel (render.h:105-129) as a jitted,
+chunked wavefront pass.
+
+Where the reference assigns one CUDA thread per pixel and loops samples
+sequentially (render.h:115-122), here all pixel×sample rays form one flat batch
+processed in fixed-size chunks via ``lax.map`` (sequential over chunks to bound
+memory, fully vectorized within a chunk).  Per-pixel RNG comes from a
+counter-based key (core/rng.py) instead of a curandState array.
+
+Postprocess parity: col /= samples; sqrt gamma; clip to [0,1]
+(render.h:123-128, vec3.h:119-131).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import camera as _cam
+from ..models.scene import Scene
+from .integrators import integrate
+
+Array = jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg", "intersect_fn"))
+def render_image(scene: Scene, camera: _cam.Camera, key: jax.Array,
+                 cfg: RenderConfig, intersect_fn=None) -> Array:
+    """Render the full frame -> f32[height, width, 3] (row 0 = BOTTOM row,
+    matching colorBuffer layout; the PNG writer flips, render.h:135-147)."""
+    colors = render_pixels(scene, camera, key, cfg, None, intersect_fn)
+    return colors.reshape(cfg.height, cfg.width, 3)
+
+
+def render_pixels(scene: Scene, camera: _cam.Camera, key: jax.Array,
+                  cfg: RenderConfig, pixel_index: Array | None = None,
+                  intersect_fn=None) -> Array:
+    """Render a set of pixels (default: all) -> f32[n_pixels, 3].
+
+    Sharded/tiled renderers call this with their tile's flat pixel indices.
+    """
+    if pixel_index is None:
+        pixel_index = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+    n_pix = pixel_index.shape[0]
+    pix_chunk = max(1, min(cfg.ray_chunk // max(cfg.samples, 1), n_pix))
+    n_chunks = -(-n_pix // pix_chunk)
+    pad = n_chunks * pix_chunk - n_pix
+    padded = jnp.concatenate([pixel_index, jnp.zeros((pad,), jnp.int32)]) if pad \
+        else pixel_index
+    chunked = padded.reshape(n_chunks, pix_chunk)
+
+    def do_chunk(args):
+        chunk_id, pix = args
+        ckey = jax.random.fold_in(key, chunk_id)
+        kray, kshade = jax.random.split(ckey)
+        rays = _cam.generate_pixel_rays(camera, cfg.width, cfg.height,
+                                        cfg.samples, kray, pix)
+        cols = integrate(scene, rays, kshade, cfg, intersect_fn)
+        cols = cols.reshape(pix_chunk, cfg.samples, 3)
+        return jnp.mean(cols, axis=1)          # render.h:123 col /= ns
+
+    if n_chunks == 1:
+        out = do_chunk((jnp.int32(0), chunked[0]))
+    else:
+        out = jax.lax.map(do_chunk,
+                          (jnp.arange(n_chunks, dtype=jnp.int32), chunked))
+        out = out.reshape(n_chunks * pix_chunk, 3)
+    out = out[:n_pix] if pad else out.reshape(-1, 3)
+
+    if cfg.gamma:
+        # render.h:124-126 sqrt gamma (radiance clamped at 0 first so the
+        # 'normal' debug integrator can't produce NaN; clip follows anyway).
+        out = jnp.sqrt(jnp.maximum(out, 0.0))
+    return jnp.clip(out, 0.0, 1.0)             # render.h:128 clip()

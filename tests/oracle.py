@@ -1,0 +1,250 @@
+"""Pure-NumPy float64 oracle mirroring the reference renderer's semantics.
+
+Implements the deterministic parts of CudaTest/src (sphere.h / triangle.h /
+rectangle.h intersections, hitable_list.h closest-hit scan, material.h scatter
+for deterministic materials, render.h shade/LambertShade/backgroundSky,
+camera.h) as straightforward scalar code, used to golden-test the vectorized
+JAX implementation.  Stochastic draws (unit-ball samples, Schlick coin flips)
+are delegated to an injectable sampler so tests can pin them.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+FLT_MAX = 3.4028235e38
+TRI_EPS = 1e-6
+
+
+def unit(v):
+    return v / np.linalg.norm(v)
+
+
+def background_sky(d):
+    v = unit(np.asarray(d, np.float64))
+    t = 0.5 * (v[1] + 1.0)
+    return (1 - t) * np.ones(3) + t * np.array([0.5, 0.7, 1.0])
+
+
+def reflect(v, n):
+    return v - 2.0 * np.dot(v, n) * n
+
+
+def refract(v, n, ni_over_nt):
+    uv = unit(v)
+    dt = np.dot(uv, n)
+    disc = 1.0 - ni_over_nt ** 2 * (1.0 - dt * dt)
+    if disc > 0:
+        return True, ni_over_nt * (uv - n * dt) - n * math.sqrt(disc)
+    return False, np.zeros(3)
+
+
+def schlick(cosine, ref_idx):
+    r0 = ((1 - ref_idx) / (1 + ref_idx)) ** 2
+    return r0 + (1 - r0) * (1 - cosine) ** 5
+
+
+# --- primitives -------------------------------------------------------------
+
+class Sphere:
+    def __init__(self, center, radius, mat):
+        self.center = np.asarray(center, np.float64)
+        self.radius = float(radius)
+        self.mat = mat
+
+    def hit(self, o, d, t_min, t_max):
+        oc = o - self.center
+        a = np.dot(d, d)
+        b = np.dot(oc, d)
+        c = np.dot(oc, oc) - self.radius ** 2
+        disc = b * b - a * c
+        if disc > 0:
+            for tmp in [(-b - math.sqrt(disc)) / a, (-b + math.sqrt(disc)) / a]:
+                if t_min < tmp < t_max:
+                    p = o + tmp * d
+                    return dict(t=tmp, p=p, normal=(p - self.center) / self.radius,
+                                u=0.0, v=0.0, mat=self.mat)
+        return None
+
+
+class Triangle:
+    """triangle.h:57-100 with quirks: backface-only + no t clamp."""
+
+    def __init__(self, v0, v1, v2, normal, mat,
+                 backface_only=True, no_t_clip=True):
+        self.v = [np.asarray(x, np.float64) for x in (v0, v1, v2)]
+        self.normal = np.asarray(normal, np.float64)
+        self.mat = mat
+        self.backface_only = backface_only
+        self.no_t_clip = no_t_clip
+
+    def hit(self, o, d, t_min, t_max):
+        if self.backface_only and np.dot(d, self.normal) < 0:
+            return None
+        e1 = self.v[1] - self.v[0]
+        e2 = self.v[2] - self.v[0]
+        h = np.cross(d, e2)
+        a = np.dot(e1, h)
+        if -TRI_EPS < a < TRI_EPS:
+            return None
+        f = 1.0 / a
+        s = o - self.v[0]
+        u = f * np.dot(s, h)
+        if u < 0 or u > 1:
+            return None
+        q = np.cross(s, e1)
+        v = f * np.dot(d, q)
+        if v < 0 or u + v > 1:
+            return None
+        t = f * np.dot(e2, q)
+        if not self.no_t_clip and not (t_min < t < t_max):
+            return None
+        if self.no_t_clip and not (t < t_max):
+            return None
+        return dict(t=t, p=o + t * d, normal=self.normal, u=u, v=v, mat=self.mat)
+
+
+class HitList:
+    """hitable_list.h:76-91 linear closest-hit scan."""
+
+    def __init__(self, items):
+        self.items = items
+
+    def hit(self, o, d, t_min, t_max):
+        closest = t_max
+        rec = None
+        for it in self.items:
+            r = it.hit(o, d, t_min, closest)
+            if r is not None and r["t"] < closest:
+                closest = r["t"]
+                rec = r
+        return rec
+
+
+# --- materials --------------------------------------------------------------
+
+class Lambertian:
+    def __init__(self, albedo):
+        self.albedo = np.asarray(albedo, np.float64)
+
+    def emitted(self, rec):
+        return np.zeros(3)
+
+    def scatter(self, o, d, rec, sampler):
+        target_dir = rec["normal"] + sampler.unit_ball()
+        return True, rec["p"], target_dir, self.albedo.copy()
+
+
+class Metal:
+    def __init__(self, albedo, fuzz=0.0):
+        self.albedo = np.asarray(albedo, np.float64)
+        self.fuzz = min(fuzz, 1.0)
+
+    def emitted(self, rec):
+        return np.zeros(3)
+
+    def scatter(self, o, d, rec, sampler):
+        reflected = reflect(unit(d), rec["normal"])
+        nd = reflected + self.fuzz * sampler.unit_ball()
+        return np.dot(nd, rec["normal"]) > 0, rec["p"], nd, self.albedo.copy()
+
+
+class Dielectric:
+    def __init__(self, ref_idx):
+        self.ref_idx = ref_idx
+
+    def emitted(self, rec):
+        return np.zeros(3)
+
+    def scatter(self, o, d, rec, sampler):
+        n = rec["normal"]
+        reflected = reflect(d, n)
+        if np.dot(d, n) > 0:
+            outward = -n
+            ni_over_nt = self.ref_idx
+            cosine = np.dot(d, n) / np.linalg.norm(d)
+            cosine = math.sqrt(max(1 - self.ref_idx ** 2 * (1 - cosine ** 2), 0.0))
+        else:
+            outward = n
+            ni_over_nt = 1.0 / self.ref_idx
+            cosine = -np.dot(d, n) / np.linalg.norm(d)
+        ok, refracted = refract(d, outward, ni_over_nt)
+        reflect_prob = schlick(cosine, self.ref_idx) if ok else 1.0
+        direction = reflected if sampler.uniform() < reflect_prob else refracted
+        return True, rec["p"], direction, np.ones(3)
+
+
+class DiffuseLight:
+    def __init__(self, emit):
+        self.emit = np.asarray(emit, np.float64)
+
+    def emitted(self, rec):
+        return self.emit.copy()
+
+    def scatter(self, o, d, rec, sampler):
+        return False, rec["p"], d, np.zeros(3)
+
+
+class ZeroSampler:
+    """All stochastic draws return 0 — pins lambertian to normal-direction
+    scatter, metal fuzz to pure mirror, dielectric to 'refract wins unless
+    reflect_prob == 1'."""
+
+    def unit_ball(self):
+        return np.zeros(3)
+
+    def uniform(self):
+        return 0.0
+
+
+# --- integrators ------------------------------------------------------------
+
+def shade(world, o, d, depth, sampler, ambient=0.1):
+    """render.h:48-67."""
+    rec = world.hit(o, d, 0.001, FLT_MAX)
+    if rec is not None:
+        mat = rec["mat"]
+        emitted = mat.emitted(rec)
+        if depth > 0:
+            ok, so, sd, att = mat.scatter(o, d, rec, sampler)
+            if ok:
+                return emitted + att * shade(world, so, sd, depth - 1, sampler, ambient)
+        return emitted + np.full(3, ambient)
+    return background_sky(d)
+
+
+def lambert_shade(world, o, d, sampler):
+    """render.h:70-87 (unnormalized direction dot)."""
+    rec = world.hit(o, d, 0.001, FLT_MAX)
+    if rec is None:
+        return background_sky(d)
+    _, _, _, att = rec["mat"].scatter(o, d, rec, sampler)
+    t = max(np.dot(d, rec["normal"]), 0.0)
+    return att * t * background_sky(d) * 0.2 + rec["mat"].emitted(rec)
+
+
+# --- camera -----------------------------------------------------------------
+
+class Camera:
+    def __init__(self, lookfrom, lookat, vup, vfov, aspect, aperture, focus_dist):
+        lookfrom = np.asarray(lookfrom, np.float64)
+        lookat = np.asarray(lookat, np.float64)
+        vup = np.asarray(vup, np.float64)
+        self.lens_radius = aperture / 2
+        theta = vfov * math.pi / 180
+        hh = math.tan(theta / 2)
+        hw = hh * aspect
+        self.origin = lookfrom
+        self.z = unit(lookfrom - lookat)
+        self.x = unit(np.cross(vup, self.z))
+        self.y = np.cross(self.z, self.x)
+        self.lower_left = (self.origin - hw * focus_dist * self.x
+                           - hh * focus_dist * self.y - focus_dist * self.z)
+        self.horizontal = 2 * hw * focus_dist * self.x
+        self.vertical = 2 * hh * focus_dist * self.y
+
+    def get_ray(self, s, t):
+        return self.origin, (self.lower_left + s * self.horizontal
+                             + t * self.vertical - self.origin)
