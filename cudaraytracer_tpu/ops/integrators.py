@@ -49,14 +49,18 @@ def background_sky(direction: Array) -> Array:
                    jnp.broadcast_to(jnp.asarray([0.5, 0.7, 1.0]), direction.shape))
 
 
-def _intersect(scene: Scene, rays: Rays, cfg: RenderConfig, intersect_fn=None):
+def _intersect(scene: Scene, rays: Rays, cfg: RenderConfig, intersect_fn=None,
+               aux=None):
+    """intersect_fn(scene, rays, aux) lets callers swap the brute-force path
+    for BVH traversal (aux = FlatBVH pytree) or a Pallas kernel; aux flows as
+    a traced operand so per-frame updates don't retrigger compilation."""
     if intersect_fn is not None:
-        return intersect_fn(scene, rays)
+        return intersect_fn(scene, rays, aux)
     return _isect.intersect_scene(scene, rays, cfg.t_min, cfg.t_max, cfg.quirks)
 
 
 def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
-               intersect_fn=None) -> Array:
+               intersect_fn=None, aux=None) -> Array:
     """shade() as a wavefront scan. Returns radiance f32[N,3].
 
     Step i corresponds to the recursive call at depth = max_depth - i; the
@@ -72,7 +76,7 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     def bounce(carry, step):
         rays, throughput, radiance, alive = carry
         bounce_key = jax.random.fold_in(key, step)
-        hits = _intersect(scene, rays, cfg, intersect_fn)
+        hits = _intersect(scene, rays, cfg, intersect_fn, aux)
 
         emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
                                hits.u, hits.v, hits.p)
@@ -105,9 +109,9 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
 
 
 def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
-                  intersect_fn=None) -> Array:
+                  intersect_fn=None, aux=None) -> Array:
     """LambertShade (render.h:70-87), the reference's active integrator."""
-    hits = _intersect(scene, rays, cfg, intersect_fn)
+    hits = _intersect(scene, rays, cfg, intersect_fn, aux)
     emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
                            hits.u, hits.v, hits.p)
     sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,
@@ -122,9 +126,9 @@ def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
 
 
 def shade_normal(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
-                 intersect_fn=None) -> Array:
+                 intersect_fn=None, aux=None) -> Array:
     """shade_normal (render.h:90-103) — raw normals as color."""
-    hits = _intersect(scene, rays, cfg, intersect_fn)
+    hits = _intersect(scene, rays, cfg, intersect_fn, aux)
     sky = background_sky(rays.direction)
     return jnp.where(hits.hit[..., None], hits.normal, sky)
 
@@ -137,5 +141,6 @@ INTEGRATOR_FNS = {
 
 
 def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
-              intersect_fn=None) -> Array:
-    return INTEGRATOR_FNS[cfg.integrator](scene, rays, key, cfg, intersect_fn)
+              intersect_fn=None, aux=None) -> Array:
+    return INTEGRATOR_FNS[cfg.integrator](scene, rays, key, cfg, intersect_fn,
+                                          aux)

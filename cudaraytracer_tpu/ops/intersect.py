@@ -224,6 +224,54 @@ def intersect_scene(scene: Scene, rays: Rays, t_min: float = 1e-3,
                          tri_override)
 
 
+def intersect_scene_bvh(scene: Scene, rays: Rays, bvh, t_min: float = 1e-3,
+                        t_max: float = float(BIG), quirks: Quirks = Quirks(),
+                        prim_chunk: int = 1024, tri_override=None) -> Hits:
+    """Closest-hit using a FlatBVH for the triangle set (the reference's
+    active pipeline: BVH over the FBX mesh, kernel.cu:97) and brute force for
+    the few spheres/rects (matching the reference scene layout where only the
+    mesh goes through the BVH)."""
+    from . import bvh as _bvh  # local import to avoid cycle
+
+    n = rays.origin.shape[0]
+    t_min_f = jnp.float32(t_min)
+    t_max_f = jnp.float32(t_max)
+    best_t = jnp.full((n,), BIG)
+    best_idx = jnp.full((n,), -1, jnp.int32)
+
+    n_s = scene.n_spheres
+    n_t = scene.n_triangles
+    n_r = scene.n_rects
+
+    if n_s:
+        valid, t = sphere_candidates(rays.origin, rays.direction,
+                                     scene.spheres.center, scene.spheres.radius,
+                                     t_min_f, t_max_f)
+        idx = jnp.arange(n_s, dtype=jnp.int32)
+        best_t, best_idx = _reduce_best((best_t, best_idx),
+                                        jnp.where(valid, t, BIG), valid,
+                                        jnp.broadcast_to(idx[None], t.shape))
+
+    if n_t:
+        tv0, tv1, tv2, tnorm = (tri_override if tri_override is not None else
+                                (scene.triangles.v0, scene.triangles.v1,
+                                 scene.triangles.v2, scene.triangles.normal))
+        bt, bp = _bvh.traverse_bvh(bvh, tv0, tv1, tv2, tnorm, rays,
+                                   t_min, t_max, quirks)
+        take = (bp >= 0) & (bt < best_t)
+        best_t = jnp.where(take, bt, best_t)
+        best_idx = jnp.where(take, bp + n_s, best_idx)
+
+    if n_r:
+        valid, t, _, _, _, _ = rect_candidates(rays, scene.rects, t_min_f, t_max_f)
+        idx = jnp.arange(n_r, dtype=jnp.int32) + n_s + n_t
+        best_t, best_idx = _reduce_best((best_t, best_idx), t, valid,
+                                        jnp.broadcast_to(idx[None], t.shape))
+
+    return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks,
+                         tri_override)
+
+
 def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
                   t_min, t_max, quirks: Quirks, tri_override=None) -> Hits:
     """Reconstruct the full hit record for the winning primitive only."""

@@ -9,6 +9,10 @@ counter-based key (core/rng.py) instead of a curandState array.
 
 Postprocess parity: col /= samples; sqrt gamma; clip to [0,1]
 (render.h:123-128, vec3.h:119-131).
+
+Acceleration is pluggable via (intersect_fn, aux): ``bvh_intersector`` swaps
+the brute-force closest-hit for FlatBVH traversal, with the BVH flowing as a
+traced pytree so per-frame refits reuse the compiled executable.
 """
 
 from __future__ import annotations
@@ -21,23 +25,43 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..core import camera as _cam
 from ..models.scene import Scene
+from . import intersect as _isect
 from .integrators import integrate
 
 Array = jnp.ndarray
 
 
+def _bvh_intersect(cfg: RenderConfig):
+    def fn(scene, rays, bvh):
+        return _isect.intersect_scene_bvh(scene, rays, bvh, cfg.t_min,
+                                          cfg.t_max, cfg.quirks)
+    return fn
+
+
+_BVH_FN_CACHE = {}
+
+
+def bvh_intersector(cfg: RenderConfig):
+    """Stable (per-config) intersect_fn using FlatBVH traversal; pass the
+    FlatBVH as ``aux``.  Cached by config so jit sees the same callable across
+    frames."""
+    if cfg not in _BVH_FN_CACHE:
+        _BVH_FN_CACHE[cfg] = _bvh_intersect(cfg)
+    return _BVH_FN_CACHE[cfg]
+
+
 @partial(jax.jit, static_argnames=("cfg", "intersect_fn"))
 def render_image(scene: Scene, camera: _cam.Camera, key: jax.Array,
-                 cfg: RenderConfig, intersect_fn=None) -> Array:
+                 cfg: RenderConfig, intersect_fn=None, aux=None) -> Array:
     """Render the full frame -> f32[height, width, 3] (row 0 = BOTTOM row,
     matching colorBuffer layout; the PNG writer flips, render.h:135-147)."""
-    colors = render_pixels(scene, camera, key, cfg, None, intersect_fn)
+    colors = render_pixels(scene, camera, key, cfg, None, intersect_fn, aux)
     return colors.reshape(cfg.height, cfg.width, 3)
 
 
 def render_pixels(scene: Scene, camera: _cam.Camera, key: jax.Array,
                   cfg: RenderConfig, pixel_index: Array | None = None,
-                  intersect_fn=None) -> Array:
+                  intersect_fn=None, aux=None) -> Array:
     """Render a set of pixels (default: all) -> f32[n_pixels, 3].
 
     Sharded/tiled renderers call this with their tile's flat pixel indices.
@@ -58,7 +82,7 @@ def render_pixels(scene: Scene, camera: _cam.Camera, key: jax.Array,
         kray, kshade = jax.random.split(ckey)
         rays = _cam.generate_pixel_rays(camera, cfg.width, cfg.height,
                                         cfg.samples, kray, pix)
-        cols = integrate(scene, rays, kshade, cfg, intersect_fn)
+        cols = integrate(scene, rays, kshade, cfg, intersect_fn, aux)
         cols = cols.reshape(pix_chunk, cfg.samples, 3)
         return jnp.mean(cols, axis=1)          # render.h:123 col /= ns
 

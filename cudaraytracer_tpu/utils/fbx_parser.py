@@ -1,0 +1,160 @@
+"""Minimal binary FBX (7.x) parser — stdlib only.
+
+Replaces the Autodesk FBX SDK dependency of the reference
+(CudaTest/src/Loader/FbxLoader.h) with a from-scratch reader of the documented
+binary container: header "Kaydara FBX Binary  ", node records
+(endOffset / numProperties / propertyListLen / name), and typed properties
+(scalars Y,C,I,F,D,L; zlib-compressed arrays f,d,l,i,b; strings S; raw R).
+
+This module is only the *container* layer; semantic extraction (mesh, skin,
+animation) lives in fbx_loader.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+MAGIC = b"Kaydara FBX Binary  \x00"
+
+# FBX time unit: 1 second == 46186158000 ticks ("KTime").
+KTIME_PER_SECOND = 46186158000
+
+
+@dataclass
+class FbxNode:
+    name: str
+    props: List[Any] = field(default_factory=list)
+    children: List["FbxNode"] = field(default_factory=list)
+
+    def find(self, name: str) -> Optional["FbxNode"]:
+        for c in self.children:
+            if c.name == name:
+                return c
+        return None
+
+    def find_all(self, name: str) -> List["FbxNode"]:
+        return [c for c in self.children if c.name == name]
+
+    def __repr__(self):
+        return f"FbxNode({self.name!r}, props={len(self.props)}, children={len(self.children)})"
+
+
+_ARRAY_DTYPES = {
+    b"f": np.float32, b"d": np.float64, b"l": np.int64, b"i": np.int32,
+    b"b": np.uint8,
+}
+
+
+def _read_property(buf: memoryview, pos: int):
+    code = bytes(buf[pos:pos + 1])
+    pos += 1
+    if code == b"Y":
+        return struct.unpack_from("<h", buf, pos)[0], pos + 2
+    if code == b"C":
+        return bool(buf[pos]), pos + 1
+    if code == b"I":
+        return struct.unpack_from("<i", buf, pos)[0], pos + 4
+    if code == b"F":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if code == b"D":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if code == b"L":
+        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if code in _ARRAY_DTYPES:
+        n, enc, comp_len = struct.unpack_from("<III", buf, pos)
+        pos += 12
+        raw = bytes(buf[pos:pos + comp_len]) if enc else None
+        dtype = _ARRAY_DTYPES[code]
+        if enc:
+            data = np.frombuffer(zlib.decompress(raw), dtype=dtype, count=n)
+            pos += comp_len
+        else:
+            nbytes = n * np.dtype(dtype).itemsize
+            data = np.frombuffer(bytes(buf[pos:pos + nbytes]), dtype=dtype, count=n)
+            pos += nbytes
+        return data, pos
+    if code == b"S":
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        return bytes(buf[pos:pos + n]).decode("utf-8", "replace"), pos + n
+    if code == b"R":
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        return bytes(buf[pos:pos + n]), pos + n
+    raise ValueError(f"unknown FBX property type {code!r} at {pos}")
+
+
+def parse_fbx(path: str) -> FbxNode:
+    """Parse the file into a root FbxNode tree."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(MAGIC):
+        raise ValueError(f"{path}: not a binary FBX file (ASCII FBX unsupported)")
+    version = struct.unpack_from("<I", data, 23)[0]
+    big = version >= 7500  # 64-bit record headers from 7.5
+    buf = memoryview(data)
+
+    def read_node(pos: int):
+        if big:
+            end, nprops, plen = struct.unpack_from("<QQQ", buf, pos)
+            pos += 24
+        else:
+            end, nprops, plen = struct.unpack_from("<III", buf, pos)
+            pos += 12
+        name_len = buf[pos]
+        pos += 1
+        if end == 0 and nprops == 0 and name_len == 0:
+            return None, pos  # null record (sentinel)
+        name = bytes(buf[pos:pos + name_len]).decode("utf-8", "replace")
+        pos += name_len
+        node = FbxNode(name)
+        for _ in range(nprops):
+            v, pos = _read_property(buf, pos)
+            node.props.append(v)
+        while pos < end:
+            child, pos = read_node(pos)
+            if child is None:
+                break
+            node.children.append(child)
+        return node, end
+
+    root = FbxNode("<root>")
+    pos = 27
+    while pos < len(buf):
+        node, pos = read_node(pos)
+        if node is None:
+            break
+        root.children.append(node)
+    root.props = [version]
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Properties70 access
+# ---------------------------------------------------------------------------
+
+def get_prop70(node: FbxNode, name: str, default=None):
+    """Read a Properties70/P entry: returns the value tuple tail (after the
+    4 header strings) or a scalar if single-valued."""
+    p70 = node.find("Properties70")
+    if p70 is None:
+        return default
+    for p in p70.find_all("P"):
+        if p.props and p.props[0] == name:
+            vals = p.props[4:]
+            if len(vals) == 1:
+                return vals[0]
+            return tuple(vals)
+    return default
+
+
+def get_vec3_prop(node: FbxNode, name: str, default=(0.0, 0.0, 0.0)):
+    v = get_prop70(node, name, None)
+    if v is None:
+        return np.asarray(default, np.float64)
+    return np.asarray(v[:3], np.float64)
