@@ -1,0 +1,162 @@
+"""Animated-mesh rendering driver — the reference ``main()`` pipeline.
+
+Reproduces kernel.cu:41-110 + render.h:191-237 end to end:
+  load FBX (skinned character)  ->  build scene + BVH (timed)  ->
+  per frame: skin -> BVH refit (timed as 'update') -> render (timed as
+  'rendering') -> PNG images/<tag>/picture_<frame>.png -> output.csv with
+  header `frame,rendering,update,build`.
+
+Pipelines (kernel.cu:93-97 menu, a flag here instead of comments):
+  bvh   — single BVH over the mesh, refit per frame (ACTIVE in the reference)
+  list  — no acceleration structure (renderListAnimation)
+  fused — skin+refit+render in ONE jit call per frame (TPU-native fast path;
+          the update/render split is then reported as a single render time)
+
+Usage: python apps/animate.py [--fbx PATH] [--frames N] [--width W] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--fbx", default="/root/reference/CudaTest/objects/low_walking.fbx")
+    ap.add_argument("--out", default="images/moveTest")
+    ap.add_argument("--csv", default="output.csv")
+    ap.add_argument("--width", type=int, default=1024)      # kernel.cu:44
+    ap.add_argument("--height", type=int, default=512)      # kernel.cu:45
+    ap.add_argument("--samples", type=int, default=4)       # kernel.cu:49
+    ap.add_argument("--max-depth", type=int, default=8)     # kernel.cu:48
+    ap.add_argument("--integrator", default="lambert",       # render.h:120 active
+                    choices=["path", "lambert", "normal"])
+    ap.add_argument("--pipeline", default="bvh",
+                    choices=["bvh", "list", "fused"])
+    ap.add_argument("--begin-frame", type=int, default=0)   # kernel.cu:50
+    ap.add_argument("--frames", type=int, default=None,
+                    help="limit frame count (default: animation length)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--no-png", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.models.mesh import device_mesh, scene_with_frame
+    from cudaraytracer_tpu.ops import bvh as bvhmod
+    from cudaraytracer_tpu.ops.render import bvh_intersector, render_image
+    from cudaraytracer_tpu.utils.csvlog import MetricsLog
+    from cudaraytracer_tpu.utils.fbx_loader import load_skinned_mesh
+    from cudaraytracer_tpu.utils.image import write_png
+    from cudaraytracer_tpu.utils.stopwatch import StopWatch
+
+    t0 = time.time()
+    mesh = load_skinned_mesh(args.fbx)
+    print(f"loaded {args.fbx}: {mesh.n_points} points, {mesh.n_triangles} tris, "
+          f"{mesh.n_bones} bones, {mesh.frame_count} frames "
+          f"({time.time() - t0:.1f}s)")
+
+    # endFrame = frame_count - 1 (FbxLoader.h:114 overrides main's default 30)
+    end_frame = mesh.frame_count - 1
+    if args.frames is not None:
+        end_frame = min(end_frame, args.begin_frame + args.frames - 1)
+
+    cfg = crt.RenderConfig(width=args.width, height=args.height,
+                           samples=args.samples, max_depth=args.max_depth,
+                           integrator=args.integrator)
+    camera = presets.fbx_walk_camera(aspect=cfg.aspect)  # createScene.h:160
+    dm = device_mesh(mesh)
+
+    # scene: one Triangle per face, one shared red lambertian
+    # (add_mesh_withNormal, createScene.h:175-190)
+    builder = crt.SceneBuilder()
+    mat = builder.materials.lambertian(color=(0.65, 0.05, 0.05))
+    builder.add_mesh(mesh.points, mesh.faces, mat, normals=mesh.normals,
+                     reverse_winding=True)
+    scene0 = builder.build()
+
+    log = MetricsLog()
+    sw = StopWatch()
+    key = jax.random.key(0)
+
+    # --- build (timed; kernel.cu:29-38) ---
+    sw.Reset(); sw.Start()
+    scene_f0 = scene_with_frame(scene0, dm, jnp.int32(args.begin_frame))
+    bvh = None
+    if args.pipeline in ("bvh", "fused"):
+        bvh = bvhmod.build_triangle_bvh(np.asarray(scene_f0.triangles.v0),
+                                        np.asarray(scene_f0.triangles.v1),
+                                        np.asarray(scene_f0.triangles.v2))
+    jax.block_until_ready(scene_f0.triangles.v0)
+    sw.Stop()
+    log.log_build(sw.GetTime())
+    print(f"BVH build: {sw.GetTime():.4f}s")
+
+    # --- jitted per-frame steps ---
+    @jax.jit
+    def update_step(scene, bvh, frame):
+        s = scene_with_frame(scene, dm, frame)
+        b = bvhmod.refit_bvh(bvh, s.triangles.v0, s.triangles.v1,
+                             s.triangles.v2)
+        return s, b
+
+    isect = bvh_intersector(cfg)
+
+    @jax.jit
+    def fused_step(scene, bvh, frame, fkey):
+        s = scene_with_frame(scene, dm, frame)
+        b = bvhmod.refit_bvh(bvh, s.triangles.v0, s.triangles.v1,
+                             s.triangles.v2)
+        return render_image(s, camera, fkey, cfg, isect, b)
+
+    os.makedirs(args.out, exist_ok=True)
+    for frame in range(args.begin_frame, end_frame + 1):
+        fkey = jax.random.fold_in(key, frame)
+        if args.pipeline == "fused":
+            sw.Reset(); sw.Start()
+            img = fused_step(scene0, bvh, jnp.int32(frame), fkey)
+            img = np.asarray(img)
+            sw.Stop()
+            render_t, update_t = sw.GetTime(), 0.0
+        elif args.pipeline == "bvh":
+            # update (skin + refit), timed as the reference's Update_BVH
+            sw.Reset(); sw.Start()
+            scene_f, bvh = update_step(scene0, bvh, jnp.int32(frame))
+            jax.block_until_ready(bvh.bbox_min)
+            sw.Stop()
+            update_t = sw.GetTime()
+            sw.Reset(); sw.Start()
+            img = np.asarray(render_image(scene_f, camera, fkey, cfg, isect, bvh))
+            sw.Stop()
+            render_t = sw.GetTime()
+        else:  # list
+            scene_f = scene_with_frame(scene0, dm, jnp.int32(frame))
+            sw.Reset(); sw.Start()
+            img = np.asarray(render_image(scene_f, camera, fkey, cfg))
+            sw.Stop()
+            render_t, update_t = sw.GetTime(), 0.0
+
+        log.log_frame(frame, render_t, update_t)
+        if not args.no_png:
+            write_png(os.path.join(args.out, f"picture_{frame}.png"), img)
+        print(f"frame {frame}: render {render_t:.4f}s update {update_t:.4f}s")
+
+    log.write_csv(args.csv)
+    print(f"wrote {args.csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

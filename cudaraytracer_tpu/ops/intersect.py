@@ -30,7 +30,10 @@ from ..models import transform as _tf
 
 Array = jnp.ndarray
 
-BIG = jnp.float32(3.4028235e38)  # FLT_MAX
+# FLT_MAX as a host-side numpy scalar: module import must NOT create device
+# arrays (a device constant here would trigger TPU-tunnel I/O at import time).
+import numpy as _np
+BIG = _np.float32(3.4028235e38)
 TRI_EPSILON = 1e-6               # triangle.h:9 EPSILON
 
 

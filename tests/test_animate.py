@@ -1,0 +1,34 @@
+"""Animation driver end-to-end test (tiny config)."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_animate_driver(tmp_path):
+    out_dir = tmp_path / "frames"
+    csv_path = tmp_path / "output.csv"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "apps", "animate.py"), "--cpu",
+         "--width", "64", "--height", "32", "--samples", "1", "--frames", "2",
+         "--out", str(out_dir), "--csv", str(csv_path)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # PNG frames exist (render.h:148-153 naming)
+    assert (out_dir / "picture_0.png").exists()
+    assert (out_dir / "picture_1.png").exists()
+
+    # CSV schema parity (kernel.cu:61): header + build row + frame rows
+    with open(csv_path) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["frame", "rendering", "update", "build"]
+    assert rows[1][0] == "" and float(rows[1][3]) > 0          # build row
+    assert rows[2][0] == "0" and float(rows[2][1]) > 0         # frame row
+    assert float(rows[2][2]) >= 0                              # update time

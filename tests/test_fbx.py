@@ -1,0 +1,172 @@
+"""FBX parsing, transform evaluation, and skinning tests (real repo assets)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudaraytracer_tpu.models.mesh import (device_mesh, recompute_face_normals,
+                                           scene_with_frame, skin_frame,
+                                           skin_points)
+from cudaraytracer_tpu.models.scene import SceneBuilder
+from cudaraytracer_tpu.utils.fbx_loader import (FbxScene, load_skinned_mesh,
+                                                matrix_to_trs, euler_matrix)
+from cudaraytracer_tpu.utils.fbx_parser import parse_fbx
+
+WALKING = "/root/reference/CudaTest/objects/low_walking.fbx"
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return load_skinned_mesh(WALKING)
+
+
+def test_container_parse():
+    root = parse_fbx(WALKING)
+    names = [c.name for c in root.children]
+    assert "Objects" in names and "Connections" in names and "Takes" in names
+
+
+def test_bind_pose_matches_transform_link():
+    """Ground truth for matrix conventions: the file's Pose (bind) matrices
+    must equal each cluster's TransformLink."""
+    scene = FbxScene(WALKING)
+    pose = [n for n in scene.by_id.values() if n.name == "Pose"][0]
+    pose_mats = {}
+    for pn in pose.find_all("PoseNode"):
+        pose_mats[pn.find("Node").props[0]] = \
+            np.asarray(pn.find("Matrix").props[0]).reshape(4, 4).T
+    geom_id = [uid for uid, n in scene.by_id.items() if n.name == "Geometry"][0]
+    pm = {}
+    for c, p in scene.oo:
+        pm.setdefault(p, []).append(c)
+    skin = [u for u in pm[geom_id] if scene.by_id[u].name == "Deformer"][0]
+    checked = 0
+    for cuid in pm.get(skin, []):
+        cn = scene.by_id[cuid]
+        if cn.props[2] != "Cluster":
+            continue
+        link_id = next(ch for ch, p2 in scene.oo
+                       if p2 == cuid and ch in scene.models)
+        tl = np.asarray(cn.find("TransformLink").props[0]).reshape(4, 4).T
+        if link_id in pose_mats:
+            np.testing.assert_allclose(pose_mats[link_id], tl, atol=1e-10)
+            checked += 1
+    assert checked >= 20
+
+
+def test_reference_global_init_is_mesh_bind():
+    """TL @ stored cluster Transform must be constant across clusters (the
+    mesh bind global) — the identity our GetTransformMatrix equivalent uses."""
+    scene = FbxScene(WALKING)
+    geom_id = [uid for uid, n in scene.by_id.items() if n.name == "Geometry"][0]
+    pm = {}
+    for c, p in scene.oo:
+        pm.setdefault(p, []).append(c)
+    skin = [u for u in pm[geom_id] if scene.by_id[u].name == "Deformer"][0]
+    prods = []
+    for cuid in pm.get(skin, []):
+        cn = scene.by_id[cuid]
+        if cn.props[2] != "Cluster":
+            continue
+        ref = np.asarray(cn.find("Transform").props[0]).reshape(4, 4).T
+        tl = np.asarray(cn.find("TransformLink").props[0]).reshape(4, 4).T
+        prods.append(tl @ ref)
+    prods = np.stack(prods)
+    assert np.abs(prods - prods[0]).max() < 1e-10
+
+
+def test_mesh_extraction(mesh):
+    assert mesh.n_points == 824
+    assert mesh.n_triangles == 1622
+    assert mesh.n_bones == 28
+    assert mesh.frame_count == 58          # take span / (KTIME/60)
+    assert mesh.faces.min() >= 0 and mesh.faces.max() < mesh.n_points
+    # weights: every point fully weighted (sum 1)
+    np.testing.assert_allclose(mesh.weights.sum(1), 1.0, atol=1e-5)
+    # loaded normals are unit
+    np.testing.assert_allclose(np.linalg.norm(mesh.normals, axis=-1), 1.0,
+                               atol=1e-3)
+
+
+def test_skinned_pose_is_plausible(mesh):
+    """Frame-0 skinned character: human-sized, y-up, feet near ground."""
+    W = mesh.weights.astype(np.float64)
+    M = mesh.vertex_transforms[0].astype(np.float64)
+    ph = np.concatenate([mesh.points, np.ones((mesh.n_points, 1), np.float32)],
+                        axis=1).astype(np.float64)
+    out = np.einsum("pij,pj->pi", np.einsum("pb,bij->pij", W, M), ph)
+    sk = out[:, :3] / out[:, 3:4]
+    lo, hi = sk.min(0), sk.max(0)
+    assert 150 < hi[1] < 200       # head height
+    assert lo[1] < 30              # feet near ground
+    assert (hi[0] - lo[0]) < 100   # arms not in T-pose (walking)
+
+
+def test_device_skinning_matches_numpy(mesh):
+    dm = device_mesh(mesh)
+    for f in [0, 17, 57]:
+        got = np.asarray(skin_points(dm.points, dm.weights,
+                                     dm.vertex_transforms[f]))
+        W = mesh.weights.astype(np.float64)
+        M = mesh.vertex_transforms[f].astype(np.float64)
+        ph = np.concatenate([mesh.points,
+                             np.ones((mesh.n_points, 1), np.float32)],
+                            axis=1).astype(np.float64)
+        out = np.einsum("pij,pj->pi", np.einsum("pb,bij->pij", W, M), ph)
+        want = out[:, :3] / out[:, 3:4]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+
+
+def test_skin_frame_reversed_winding(mesh):
+    """update_pose gathers vertices as {idx[2], idx[1], idx[0]}
+    (createScene.h:104-106)."""
+    dm = device_mesh(mesh)
+    v0, v1, v2 = skin_frame(dm, jnp.int32(0))
+    skinned = skin_points(dm.points, dm.weights, dm.vertex_transforms[0])
+    f = np.asarray(mesh.faces)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(skinned)[f[:, 2]],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(skinned)[f[:, 0]],
+                               atol=1e-6)
+
+
+def test_scene_with_frame_keeps_normals_fixed(mesh):
+    """Reference quirk: face normals stay at bind pose across frames."""
+    dm = device_mesh(mesh)
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(0.65, 0.05, 0.05))
+    b.add_mesh(mesh.points, mesh.faces, mat, normals=mesh.normals,
+               reverse_winding=True)
+    scene0 = b.build()
+    s_f30 = scene_with_frame(scene0, dm, jnp.int32(30), fixed_normals=True)
+    np.testing.assert_array_equal(np.asarray(s_f30.triangles.normal),
+                                  np.asarray(scene0.triangles.normal))
+    # vertices DID move
+    assert np.abs(np.asarray(s_f30.triangles.v0)
+                  - np.asarray(scene0.triangles.v0)).max() > 1.0
+    # fixed mode recomputes
+    s_fix = scene_with_frame(scene0, dm, jnp.int32(30), fixed_normals=False)
+    assert np.abs(np.asarray(s_fix.triangles.normal)
+                  - np.asarray(scene0.triangles.normal)).max() > 0.01
+
+
+def test_euler_matrix_orders():
+    # XYZ vs ZYX differ for non-commuting rotations
+    a = euler_matrix((90, 90, 0), 0)
+    b = euler_matrix((90, 90, 0), 5)
+    assert np.abs(a - b).max() > 0.5
+    # round-trip through matrix_to_trs for XYZ order
+    m = euler_matrix((10, 20, 30), 0)
+    _, r = matrix_to_trs(m)
+    np.testing.assert_allclose(r, [10, 20, 30], atol=1e-5)
+
+
+def test_animation_is_smooth(mesh):
+    """Consecutive frames move each vertex by a small bounded amount."""
+    dm = device_mesh(mesh)
+    a = np.asarray(skin_points(dm.points, dm.weights, dm.vertex_transforms[10]))
+    b = np.asarray(skin_points(dm.points, dm.weights, dm.vertex_transforms[11]))
+    step = np.linalg.norm(a - b, axis=-1)
+    assert step.max() < 15.0       # no exploding limbs
+    assert step.mean() > 0.01      # but actually moving
