@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md): camera rays/sec/chip on a 1080p path-traced
+render at depth 8 on the "One Weekend" random-spheres scene (~500 spheres,
+BASELINE config[1] geometry at config[4] resolution).  rays = width * height *
+samples (camera samples; each traces up to max_depth+1 bounces).
+
+vs_baseline: ratio against the self-measured value recorded in
+BASELINE_SELF.json (the reference publishes no numbers — BASELINE.md); 1.0
+when no prior record exists (first round records it).
+
+Env knobs: BENCH_SPP (default 16), BENCH_WIDTH/HEIGHT, BENCH_CHUNK,
+BENCH_SCENE (random_spheres|three_spheres|mesh).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops.render import render_image
+
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    spp = int(os.environ.get("BENCH_SPP", 16))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
+    scene_name = os.environ.get("BENCH_SCENE", "random_spheres")
+
+    if scene_name == "three_spheres":
+        scene, cam = presets.three_spheres(aspect=width / height)
+    else:
+        scene, cam = presets.random_spheres(aspect=width / height)
+
+    cfg = crt.RenderConfig(width=width, height=height, samples=spp,
+                           max_depth=8, integrator="path", ray_chunk=chunk)
+
+    key = jax.random.key(0)
+
+    # Timing note: on the remote-tunnel TPU backend block_until_ready can
+    # return before execution finishes, so we time K renders inside ONE jitted
+    # scan and fetch a single scalar — the host round-trip brackets the real
+    # device work.
+    import jax.numpy as jnp
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 2))
+
+    @jax.jit
+    def bench_n(key):
+        def body(acc, i):
+            img = render_image(scene, cam, jax.random.fold_in(key, i), cfg)
+            return acc + jnp.mean(img), None
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_iters))
+        return tot
+
+    float(bench_n(key))  # warmup/compile
+    t0 = time.perf_counter()
+    s = float(bench_n(jax.random.fold_in(key, 123)))
+    dt = (time.perf_counter() - t0) / n_iters
+    assert s == s, "NaN render"
+    rays = width * height * spp
+    value = rays / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_SELF.json")
+    vs = 1.0
+    record = {}
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                record = json.load(f)
+            prior = record.get("camera_rays_per_sec")
+            if prior:
+                vs = value / float(prior)
+        except Exception:
+            pass
+    if "camera_rays_per_sec" not in record:
+        record = {"camera_rays_per_sec": value,
+                  "config": f"{width}x{height}x{spp}spp depth8 {scene_name}",
+                  "backend": jax.devices()[0].platform}
+        try:
+            with open(baseline_path, "w") as f:
+                json.dump(record, f, indent=2)
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "camera_rays_per_sec_1080p_path8",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

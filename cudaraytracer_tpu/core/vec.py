@@ -135,7 +135,10 @@ def refract(v: Array, n: Array, ni_over_nt: Array):
         ni_over_nt = ni_over_nt[..., None]
     disc = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
     ok = disc[..., 0] > 0.0
-    refracted = ni_over_nt * (uv - n * dt) - n * jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where keeps the backward pass NaN-free when disc <= 0
+    disc_safe = jnp.where(disc > 0.0, disc, 1.0)
+    sq = jnp.where(disc > 0.0, jnp.sqrt(disc_safe), 0.0)
+    refracted = ni_over_nt * (uv - n * dt) - n * sq
     return ok, refracted
 
 

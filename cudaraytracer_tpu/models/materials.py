@@ -98,8 +98,10 @@ def scatter(mat: MaterialTable, tex: TextureTable, mat_id: Array, r_in: Rays,
     ni_over_nt = jnp.where(exiting, ri, 1.0 / ri)
     cos_plain = jnp.where(exiting, d_dot_n / d_len, -d_dot_n / d_len)
     if dielectric_reference_cosine:
-        # material.h:116-117 — exit side uses sqrt(1 - ri^2 (1 - cos^2)).
-        cos_exit = jnp.sqrt(jnp.maximum(1.0 - ri * ri * (1.0 - cos_plain * cos_plain), 0.0))
+        # material.h:116-117 — exit side uses sqrt(1 - ri^2 (1 - cos^2));
+        # double-where for a NaN-free backward pass when the operand is <= 0.
+        q = 1.0 - ri * ri * (1.0 - cos_plain * cos_plain)
+        cos_exit = jnp.where(q > 0.0, jnp.sqrt(jnp.where(q > 0.0, q, 1.0)), 0.0)
         cosine = jnp.where(exiting, cos_exit, cos_plain)
     else:
         cosine = cos_plain

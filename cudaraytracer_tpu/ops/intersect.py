@@ -74,7 +74,10 @@ def sphere_candidates(origin, direction, center, radius, t_min, t_max):
     b = jnp.sum(oc * d, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - radius[None, :] ** 2
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where so d(sqrt)/d(disc) is finite for misses (disc <= 0): a bare
+    # sqrt(max(disc, 0)) yields 0 * inf = NaN in the backward pass.
+    disc_safe = jnp.where(disc > 0.0, disc, 1.0)
+    sq = jnp.where(disc > 0.0, jnp.sqrt(disc_safe), 0.0)
     t0 = (-b - sq) / a
     t1 = (-b + sq) / a
     ok0 = (disc > 0.0) & (t0 < t_max) & (t0 > t_min)

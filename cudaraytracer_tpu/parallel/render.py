@@ -1,0 +1,106 @@
+"""Sharded rendering over a ('dp', 'tp') device mesh via shard_map.
+
+The TPU-native replacement for "one GPU renders everything": pixels are tiled
+over 'dp', primitive tables are sharded over 'tp' (parallel/intersect.py), the
+scene's small tables are replicated, and the framebuffer comes back as one
+addressable array (XLA gathers shards — the multi-chip analog of the D2H copy
+at render.h:226).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..core.camera import Camera
+from ..models.scene import Scene, Spheres, Triangles
+from ..ops.render import render_pixels
+from . import intersect as tp_isect
+from .mesh import pad_to_multiple
+
+Array = jnp.ndarray
+
+
+def shard_scene(scene: Scene, tp: int):
+    """Pad sphere/triangle tables to a 'tp' multiple.  Returns the padded
+    scene + true global counts (padding rows are masked by global index)."""
+    n_s, n_t = scene.n_spheres, scene.n_triangles
+    if tp == 1:
+        return scene, n_s, n_t
+    sph = scene.spheres
+    tri = scene.triangles
+    if n_s:
+        sph = Spheres(*(jnp.asarray(pad_to_multiple(np.asarray(x), tp))
+                        for x in sph))
+    if n_t:
+        tri = Triangles(*(jnp.asarray(pad_to_multiple(np.asarray(x), tp))
+                          for x in tri))
+    return scene._replace(spheres=sph, triangles=tri), n_s, n_t
+
+
+def render_image_sharded(scene: Scene, camera: Camera, key: jax.Array,
+                         cfg: RenderConfig, mesh: Mesh) -> Array:
+    """Full-frame render with pixels over 'dp' and primitives over 'tp'.
+    Returns f32[height, width, 3] (row 0 = bottom, as render_image)."""
+    dp = mesh.shape["dp"]
+    tp = mesh.shape["tp"]
+    n_pix = cfg.width * cfg.height
+    pixel_index = jnp.asarray(
+        pad_to_multiple(np.arange(n_pix, dtype=np.int32), dp, fill=0))
+    padded_scene, n_s_g, n_t_g = shard_scene(scene, tp)
+
+    quirks = cfg.quirks
+
+    def local(pixel_slice, sph, tri, rest_scene):
+        scene_local = rest_scene._replace(spheres=sph, triangles=tri)
+        tp_i = jax.lax.axis_index("tp")
+        sphere_off = tp_i * sph.radius.shape[0]
+        tri_off = tp_i * tri.mat.shape[0]
+
+        def intersect_fn(s, rays, aux):
+            return tp_isect.intersect_scene_tp(
+                s, rays, "tp", sphere_off, tri_off, cfg.t_min, cfg.t_max,
+                quirks, n_s_g, n_t_g)
+
+        dp_i = jax.lax.axis_index("dp")
+        lkey = jax.random.fold_in(key, dp_i)
+        return render_pixels(scene_local, camera, lkey, cfg, pixel_slice,
+                             intersect_fn if tp > 1 else None, None)
+
+    scene_spec = jax.tree.map(lambda _: P(), padded_scene)
+    sph_spec = jax.tree.map(lambda _: P("tp"), padded_scene.spheres)
+    tri_spec = jax.tree.map(lambda _: P("tp"), padded_scene.triangles)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp"), sph_spec, tri_spec, scene_spec),
+        out_specs=P("dp"),
+        check_vma=False)
+    out = fn(pixel_index, padded_scene.spheres, padded_scene.triangles,
+             padded_scene)
+    return out[:n_pix].reshape(cfg.height, cfg.width, 3)
+
+
+def render_image_sharded_jit(scene, camera, key, cfg, mesh):
+    """jit-wrapped sharded render (compiles once per (cfg, mesh))."""
+    fn = _cached_sharded(cfg, mesh)
+    return fn(scene, camera, key)
+
+
+_CACHE = {}
+
+
+def _cached_sharded(cfg: RenderConfig, mesh: Mesh):
+    k = (cfg, mesh)
+    if k not in _CACHE:
+        @jax.jit
+        def fn(scene, camera, key):
+            return render_image_sharded(scene, camera, key, cfg, mesh)
+        _CACHE[k] = fn
+    return _CACHE[k]

@@ -1,0 +1,137 @@
+"""Distributed differentiable rendering — inverse-rendering training step.
+
+Net-new vs the reference (north star, BASELINE config[3]): the whole render is
+differentiable, so scene parameters (sphere centers/radii, material albedos,
+mesh vertices) can be FIT to a target image by gradient descent on pixel loss.
+
+Sharding: pixels/rays over 'dp', scene parameters replicated; each member
+computes the loss/grad on its pixel tile and gradients are all-reduced with
+``psum`` over ICI — the exact analog of data-parallel training.  The bounce
+scan is checkpointed (jax.checkpoint) so the backward pass re-materializes
+per-bounce intermediates instead of storing rays x bounces, keeping HBM flat.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..core.camera import Camera
+from ..models.scene import Scene
+from ..ops.render import render_pixels
+from .mesh import pad_to_multiple
+
+Array = jnp.ndarray
+Params = Dict[str, Array]
+
+
+def apply_sphere_params(scene: Scene, params: Params) -> Scene:
+    """Install fit parameters into a scene.
+
+    Supported keys: 'centers' f32[S,3], 'radii' f32[S], 'albedo' f32[K,3]
+    (replaces texture color0 rows — lambertian albedos), 'tri_v' tuple of
+    three f32[T,3] (mesh vertices).
+    """
+    s = scene
+    if "centers" in params:
+        s = s._replace(spheres=s.spheres._replace(center=params["centers"]))
+    if "radii" in params:
+        s = s._replace(spheres=s.spheres._replace(radius=params["radii"]))
+    if "albedo" in params:
+        s = s._replace(textures=s.textures._replace(color0=params["albedo"]))
+    if "tri_v" in params:
+        v0, v1, v2 = params["tri_v"]
+        s = s._replace(triangles=s.triangles._replace(v0=v0, v1=v1, v2=v2))
+    return s
+
+
+def pixel_loss(scene_template: Scene, params: Params, camera: Camera,
+               key: jax.Array, cfg: RenderConfig, pixel_index: Array,
+               target: Array) -> Array:
+    """Mean squared pixel error on a pixel subset (render differentiably)."""
+    scene = apply_sphere_params(scene_template, params)
+    cols = render_pixels(scene, camera, key, cfg, pixel_index)
+    return jnp.mean((cols - target) ** 2)
+
+
+def make_fit_step(scene_template: Scene, camera: Camera, cfg: RenderConfig,
+                  mesh: Mesh, lr: float = 0.5) -> Callable:
+    """Build a jitted SGD step: (params, target_image, key) -> (loss, params).
+
+    target_image: f32[H*W, 3] flattened (row 0 = bottom).  Pixels are sharded
+    over 'dp'; gradients are pmean'd across the whole mesh before the update,
+    so every member applies identical updates (replicated params stay in sync).
+    """
+    n_pix = cfg.width * cfg.height
+    dp = mesh.shape["dp"]
+    tp = mesh.shape["tp"]
+    n_total = dp * tp
+    pixel_index = jnp.asarray(
+        pad_to_multiple(np.arange(n_pix, dtype=np.int32), n_total, fill=0))
+
+    def local_step(params, pix_slice, target_slice, key):
+        pix_slice = pix_slice.reshape(-1)          # drop (1,1,..) mesh dims
+        target_slice = target_slice.reshape(-1, 3)
+        member = jax.lax.axis_index("dp") * tp + jax.lax.axis_index("tp")
+        lkey = jax.random.fold_in(key, member)
+
+        def loss_fn(p):
+            return pixel_loss(scene_template, p, camera, lkey, cfg,
+                              pix_slice, target_slice)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(jax.lax.pmean(loss, "dp"), "tp")
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jax.lax.pmean(g, "dp"), "tp"), grads)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return loss, new_params
+
+    param_spec = P()
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(param_spec, P("dp", "tp"), P("dp", "tp"), P()),
+        out_specs=(param_spec, param_spec),
+        check_vma=False)
+
+    # pixels laid out (dp*tp,) -> reshape to (dp, tp*chunk)? Simpler: shard
+    # the flat pixel list over BOTH axes so each member gets a distinct tile.
+    @jax.jit
+    def step(params, target_flat, key):
+        tgt = pad_to_multiple_j(target_flat, n_total)
+        pix2 = pixel_index.reshape(n_total, -1).reshape(dp, tp, -1)
+        tgt2 = tgt.reshape(n_total, -1, 3).reshape(dp, tp, -1, 3)
+        return sharded(params, pix2, tgt2, key)
+
+    return step
+
+
+def pad_to_multiple_j(x: Array, multiple: int) -> Array:
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    return jnp.concatenate([x, jnp.broadcast_to(x[:1], (rem,) + x.shape[1:])])
+
+
+def fit(scene_template: Scene, params: Params, camera: Camera,
+        cfg: RenderConfig, mesh: Mesh, target_image: Array, steps: int = 50,
+        lr: float = 0.5, key: jax.Array | None = None, verbose: bool = False):
+    """Run `steps` of SGD; returns (final_params, losses)."""
+    if key is None:
+        key = jax.random.key(0)
+    step_fn = make_fit_step(scene_template, camera, cfg, mesh, lr)
+    target_flat = jnp.asarray(target_image).reshape(-1, 3)
+    losses = []
+    for i in range(steps):
+        loss, params = step_fn(params, target_flat, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"step {i}: loss {losses[-1]:.6f}")
+    return params, losses
