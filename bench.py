@@ -30,7 +30,7 @@ def main() -> int:
 
     import cudaraytracer_tpu as crt
     from cudaraytracer_tpu.models import presets
-    from cudaraytracer_tpu.ops.render import render_image
+    from cudaraytracer_tpu.ops.render import pallas_intersector, render_image
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
@@ -45,6 +45,10 @@ def main() -> int:
 
     cfg = crt.RenderConfig(width=width, height=height, samples=spp,
                            max_depth=8, integrator="path", ray_chunk=chunk)
+    # fused Pallas sweep kernels by default (interpret-mode on CPU);
+    # BENCH_INTERSECT=bruteforce selects the jnp path
+    use_pallas = os.environ.get("BENCH_INTERSECT", "pallas") == "pallas"
+    isect_fn = pallas_intersector(cfg) if use_pallas else None
 
     key = jax.random.key(0)
 
@@ -59,7 +63,8 @@ def main() -> int:
     @jax.jit
     def bench_n(key):
         def body(acc, i):
-            img = render_image(scene, cam, jax.random.fold_in(key, i), cfg)
+            img = render_image(scene, cam, jax.random.fold_in(key, i), cfg,
+                               isect_fn)
             return acc + jnp.mean(img), None
         tot, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_iters))
         return tot

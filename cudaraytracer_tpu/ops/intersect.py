@@ -278,6 +278,49 @@ def intersect_scene_bvh(scene: Scene, rays: Rays, bvh, t_min: float = 1e-3,
                          tri_override)
 
 
+def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
+                           t_max: float = float(BIG),
+                           quirks: Quirks = Quirks()) -> Hits:
+    """Closest-hit via the fused Pallas kernels (ops/pallas_intersect.py):
+    sphere and triangle sweeps run fully in VMEM with no (rays x prims)
+    HBM materialization; rects (rare) stay on the jnp path.  Differentiable
+    via the kernels' custom VJPs."""
+    from . import pallas_intersect as pk  # local import: pallas optional
+
+    n = rays.origin.shape[0]
+    best_t = jnp.full((n,), BIG)
+    best_idx = jnp.full((n,), -1, jnp.int32)
+
+    n_s, n_t, n_r = scene.n_spheres, scene.n_triangles, scene.n_rects
+
+    if n_s:
+        st, si = pk.sphere_best_hit(rays.origin, rays.direction,
+                                    scene.spheres.center, scene.spheres.radius,
+                                    float(t_min), float(t_max))
+        take = (si >= 0) & (st < best_t)
+        best_t = jnp.where(take, st, best_t)
+        best_idx = jnp.where(take, si, best_idx)
+
+    if n_t:
+        tr = scene.triangles
+        tt, ti = pk.triangle_best_hit(rays.origin, rays.direction, tr.v0,
+                                      tr.v1, tr.v2, tr.normal, float(t_min),
+                                      float(t_max), quirks)
+        take = (ti >= 0) & (tt < best_t)
+        best_t = jnp.where(take, tt, best_t)
+        best_idx = jnp.where(take, ti + n_s, best_idx)
+
+    if n_r:
+        valid, t, _, _, _, _ = rect_candidates(rays, scene.rects,
+                                               jnp.float32(t_min),
+                                               jnp.float32(t_max))
+        idx = jnp.arange(n_r, dtype=jnp.int32) + n_s + n_t
+        best_t, best_idx = _reduce_best((best_t, best_idx), t, valid,
+                                        jnp.broadcast_to(idx[None], t.shape))
+
+    return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks)
+
+
 def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
                   t_min, t_max, quirks: Quirks, tri_override=None) -> Hits:
     """Reconstruct the full hit record for the winning primitive only."""

@@ -1,0 +1,377 @@
+"""Pallas TPU kernels for the hot intersection loops.
+
+The jnp brute-force path (ops/intersect.py) materializes (rays x prims)
+candidate arrays in HBM — correct, differentiable, but HBM-bandwidth bound.
+These kernels keep a ray tile and the whole primitive table in VMEM and fuse
+candidate evaluation with the running closest-hit reduction, so HBM traffic is
+one read of the rays and one write of (best_t, best_idx) — the speed-of-light
+layout for brute-force intersection (SURVEY.md §7 phase 5).
+
+Layout: N rays are padded to (rows, 128) f32 tiles per component; the grid
+tiles rows.  Each inner step evaluates a 3D candidate tile
+(PRIM_CHUNK, TILE_ROWS, 128): primitive components enter as (PRIM_CHUNK,1,1)
+sublane slices of the (comp, c_pad, 1) table and broadcast against the whole
+(1, TILE_ROWS, 128) ray block — pure vector ops, no scalar extracts (Mosaic
+cannot index VMEM lanes dynamically), and the per-iteration loop overhead is
+amortized over PRIM_CHUNK * TILE_ROWS * 128 candidate pairs.  The chunk
+winner reduces over the prim axis and merges into the per-ray running best
+with a strictly-less compare, preserving the reference's first-prim-wins
+tie-break (hitable_list.h:84).
+
+Differentiability: pallas_call has no autodiff rule, so each kernel is wrapped
+in jax.custom_vjp — the backward pass recomputes the WINNING primitive's
+intersection with plain jnp (a per-ray, single-primitive formula) and chains
+through it, which is both exact and far cheaper than differentiating the full
+candidate sweep.  Gradients flow to ray origins/directions and to the winning
+primitive's parameters (scatter-add).
+
+Quirk parity matches ops/intersect.py (backface-only triangles, no-t-clip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Quirks
+from .intersect import BIG, TRI_EPSILON
+
+Array = jnp.ndarray
+
+LANES = 128
+TILE_ROWS = 32          # 32 x 128 = 4096 rays per kernel instance
+PRIM_CHUNK = 16         # prims per inner step (leading axis of the 3D tile)
+IDX_BIG = 2 ** 30  # python int: kernels may not capture traced constants
+
+
+def _pad_rays(x: Array, rows: int) -> Array:
+    n = x.shape[0]
+    pad = rows * LANES - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    return x.reshape(rows, LANES)
+
+
+def _ray_rows(n: int) -> int:
+    rows = -(-n // LANES)
+    return -(-rows // TILE_ROWS) * TILE_ROWS
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _merge_chunk(best_t, best_i, t, base, prim_iota):
+    """Reduce a (PRIM_CHUNK, R, L) candidate tile over prims and merge into
+    the running (R, L) best; ties -> lowest prim id, earlier chunks win."""
+    tmin = jnp.min(t, axis=0)
+    idx = jnp.where(t <= tmin[None], prim_iota + base, IDX_BIG)
+    imin = jnp.min(idx, axis=0)
+    take = tmin < best_t
+    return jnp.where(take, tmin, best_t), jnp.where(take, imin, best_i)
+
+
+# ---------------------------------------------------------------------------
+# Spheres
+# ---------------------------------------------------------------------------
+
+def _sphere_kernel(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
+                   n_chunks: int, t_min: float, t_max: float):
+    ox = o_ref[0][None]        # (1, R, L)
+    oy = o_ref[1][None]
+    oz = o_ref[2][None]
+    dx = d_ref[0][None]
+    dy = d_ref[1][None]
+    dz = d_ref[2][None]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    prim_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                         (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+
+    best_t0 = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+    best_i0 = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+
+    def body(j, carry):
+        best_t, best_i = carry
+        base = j * PRIM_CHUNK
+        cx = sph_ref[0, pl.ds(base, PRIM_CHUNK), :][:, :, None]   # (P,1,1)
+        cy = sph_ref[1, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+        cz = sph_ref[2, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+        r2 = sph_ref[3, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+        ocx = ox - cx                                             # (P,R,L)
+        ocy = oy - cy
+        ocz = oz - cz
+        b = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - a * c
+        hit = disc > 0.0
+        sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
+        t0 = (-b - sq) * inv_a
+        t1 = (-b + sq) * inv_a
+        ok0 = hit & (t0 < t_max) & (t0 > t_min)
+        ok1 = hit & (t1 < t_max) & (t1 > t_min)
+        t = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
+        return _merge_chunk(best_t, best_i, t, base, prim_iota)
+
+    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
+    out_t_ref[:] = best_t
+    out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
+
+
+def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
+                        radius: Array, t_min: float, t_max: float
+                        ) -> Tuple[Array, Array]:
+    """(best_t f32[N], best_idx int32[N]) over all spheres; idx -1 = miss."""
+    n = origin.shape[0]
+    c = center.shape[0]
+    rows = _ray_rows(n)
+    o = jnp.stack([_pad_rays(origin[:, k], rows) for k in range(3)])
+    d = jnp.stack([_pad_rays(direction[:, k], rows) for k in range(3)])
+    # sphere table (4, c_pad, 1): x, y, z, r^2 (pad r^2 = -1 -> never hits)
+    c_pad = -(-c // PRIM_CHUNK) * PRIM_CHUNK
+    tbl = jnp.full((4, c_pad), -1.0, jnp.float32)
+    tbl = tbl.at[:3, :c].set(center.T)
+    tbl = tbl.at[3, :c].set(radius * radius)
+    tbl = tbl[..., None]
+
+    grid = rows // TILE_ROWS
+    kernel = functools.partial(_sphere_kernel, n_chunks=c_pad // PRIM_CHUNK,
+                               t_min=float(t_min), t_max=float(t_max))
+    out_t, out_i = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((4, c_pad, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(tbl, o, d)
+    return out_t.reshape(-1)[:n], out_i.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Triangles (Moller-Trumbore, quirk-compatible)
+# ---------------------------------------------------------------------------
+
+def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
+                     n_chunks: int, t_min: float, t_max: float,
+                     backface_only: bool, no_t_clip: bool):
+    ox = o_ref[0][None]
+    oy = o_ref[1][None]
+    oz = o_ref[2][None]
+    dx = d_ref[0][None]
+    dy = d_ref[1][None]
+    dz = d_ref[2][None]
+    prim_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                         (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+
+    best_t0 = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+    best_i0 = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+
+    def body(j, carry):
+        best_t, best_i = carry
+        base = j * PRIM_CHUNK
+
+        def comp(k):
+            return tri_ref[k, pl.ds(base, PRIM_CHUNK), :][:, :, None]  # (P,1,1)
+
+        v0x, v0y, v0z = comp(0), comp(1), comp(2)
+        e1x, e1y, e1z = comp(3), comp(4), comp(5)
+        e2x, e2y, e2z = comp(6), comp(7), comp(8)
+
+        # h = d x e2 -> (P,R,L)
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / a
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+        valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
+            & (v >= 0.0) & (u + v <= 1.0)
+        if backface_only:   # triangle.h:61
+            nx, ny, nz = comp(9), comp(10), comp(11)
+            valid &= (dx * nx + dy * ny + dz * nz) >= 0.0
+        if no_t_clip:       # triangle.h:92-94 + hitable_list.h:84
+            valid &= t < t_max
+        else:
+            valid &= (t > t_min) & (t < t_max)
+        t = jnp.where(valid, t, BIG)
+        return _merge_chunk(best_t, best_i, t, base, prim_iota)
+
+    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
+    out_t_ref[:] = best_t
+    out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
+
+
+def triangle_best_hit_raw(origin: Array, direction: Array, v0: Array,
+                          v1: Array, v2: Array, normal: Array, t_min: float,
+                          t_max: float, quirks: Quirks) -> Tuple[Array, Array]:
+    n = origin.shape[0]
+    c = v0.shape[0]
+    rows = _ray_rows(n)
+    o = jnp.stack([_pad_rays(origin[:, k], rows) for k in range(3)])
+    d = jnp.stack([_pad_rays(direction[:, k], rows) for k in range(3)])
+    # triangle table (12, c_pad, 1): v0, e1, e2, normal; pad with degenerate
+    # (zero-edge) triangles -> a == 0 -> never valid
+    c_pad = -(-c // PRIM_CHUNK) * PRIM_CHUNK
+    tbl = jnp.zeros((12, c_pad), jnp.float32)
+    tbl = tbl.at[0:3, :c].set(v0.T)
+    tbl = tbl.at[3:6, :c].set((v1 - v0).T)
+    tbl = tbl.at[6:9, :c].set((v2 - v0).T)
+    tbl = tbl.at[9:12, :c].set(normal.T)
+    tbl = tbl[..., None]
+
+    grid = rows // TILE_ROWS
+    kernel = functools.partial(
+        _triangle_kernel, n_chunks=c_pad // PRIM_CHUNK, t_min=float(t_min),
+        t_max=float(t_max),
+        backface_only=quirks.triangle_backface_only,
+        no_t_clip=quirks.triangle_no_t_clip)
+    out_t, out_i = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((12, c_pad, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(tbl, o, d)
+    return out_t.reshape(-1)[:n], out_i.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrappers: pallas forward, winner-only jnp backward
+# ---------------------------------------------------------------------------
+
+def _sphere_t_of(origin, direction, center, radius, pick_first):
+    """Differentiable t for a KNOWN winning sphere per ray (sphere.h math)."""
+    oc = origin - center
+    a = jnp.sum(direction * direction, axis=-1)
+    b = jnp.sum(oc * direction, axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = jnp.maximum(b * b - a * cc, 1e-20)
+    sq = jnp.sqrt(disc)
+    return jnp.where(pick_first, (-b - sq) / a, (-b + sq) / a)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sphere_best_hit(origin, direction, center, radius, t_min, t_max):
+    return sphere_best_hit_raw(origin, direction, center, radius, t_min, t_max)
+
+
+def _sphere_fwd(origin, direction, center, radius, t_min, t_max):
+    t, idx = sphere_best_hit_raw(origin, direction, center, radius, t_min, t_max)
+    return (t, idx), (origin, direction, center, radius, t, idx)
+
+
+def _sphere_bwd(t_min, t_max, res, g):
+    origin, direction, center, radius, t, idx = res
+    g_t, _ = g
+    hit = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    c_w = center[safe]
+    r_w = radius[safe]
+    # which root won: recompute t0 and compare
+    t0 = _sphere_t_of(origin, direction, c_w, r_w, True)
+    pick_first = jnp.abs(t0 - t) < 1e-3 * jnp.maximum(jnp.abs(t), 1.0)
+
+    def t_fn(o, d, c, r):
+        return jnp.sum(_sphere_t_of(o, d, c, r, pick_first)
+                       * jnp.where(hit, g_t, 0.0))
+
+    g_o, g_d, g_c, g_r = jax.grad(t_fn, argnums=(0, 1, 2, 3))(
+        origin, direction, c_w, r_w)
+    g_center = jnp.zeros_like(center).at[safe].add(
+        jnp.where(hit[:, None], g_c, 0.0))
+    g_radius = jnp.zeros_like(radius).at[safe].add(jnp.where(hit, g_r, 0.0))
+    return (jnp.where(hit[:, None], g_o, 0.0),
+            jnp.where(hit[:, None], g_d, 0.0), g_center, g_radius)
+
+
+sphere_best_hit.defvjp(_sphere_fwd, _sphere_bwd)
+
+
+def _tri_t_of(origin, direction, v0, v1, v2):
+    e1 = v1 - v0
+    e2 = v2 - v0
+    q = jnp.cross(origin - v0, e1)
+    h = jnp.cross(direction, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    return jnp.sum(e2 * q, axis=-1) / a
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def triangle_best_hit(origin, direction, v0, v1, v2, normal, t_min, t_max,
+                      quirks):
+    return triangle_best_hit_raw(origin, direction, v0, v1, v2, normal,
+                                 t_min, t_max, quirks)
+
+
+def _tri_fwd(origin, direction, v0, v1, v2, normal, t_min, t_max, quirks):
+    t, idx = triangle_best_hit_raw(origin, direction, v0, v1, v2, normal,
+                                   t_min, t_max, quirks)
+    return (t, idx), (origin, direction, v0, v1, v2, idx)
+
+
+def _tri_bwd(t_min, t_max, quirks, res, g):
+    origin, direction, v0, v1, v2, idx = res
+    g_t, _ = g
+    hit = idx >= 0
+    safe = jnp.maximum(idx, 0)
+
+    def t_fn(o, d, a0, a1, a2):
+        return jnp.sum(_tri_t_of(o, d, a0, a1, a2) * jnp.where(hit, g_t, 0.0))
+
+    g_o, g_d, g0, g1, g2 = jax.grad(t_fn, argnums=(0, 1, 2, 3, 4))(
+        origin, direction, v0[safe], v1[safe], v2[safe])
+    z = jnp.where(hit[:, None], 1.0, 0.0)
+    gv0 = jnp.zeros_like(v0).at[safe].add(g0 * z)
+    gv1 = jnp.zeros_like(v1).at[safe].add(g1 * z)
+    gv2 = jnp.zeros_like(v2).at[safe].add(g2 * z)
+    return (g_o * z, g_d * z, gv0, gv1, gv2, jnp.zeros_like(v0))
+
+
+triangle_best_hit.defvjp(_tri_fwd, _tri_bwd)

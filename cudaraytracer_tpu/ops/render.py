@@ -50,6 +50,20 @@ def bvh_intersector(cfg: RenderConfig):
     return _BVH_FN_CACHE[cfg]
 
 
+_PALLAS_FN_CACHE = {}
+
+
+def pallas_intersector(cfg: RenderConfig):
+    """Stable intersect_fn using the fused Pallas sweep kernels (TPU fast
+    path; runs interpreted on CPU)."""
+    if cfg not in _PALLAS_FN_CACHE:
+        def fn(scene, rays, aux, _cfg=cfg):
+            return _isect.intersect_scene_pallas(scene, rays, _cfg.t_min,
+                                                 _cfg.t_max, _cfg.quirks)
+        _PALLAS_FN_CACHE[cfg] = fn
+    return _PALLAS_FN_CACHE[cfg]
+
+
 @partial(jax.jit, static_argnames=("cfg", "intersect_fn"))
 def render_image(scene: Scene, camera: _cam.Camera, key: jax.Array,
                  cfg: RenderConfig, intersect_fn=None, aux=None) -> Array:

@@ -1,0 +1,164 @@
+"""Pallas kernel equivalence + custom-VJP gradient tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import cudaraytracer_tpu as crt
+from cudaraytracer_tpu.config import Quirks
+from cudaraytracer_tpu.core.rays import make_rays
+from cudaraytracer_tpu.models import presets
+from cudaraytracer_tpu.models.scene import SceneBuilder
+from cudaraytracer_tpu.ops import intersect as isect
+from cudaraytracer_tpu.ops import pallas_intersect as pk
+
+
+def _rand_rays(rng, n=300, origin=(13, 2, 3)):
+    o = (np.asarray([origin], np.float32)
+         + rng.normal(scale=0.2, size=(n, 3)).astype(np.float32))
+    d = (-np.asarray([origin], np.float32)
+         + rng.normal(scale=1.5, size=(n, 3))).astype(np.float32)
+    return make_rays(jnp.asarray(o), jnp.asarray(d))
+
+
+def test_sphere_kernel_matches_jnp():
+    scene, _ = presets.random_spheres(aspect=2.0)
+    rays = _rand_rays(np.random.default_rng(0))
+    ref = isect.intersect_scene(scene, rays)
+    got = isect.intersect_scene_pallas(scene, rays)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[hit], np.asarray(ref.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    # near-tangent hits amplify fp-level t differences into the normal
+    np.testing.assert_allclose(np.asarray(got.normal)[hit],
+                               np.asarray(ref.normal)[hit], atol=1e-2)
+
+
+def test_triangle_kernel_matches_jnp():
+    rng = np.random.default_rng(1)
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(1, 0, 0))
+    c = rng.uniform(-3, 3, (150, 3)) + [0, 0, -8]
+    a_ = c + rng.normal(scale=0.5, size=(150, 3))
+    d_ = c + rng.normal(scale=0.5, size=(150, 3))
+    for k in range(150):
+        b.add_triangle(c[k], a_[k], d_[k], mat)
+    scene = b.build()
+    rays = _rand_rays(rng, 256, origin=(0, 0, 0))
+    for quirks in [Quirks.reference(), Quirks.fixed()]:
+        ref = isect.intersect_scene(scene, rays, quirks=quirks)
+        got = isect.intersect_scene_pallas(scene, rays, quirks=quirks)
+        np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+        np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+        hit = np.asarray(ref.hit)
+        np.testing.assert_allclose(np.asarray(got.t)[hit],
+                                   np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_scene_pallas():
+    b = SceneBuilder()
+    m = b.materials
+    mat = m.lambertian(color=(1, 1, 1))
+    b.add_sphere((0, 0, -6), 1.0, mat)
+    b.add_triangle((-2, -2, -4), (2, -2, -4), (0, 2, -4), mat, normal=(0, 0, -1))
+    b.add_rect(mat, flip=False, position=(0, 0, -2))
+    scene = b.build()
+    rays = make_rays(jnp.zeros((3, 3), jnp.float32),
+                     jnp.asarray([[0, 0, -1.0], [0.3, 0, -1], [1, 0, 0]],
+                                 jnp.float32))
+    ref = isect.intersect_scene(scene, rays)
+    got = isect.intersect_scene_pallas(scene, rays)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+
+
+def test_sphere_vjp_matches_jnp_gradient():
+    """Gradient of sum(best_t) w.r.t. centers: pallas custom-vjp vs the
+    differentiable jnp path."""
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(1, 1, 1))
+    b.add_sphere((0, 0, -4), 1.0, mat)
+    b.add_sphere((1.5, 0, -6), 1.0, mat)
+    scene = b.build()
+    rng = np.random.default_rng(2)
+    n = 64
+    o = np.zeros((n, 3), np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+
+    def loss_pallas(centers):
+        t, i = pk.sphere_best_hit(jnp.asarray(o), jnp.asarray(d), centers,
+                                  scene.spheres.radius, 1e-3, 3.4e38)
+        return jnp.sum(jnp.where(i >= 0, t, 0.0))
+
+    def loss_jnp(centers):
+        valid, t = isect.sphere_candidates(jnp.asarray(o), jnp.asarray(d),
+                                           centers, scene.spheres.radius,
+                                           jnp.float32(1e-3), jnp.float32(3.4e38))
+        tbest = jnp.min(jnp.where(valid, t, isect.BIG), axis=1)
+        return jnp.sum(jnp.where(tbest < 1e30, tbest, 0.0))
+
+    g_p = jax.grad(loss_pallas)(scene.spheres.center)
+    g_j = jax.grad(loss_jnp)(scene.spheres.center)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_sphere_vjp_finite_difference():
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(1, 1, 1))
+    b.add_sphere((0.2, -0.1, -5), 1.3, mat)
+    scene = b.build()
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.asarray(np.array(
+        [[0.05 * k, 0.02, -1.0] for k in range(8)], np.float32))
+
+    def loss(center):
+        t, i = pk.sphere_best_hit(o, d, center[None], scene.spheres.radius,
+                                  1e-3, 3.4e38)
+        return jnp.sum(jnp.where(i >= 0, t, 0.0))
+
+    c0 = jnp.asarray([0.2, -0.1, -5.0])
+    g = np.asarray(jax.grad(loss)(c0))
+    eps = 1e-3
+    for k in range(3):
+        e = np.zeros(3, np.float32)
+        e[k] = eps
+        fd = (float(loss(c0 + e)) - float(loss(c0 - e))) / (2 * eps)
+        np.testing.assert_allclose(g[k], fd, rtol=1e-2, atol=1e-3)
+
+
+def test_triangle_vjp_finite_difference():
+    v0 = jnp.asarray([[-1.0, -1.0, -3.0]])
+    v1 = jnp.asarray([[1.0, -1.0, -3.0]])
+    v2 = jnp.asarray([[0.0, 1.0, -3.2]])
+    nrm = jnp.asarray([[0.0, 0.0, -1.0]])
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.asarray([[0.1, 0.0, -1.0], [0.0, 0.1, -1.0],
+                     [-0.1, -0.1, -1.0], [0.05, -0.2, -1.0]])
+    q = crt.Quirks.reference()
+
+    def loss(v2x):
+        vv2 = v2.at[0, 2].set(v2x)
+        t, i = pk.triangle_best_hit(o, d, v0, v1, vv2, nrm, 1e-3, 3.4e38, q)
+        return jnp.sum(jnp.where(i >= 0, t, 0.0))
+
+    x0 = jnp.float32(-3.2)
+    g = float(jax.grad(loss)(x0))
+    eps = 1e-3
+    fd = (float(loss(x0 + eps)) - float(loss(x0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-2, atol=1e-3)
+
+
+def test_pallas_render_matches_bruteforce_render():
+    from cudaraytracer_tpu.ops.render import (pallas_intersector,
+                                              render_image)
+    scene, cam = presets.three_spheres(aspect=2.0)
+    cfg = crt.RenderConfig(width=32, height=16, samples=1, max_depth=4,
+                           integrator="normal", ray_chunk=1 << 20)
+    a = np.asarray(render_image(scene, cam, jax.random.key(0), cfg))
+    b = np.asarray(render_image(scene, cam, jax.random.key(0), cfg,
+                                pallas_intersector(cfg)))
+    np.testing.assert_allclose(a, b, atol=2e-4)
