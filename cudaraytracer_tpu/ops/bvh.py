@@ -76,16 +76,47 @@ class FlatBVH(NamedTuple):
 # Host build
 # ---------------------------------------------------------------------------
 
+def _levels_from_depth(depth_arr: np.ndarray, leaf_arr: np.ndarray):
+    """Per-depth internal-node groups, deepest first (refit ordering)."""
+    levels = []
+    if len(depth_arr) == 0:
+        return levels
+    for d in range(int(depth_arr.max()), -1, -1):
+        ids = np.nonzero((depth_arr == d) & ~leaf_arr)[0]
+        if len(ids):
+            levels.append(jnp.asarray(ids.astype(np.int32)))
+    return levels
+
+
 def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray,
               axis_mode: str = "largest", seed: int = 0,
-              leaf_size: int = 2) -> FlatBVH:
+              leaf_size: int = 2, backend: str = "auto") -> FlatBVH:
     """Build from per-primitive AABBs -> FlatBVH (device arrays).
 
     Topology parity with bvh.h:76-125: sort the span by box-min along the
     chosen axis, split n/2, spans of <= leaf_size become leaves.
+
+    backend: 'auto' uses the native C++ builder (cudaraytracer_tpu/native)
+    when it compiles/loads, falling back to the Python builder; 'python' and
+    'native' force one.  Both emit identical layouts.
     """
     prim_min = np.asarray(prim_min, np.float32)
     prim_max = np.asarray(prim_max, np.float32)
+
+    if backend in ("auto", "native"):
+        from ..native import build_bvh_native
+        out = build_bvh_native(prim_min, prim_max, leaf_size=leaf_size,
+                               axis_mode=axis_mode, seed=seed)
+        if out is not None:
+            (bb_min, bb_max, leaf_arr, skip, p0, p1, cl, cr, depth_arr) = out
+            return FlatBVH(
+                jnp.asarray(bb_min), jnp.asarray(bb_max),
+                jnp.asarray(leaf_arr), jnp.asarray(skip),
+                jnp.asarray(p0), jnp.asarray(p1),
+                tuple(_levels_from_depth(depth_arr, leaf_arr)),
+                jnp.asarray(cl), jnp.asarray(cr))
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable")
     n = prim_min.shape[0]
     assert n >= 1
     rng = np.random.default_rng(seed)
@@ -150,14 +181,9 @@ def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray,
 
     fill_skip(0, n_nodes)
 
-    # refit levels: internal nodes grouped by depth, deepest first
     depth_arr = np.asarray(depth_of)
     leaf_arr = np.asarray(is_leaf)
-    levels = []
-    for d in range(int(depth_arr.max()), -1, -1):
-        ids = np.nonzero((depth_arr == d) & ~leaf_arr)[0]
-        if len(ids):
-            levels.append(jnp.asarray(ids.astype(np.int32)))
+    levels = _levels_from_depth(depth_arr, leaf_arr)
 
     return FlatBVH(
         jnp.asarray(np.stack(bb_min)), jnp.asarray(np.stack(bb_max)),
