@@ -7,10 +7,13 @@ Reproduces kernel.cu:41-110 + render.h:191-237 end to end:
   header `frame,rendering,update,build`.
 
 Pipelines (kernel.cu:93-97 menu, a flag here instead of comments):
-  bvh   — single BVH over the mesh, refit per frame (ACTIVE in the reference)
-  list  — no acceleration structure (renderListAnimation)
-  fused — skin+refit+render in ONE jit call per frame (TPU-native fast path;
-          the update/render split is then reported as a single render time)
+  bvh    — single BVH over the mesh, refit per frame (ACTIVE in the reference)
+  list   — no acceleration structure (renderListAnimation)
+  fused  — skin+refit+render in ONE jit call per frame (BVH path fused)
+  pallas — fused Pallas brute-force sweep kernels, no BVH: for meshes up to
+           tens of thousands of triangles this is the FASTEST TPU pipeline
+           (the lock-step BVH walk is gather-bound on TPU); 'update' then
+           reports the skinning time alone
 
 Usage: python apps/animate.py [--fbx PATH] [--frames N] [--width W] ...
 """
@@ -39,7 +42,7 @@ def main(argv=None):
     ap.add_argument("--integrator", default="lambert",       # render.h:120 active
                     choices=["path", "lambert", "normal"])
     ap.add_argument("--pipeline", default="bvh",
-                    choices=["bvh", "list", "fused"])
+                    choices=["bvh", "list", "fused", "pallas"])
     ap.add_argument("--begin-frame", type=int, default=0)   # kernel.cu:50
     ap.add_argument("--frames", type=int, default=None,
                     help="limit frame count (default: animation length)")
@@ -56,7 +59,8 @@ def main(argv=None):
     from cudaraytracer_tpu.models import presets
     from cudaraytracer_tpu.models.mesh import device_mesh, scene_with_frame
     from cudaraytracer_tpu.ops import bvh as bvhmod
-    from cudaraytracer_tpu.ops.render import bvh_intersector, render_image
+    from cudaraytracer_tpu.ops.render import (bvh_intersector,
+                                              pallas_intersector, render_image)
     from cudaraytracer_tpu.utils.csvlog import MetricsLog
     from cudaraytracer_tpu.utils.fbx_loader import load_skinned_mesh
     from cudaraytracer_tpu.utils.image import write_png
@@ -106,6 +110,10 @@ def main(argv=None):
 
     # --- jitted per-frame steps ---
     @jax.jit
+    def update_skin(scene, frame):
+        return scene_with_frame(scene, dm, frame)
+
+    @jax.jit
     def update_step(scene, bvh, frame):
         s = scene_with_frame(scene, dm, frame)
         b = bvhmod.refit_bvh(bvh, s.triangles.v0, s.triangles.v1,
@@ -113,6 +121,7 @@ def main(argv=None):
         return s, b
 
     isect = bvh_intersector(cfg)
+    isect_pallas = pallas_intersector(cfg)
 
     @jax.jit
     def fused_step(scene, bvh, frame, fkey):
@@ -121,10 +130,25 @@ def main(argv=None):
                              s.triangles.v2)
         return render_image(s, camera, fkey, cfg, isect, b)
 
+    @jax.jit
+    def pallas_step(scene, frame, fkey):
+        s = scene_with_frame(scene, dm, frame)
+        return render_image(s, camera, fkey, cfg, isect_pallas, None)
+
     os.makedirs(args.out, exist_ok=True)
     for frame in range(args.begin_frame, end_frame + 1):
         fkey = jax.random.fold_in(key, frame)
-        if args.pipeline == "fused":
+        if args.pipeline == "pallas":
+            sw.Reset(); sw.Start()
+            scene_f = update_skin(scene0, jnp.int32(frame))
+            jax.block_until_ready(scene_f.triangles.v0)
+            sw.Stop()
+            update_t = sw.GetTime()
+            sw.Reset(); sw.Start()
+            img = np.asarray(pallas_step(scene0, jnp.int32(frame), fkey))
+            sw.Stop()
+            render_t = sw.GetTime()
+        elif args.pipeline == "fused":
             sw.Reset(); sw.Start()
             img = fused_step(scene0, bvh, jnp.int32(frame), fkey)
             img = np.asarray(img)

@@ -1,0 +1,101 @@
+"""Still-image rendering CLI — render a preset scene or an OBJ mesh to PNG.
+
+Examples:
+  python apps/render.py --scene three_spheres --width 480 --height 270 --spp 16
+  python apps/render.py --obj /root/reference/CudaTest/objects/small_bunny.obj \
+      --scale 10 --width 512 --height 512 --integrator lambert --accel bvh
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default="three_spheres",
+                    choices=["three_spheres", "random_spheres", "light_box"])
+    ap.add_argument("--obj", default=None, help="render an OBJ mesh instead")
+    ap.add_argument("--scale", type=float, default=1.0, help="OBJ scale")
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--height", type=int, default=270)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--integrator", default="path",
+                    choices=["path", "lambert", "normal"])
+    ap.add_argument("--accel", default="auto",
+                    choices=["auto", "bruteforce", "bvh", "pallas"])
+    ap.add_argument("--quirks", default="reference",
+                    choices=["reference", "fixed"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="out.png")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.core.camera import make_camera
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops import bvh as bvhmod
+    from cudaraytracer_tpu.ops.render import (bvh_intersector,
+                                              pallas_intersector, render_image)
+    from cudaraytracer_tpu.utils.image import write_png
+    from cudaraytracer_tpu.utils.obj_loader import face_normals, load_obj
+
+    aspect = args.width / args.height
+    if args.obj:
+        pts, faces = load_obj(args.obj)
+        pts *= args.scale
+        b = crt.SceneBuilder()
+        mat = b.materials.lambertian(color=(0.65, 0.05, 0.05))
+        b.add_mesh(pts, faces, mat, normals=face_normals(pts, faces),
+                   reverse_winding=True)
+        scene = b.build()
+        ext = pts.max(0) - pts.min(0)
+        c = pts.mean(0)
+        cam = make_camera(c + [0, 0.1 * ext[1], 2.2 * ext.max()], c,
+                          (0, 1, 0), 40.0, aspect, 0.0, 10.0)
+    else:
+        scene, cam = getattr(presets, args.scene)(aspect=aspect)
+
+    quirks = (crt.Quirks.reference() if args.quirks == "reference"
+              else crt.Quirks.fixed())
+    cfg = crt.RenderConfig(width=args.width, height=args.height,
+                           samples=args.spp, max_depth=args.max_depth,
+                           integrator=args.integrator, quirks=quirks)
+
+    accel = args.accel
+    if accel == "auto":
+        accel = "bvh" if scene.n_triangles > 4096 else "pallas"
+    isect_fn, aux = None, None
+    if accel == "bvh" and scene.n_triangles:
+        aux = bvhmod.build_triangle_bvh(np.asarray(scene.triangles.v0),
+                                        np.asarray(scene.triangles.v1),
+                                        np.asarray(scene.triangles.v2))
+        isect_fn = bvh_intersector(cfg)
+    elif accel == "pallas":
+        isect_fn = pallas_intersector(cfg)
+
+    t0 = time.time()
+    img = np.asarray(render_image(scene, cam, jax.random.key(args.seed), cfg,
+                                  isect_fn, aux))
+    dt = time.time() - t0
+    write_png(args.out, img)
+    rays = args.width * args.height * args.spp
+    print(f"rendered {args.width}x{args.height}x{args.spp}spp "
+          f"({args.integrator}, {accel}) in {dt:.2f}s "
+          f"[{rays / dt / 1e6:.2f} Mrays/s] -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
