@@ -147,6 +147,38 @@ class SceneBuilder:
             self._tri_n.append(np.asarray(normals[k], np.float32))
             self._tri_mat.append(int(mat_id))
 
+    def add_box(self, p0, p1, mat_id: int, empty: bool = True):
+        """Box parity (shapes/box.h).
+
+        The reference Box is a 6-rect composite whose face construction is
+        COMMENTED OUT (box.h:33-38) — the compiled object delegates hits to an
+        empty list and can never be hit.  ``empty=True`` (default) reproduces
+        that: a no-op.  ``empty=False`` builds a WORKING axis-aligned box from
+        12 triangles with outward normals (the commented code's intent);
+        note that under Quirks.reference() triangles render backface-only, so
+        the working box looks inside-out there — use Quirks.fixed().
+        """
+        if empty:
+            return None  # box.h compiled behavior: unhittable
+        p0 = np.asarray(p0, np.float32)
+        p1 = np.asarray(p1, np.float32)
+        x0, y0, z0 = p0
+        x1, y1, z1 = p1
+        quads = [
+            # (4 corners CCW viewed from outside, outward normal)
+            ([(x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1)], (0, 0, 1)),
+            ([(x1, y0, z0), (x0, y0, z0), (x0, y1, z0), (x1, y1, z0)], (0, 0, -1)),
+            ([(x0, y1, z1), (x1, y1, z1), (x1, y1, z0), (x0, y1, z0)], (0, 1, 0)),
+            ([(x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1)], (0, -1, 0)),
+            ([(x1, y0, z1), (x1, y0, z0), (x1, y1, z0), (x1, y1, z1)], (1, 0, 0)),
+            ([(x0, y0, z0), (x0, y0, z1), (x0, y1, z1), (x0, y1, z0)], (-1, 0, 0)),
+        ]
+        for corners, normal in quads:
+            a, b, cc, d = corners
+            self.add_triangle(a, b, cc, mat_id, normal=normal)
+            self.add_triangle(a, cc, d, mat_id, normal=normal)
+        return len(self._tri_mat) - 12
+
     # -- rectangles ------------------------------------------------------
     def add_rect(self, mat_id: int, flip: bool = False,
                  position=(0, 0, 0), rotation=(0, 0, 0), scale=(1, 1, 1)) -> int:

@@ -100,6 +100,12 @@ class TextureBuilder:
         self._img.append(len(self._images))  # slot 0 is the dummy
         return len(self._kind) - 1
 
+    def image_from_png(self, path: str) -> int:
+        """ImageTexture from a PNG file (stb_image analog for our writer's
+        output; 8-bit RGB/RGBA, alpha dropped)."""
+        from ..utils.image import read_png
+        return self.image(read_png(path)[..., :3])
+
     def build(self) -> TextureTable:
         k = max(len(self._kind), 1)
         kind = np.zeros(k, np.int32)
