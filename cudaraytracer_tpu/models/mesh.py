@@ -15,11 +15,10 @@ frame step, no host round-trip.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..utils.fbx_loader import SkinnedMesh
 from .scene import Scene

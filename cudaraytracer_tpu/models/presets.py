@@ -14,8 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.camera import Camera, make_camera
-from .materials import MaterialBuilder
-from .scene import Scene, SceneBuilder
+from .scene import SceneBuilder
 
 
 def three_spheres(aspect: float = 16 / 9):

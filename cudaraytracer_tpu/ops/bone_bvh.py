@@ -27,7 +27,7 @@ forest in WORLD space:
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

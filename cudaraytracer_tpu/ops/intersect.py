@@ -26,7 +26,6 @@ from ..config import Quirks
 from ..core import vec as v3
 from ..core.rays import Rays
 from ..models.scene import Scene
-from ..models import transform as _tf
 
 Array = jnp.ndarray
 

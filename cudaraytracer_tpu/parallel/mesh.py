@@ -17,11 +17,30 @@ geometry is sharded along 'tp' when tp > 1.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialization (net-new vs the single-GPU reference).
+
+    Call once per host before any jax op; arguments default to cluster
+    auto-detection (GKE/TPU-VM env).  Returns the process index.  After this,
+    ``make_mesh(len(jax.devices()), ...)`` spans the whole slice: 'dp'/'tp'
+    collectives ride ICI within a slice and DCN across hosts via standard
+    XLA collectives.
+    """
+    import jax
+    if num_processes is not None and num_processes > 1 or coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index()
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: int = 1,

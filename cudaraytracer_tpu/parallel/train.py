@@ -13,8 +13,7 @@ per-bounce intermediates instead of storing rays x bounces, keeping HBM flat.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, NamedTuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
