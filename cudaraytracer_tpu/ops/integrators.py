@@ -102,7 +102,12 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         return (new_rays, throughput, radiance, continues), None
 
     carry = (rays, throughput0, radiance0, alive0)
-    carry, _ = jax.lax.scan(bounce, carry, jnp.arange(cfg.max_depth + 1))
+    # Rematerialize per bounce on the backward pass: without this, reverse-mode
+    # stores every bounce's intermediates (rays x depth x shading temps) in
+    # HBM; with it, backward memory is one bounce deep (SURVEY.md §7 hard
+    # part 1 "memory-aware backward").  Forward cost is unchanged.
+    bounce_ckpt = jax.checkpoint(bounce)
+    carry, _ = jax.lax.scan(bounce_ckpt, carry, jnp.arange(cfg.max_depth + 1))
     return carry[2]
 
 

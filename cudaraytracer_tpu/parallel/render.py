@@ -85,6 +85,53 @@ def render_image_sharded(scene: Scene, camera: Camera, key: jax.Array,
     return out[:n_pix].reshape(cfg.height, cfg.width, 3)
 
 
+def render_image_sample_sharded(scene: Scene, camera: Camera, key: jax.Array,
+                                cfg: RenderConfig, mesh: Mesh) -> Array:
+    """Sample-parallel rendering: every 'dp' member renders ALL pixels with its
+    own sample draws and the framebuffers are averaged with pmean — total
+    effective spp = dp * cfg.samples.  This is how spp scales across chips
+    without re-tiling the image; combine with 'tp' for primitive sharding.
+
+    Gamma is applied AFTER the cross-member average (sqrt of the mean, not the
+    mean of sqrts — matching a single-device render at the combined spp).
+    """
+    import dataclasses
+    dp = mesh.shape["dp"]
+    tp = mesh.shape["tp"]
+    cfg_lin = dataclasses.replace(cfg, gamma=False)
+    padded_scene, n_s_g, n_t_g = shard_scene(scene, tp)
+    quirks = cfg.quirks
+
+    def local(sph, tri, rest_scene):
+        scene_local = rest_scene._replace(spheres=sph, triangles=tri)
+        tp_i = jax.lax.axis_index("tp")
+        sphere_off = tp_i * sph.radius.shape[0]
+        tri_off = tp_i * tri.mat.shape[0]
+
+        def intersect_fn(s, rays, aux):
+            return tp_isect.intersect_scene_tp(
+                s, rays, "tp", sphere_off, tri_off, cfg.t_min, cfg.t_max,
+                quirks, n_s_g, n_t_g)
+
+        member = jax.lax.axis_index("dp")
+        lkey = jax.random.fold_in(key, member)
+        cols = render_pixels(scene_local, camera, lkey, cfg_lin, None,
+                             intersect_fn if tp > 1 else None, None)
+        return jax.lax.pmean(cols, "dp")
+
+    sph_spec = jax.tree.map(lambda _: P("tp"), padded_scene.spheres)
+    tri_spec = jax.tree.map(lambda _: P("tp"), padded_scene.triangles)
+    scene_spec = jax.tree.map(lambda _: P(), padded_scene)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(sph_spec, tri_spec, scene_spec),
+                   out_specs=P(), check_vma=False)
+    out = fn(padded_scene.spheres, padded_scene.triangles, padded_scene)
+    if cfg.gamma:
+        out = jnp.sqrt(jnp.maximum(out, 0.0))
+    out = jnp.clip(out, 0.0, 1.0)
+    return out.reshape(cfg.height, cfg.width, 3)
+
+
 def render_image_sharded_jit(scene, camera, key, cfg, mesh):
     """jit-wrapped sharded render (compiles once per (cfg, mesh))."""
     fn = _cached_sharded(cfg, mesh)

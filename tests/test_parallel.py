@@ -151,3 +151,20 @@ def test_gradients_flow_to_geometry():
     assert np.isfinite(np.asarray(g["centers"])).all()
     assert np.abs(np.asarray(g["centers"])).max() > 1e-6
     assert np.abs(np.asarray(g["albedo"])).max() > 1e-6
+
+
+def test_sample_parallel_render():
+    """spp sharded over 'dp' with pmean combine; matches single-device
+    statistics at the combined sample count."""
+    from cudaraytracer_tpu.parallel.render import render_image_sample_sharded
+    scene, cam = presets.three_spheres(aspect=2.0)
+    cfg = _cfg(samples=2, integrator="path", max_depth=4)
+    mesh = make_mesh(8, tp=2)  # dp=4 x 2spp = 8 effective spp
+    img = np.asarray(render_image_sample_sharded(scene, cam, jax.random.key(0),
+                                                 cfg, mesh))
+    assert img.shape == (16, 32, 3)
+    assert np.isfinite(img).all()
+    ref = np.asarray(render_image(scene, cam, jax.random.key(1),
+                                  _cfg(samples=8, integrator="path",
+                                       max_depth=4)))
+    assert abs(img.mean() - ref.mean()) < 0.02
