@@ -14,6 +14,9 @@ Pipelines (kernel.cu:93-97 menu, a flag here instead of comments):
            tens of thousands of triangles this is the FASTEST TPU pipeline
            (the lock-step BVH walk is gather-bound on TPU); 'update' then
            reports the skinning time alone
+  bonebvh — per-bone BVH forest (renderBoneBVHAnimation, kernel.cu:5-21):
+           one tree per skeleton bone, whole forest refit each frame;
+           orphan triangles are dropped exactly as the reference does
 
 Usage: python apps/animate.py [--fbx PATH] [--frames N] [--width W] ...
 """
@@ -42,12 +45,14 @@ def main(argv=None):
     ap.add_argument("--integrator", default="lambert",       # render.h:120 active
                     choices=["path", "lambert", "normal"])
     ap.add_argument("--pipeline", default="bvh",
-                    choices=["bvh", "list", "fused", "pallas"])
+                    choices=["bvh", "list", "fused", "pallas", "bonebvh"])
     ap.add_argument("--begin-frame", type=int, default=0)   # kernel.cu:50
     ap.add_argument("--frames", type=int, default=None,
                     help="limit frame count (default: animation length)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--no-png", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip frames whose PNG already exists in --out")
     args = ap.parse_args(argv)
 
     import jax
@@ -103,6 +108,18 @@ def main(argv=None):
         bvh = bvhmod.build_triangle_bvh(np.asarray(scene_f0.triangles.v0),
                                         np.asarray(scene_f0.triangles.v1),
                                         np.asarray(scene_f0.triangles.v2))
+    elif args.pipeline == "bonebvh":
+        # createBoneBVH (createScene.h:253-306): partition by bone, one tree
+        # per bone, built from the begin-frame pose
+        from cudaraytracer_tpu.ops.bone_bvh import build_bone_forest
+        forest = build_bone_forest(np.asarray(scene_f0.triangles.v0),
+                                   np.asarray(scene_f0.triangles.v1),
+                                   np.asarray(scene_f0.triangles.v2),
+                                   mesh.weights, mesh.faces)
+        bvh = forest.bvh
+        if forest.n_dropped:
+            print(f"bonebvh: {forest.n_dropped} orphan triangles dropped "
+                  f"(reference behavior)")
     jax.block_until_ready(scene_f0.triangles.v0)
     sw.Stop()
     log.log_build(sw.GetTime())
@@ -136,7 +153,13 @@ def main(argv=None):
         return render_image(s, camera, fkey, cfg, isect_pallas, None)
 
     os.makedirs(args.out, exist_ok=True)
-    for frame in range(args.begin_frame, end_frame + 1):
+    begin = args.begin_frame
+    if args.resume:
+        from cudaraytracer_tpu.utils.checkpoint import next_frame
+        begin = next_frame(args.out, args.begin_frame)
+        if begin > args.begin_frame:
+            print(f"resuming at frame {begin}")
+    for frame in range(begin, end_frame + 1):
         fkey = jax.random.fold_in(key, frame)
         if args.pipeline == "pallas":
             sw.Reset(); sw.Start()
@@ -154,7 +177,7 @@ def main(argv=None):
             img = np.asarray(img)
             sw.Stop()
             render_t, update_t = sw.GetTime(), 0.0
-        elif args.pipeline == "bvh":
+        elif args.pipeline in ("bvh", "bonebvh"):
             # update (skin + refit), timed as the reference's Update_BVH
             sw.Reset(); sw.Start()
             scene_f, bvh = update_step(scene0, bvh, jnp.int32(frame))

@@ -40,6 +40,21 @@ def main() -> int:
 
     if scene_name == "three_spheres":
         scene, cam = presets.three_spheres(aspect=width / height)
+    elif scene_name == "mesh":
+        # BASELINE config[2]: repo OBJ mesh (~5k tris) via the pallas sweep
+        import cudaraytracer_tpu as _crt
+        from cudaraytracer_tpu.core.camera import make_camera
+        from cudaraytracer_tpu.utils.obj_loader import face_normals, load_obj
+        pts, faces = load_obj(
+            "/root/reference/CudaTest/objects/small_bunny.obj")
+        pts *= 10.0
+        b = _crt.SceneBuilder()
+        mat = b.materials.lambertian(color=(0.65, 0.05, 0.05))
+        b.add_mesh(pts, faces, mat, normals=face_normals(pts, faces),
+                   reverse_winding=True)
+        scene = b.build()
+        cam = make_camera((0, 0.4, 2.6), (0, 0.3, 0), (0, 1, 0), 40.0,
+                          width / height, 0.0, 10.0)
     else:
         scene, cam = presets.random_spheres(aspect=width / height)
 
