@@ -92,6 +92,34 @@ def main() -> int:
     rays = width * height * spp
     value = rays / dt
 
+    # secondary metric (BASELINE.md): backward/forward time ratio, measured
+    # on a smaller tile so the grad program compiles quickly; recorded in
+    # BASELINE_SELF.json, not printed (stdout stays one JSON line).
+    bwd_fwd_ratio = None
+    if os.environ.get("BENCH_BWD", "0") == "1":  # opt-in: slow compile
+        import dataclasses
+        from cudaraytracer_tpu.ops.render import render_pixels
+        gcfg = dataclasses.replace(cfg, width=256, height=256, samples=4,
+                                   gamma=False, ray_chunk=1 << 17)
+        pix = jnp.arange(gcfg.width * gcfg.height, dtype=jnp.int32)
+        gkey = jax.random.key(5)
+
+        @jax.jit
+        def fwd(albedo):
+            s2 = scene._replace(
+                textures=scene.textures._replace(color0=albedo))
+            return jnp.mean(render_pixels(s2, cam, gkey, gcfg, pix))
+
+        grad_fn = jax.jit(jax.grad(fwd))
+        a0 = scene.textures.color0
+        float(fwd(a0))
+        float(grad_fn(a0).sum())
+        t0 = time.perf_counter(); float(fwd(a0)); t_f = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(grad_fn(a0).sum())
+        t_b = time.perf_counter() - t0
+        # grad_fn runs fwd+bwd; bwd alone ~ total - fwd
+        bwd_fwd_ratio = max(t_b - t_f, 0.0) / max(t_f, 1e-9)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_SELF.json")
     vs = 1.0
@@ -105,10 +133,16 @@ def main() -> int:
                 vs = value / float(prior)
         except Exception:
             pass
+    changed = False
     if "camera_rays_per_sec" not in record:
-        record = {"camera_rays_per_sec": value,
-                  "config": f"{width}x{height}x{spp}spp depth8 {scene_name}",
-                  "backend": jax.devices()[0].platform}
+        record.update({"camera_rays_per_sec": value,
+                       "config": f"{width}x{height}x{spp}spp depth8 {scene_name}",
+                       "backend": jax.devices()[0].platform})
+        changed = True
+    if bwd_fwd_ratio is not None and "bwd_fwd_ratio" not in record:
+        record["bwd_fwd_ratio"] = round(bwd_fwd_ratio, 3)
+        changed = True
+    if changed:
         try:
             with open(baseline_path, "w") as f:
                 json.dump(record, f, indent=2)
