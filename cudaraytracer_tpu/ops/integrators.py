@@ -47,6 +47,15 @@ def background_sky(direction: Array) -> Array:
                    jnp.broadcast_to(jnp.asarray([0.5, 0.7, 1.0]), direction.shape))
 
 
+def _split_fns(intersect_fn):
+    """intersect_fn may be a single callable or a (primary_fn, bounce_fn)
+    pair (see ops.render.pallas_intersector_pair): the primary fn serves the
+    coherent camera pass, the bounce fn the incoherent later bounces."""
+    if isinstance(intersect_fn, tuple):
+        return intersect_fn
+    return intersect_fn, intersect_fn
+
+
 def _intersect(scene: Scene, rays: Rays, cfg: RenderConfig, intersect_fn=None,
                aux=None):
     """intersect_fn(scene, rays, aux) lets callers swap the brute-force path
@@ -70,11 +79,17 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     radiance0 = jnp.zeros((n, 3), jnp.float32)
     alive0 = jnp.ones((n,), bool)
     ambient = jnp.float32(cfg.quirks.ambient_on_absorb)
+    primary_fn, bounce_fn = _split_fns(intersect_fn)
 
-    def bounce(carry, step):
+    def make_bounce(isect_fn):
+        def bounce(carry, step):
+            return _bounce_body(carry, step, isect_fn)
+        return bounce
+
+    def _bounce_body(carry, step, isect_fn):
         rays, throughput, radiance, alive = carry
         bounce_key = jax.random.fold_in(key, step)
-        hits = _intersect(scene, rays, cfg, intersect_fn, aux)
+        hits = _intersect(scene, rays, cfg, isect_fn, aux)
 
         emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
                                hits.u, hits.v, hits.p)
@@ -102,19 +117,27 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         return (new_rays, throughput, radiance, continues), None
 
     carry = (rays, throughput0, radiance0, alive0)
-    # Rematerialize per bounce on the backward pass: without this, reverse-mode
-    # stores every bounce's intermediates (rays x depth x shading temps) in
-    # HBM; with it, backward memory is one bounce deep (SURVEY.md §7 hard
-    # part 1 "memory-aware backward").  Forward cost is unchanged.
-    bounce_ckpt = jax.checkpoint(bounce)
-    carry, _ = jax.lax.scan(bounce_ckpt, carry, jnp.arange(cfg.max_depth + 1))
+    # Each bounce body is jax.checkpoint'ed: reverse-mode rematerializes per
+    # bounce instead of storing rays x depth intermediates (SURVEY.md §7 hard
+    # part 1 "memory-aware backward").  When a (primary, bounce) intersect
+    # pair is supplied, the first bounce (coherent camera rays) runs unrolled
+    # with primary_fn and the rest scan with bounce_fn; with a single fn the
+    # whole depth stays in one scan (smaller program, same math).
+    if primary_fn is bounce_fn:
+        carry, _ = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)), carry,
+                                jnp.arange(cfg.max_depth + 1))
+    else:
+        carry, _ = jax.checkpoint(make_bounce(primary_fn))(carry, jnp.int32(0))
+        if cfg.max_depth >= 1:
+            carry, _ = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)),
+                                    carry, jnp.arange(1, cfg.max_depth + 1))
     return carry[2]
 
 
 def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                   intersect_fn=None, aux=None) -> Array:
     """LambertShade (render.h:70-87), the reference's active integrator."""
-    hits = _intersect(scene, rays, cfg, intersect_fn, aux)
+    hits = _intersect(scene, rays, cfg, _split_fns(intersect_fn)[0], aux)
     emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
                            hits.u, hits.v, hits.p)
     sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,
@@ -131,7 +154,7 @@ def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
 def shade_normal(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                  intersect_fn=None, aux=None) -> Array:
     """shade_normal (render.h:90-103) — raw normals as color."""
-    hits = _intersect(scene, rays, cfg, intersect_fn, aux)
+    hits = _intersect(scene, rays, cfg, _split_fns(intersect_fn)[0], aux)
     sky = background_sky(rays.direction)
     return jnp.where(hits.hit[..., None], hits.normal, sky)
 

@@ -279,11 +279,17 @@ def intersect_scene_bvh(scene: Scene, rays: Rays, bvh, t_min: float = 1e-3,
 
 def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
                            t_max: float = float(BIG),
-                           quirks: Quirks = Quirks()) -> Hits:
+                           quirks: Quirks = Quirks(),
+                           coherent: bool = False) -> Hits:
     """Closest-hit via the fused Pallas kernels (ops/pallas_intersect.py):
     sphere and triangle sweeps run fully in VMEM with no (rays x prims)
     HBM materialization; rects (rare) stay on the jnp path.  Differentiable
-    via the kernels' custom VJPs."""
+    via the kernels' custom VJPs.
+
+    coherent=True enables tiled chunk-box culling for the sphere sweep too
+    (right for primary/camera rays rendered in swizzled screen blocks; wrong
+    for incoherent path bounces).  Triangle sweeps always cull — mesh chunks
+    are compact enough that the box test wins even for bounced rays."""
     from . import pallas_intersect as pk  # local import: pallas optional
 
     n = rays.origin.shape[0]
@@ -295,7 +301,7 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     if n_s:
         st, si = pk.sphere_best_hit(rays.origin, rays.direction,
                                     scene.spheres.center, scene.spheres.radius,
-                                    float(t_min), float(t_max))
+                                    float(t_min), float(t_max), coherent)
         take = (si >= 0) & (st < best_t)
         best_t = jnp.where(take, st, best_t)
         best_idx = jnp.where(take, si, best_idx)

@@ -80,9 +80,88 @@ def _merge_chunk(best_t, best_i, t, base, prim_iota):
 # Spheres
 # ---------------------------------------------------------------------------
 
-def _sphere_kernel(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
+def _sphere_kernel(sph_ref, box_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
                    n_chunks: int, t_min: float, t_max: float):
+    """Sphere sweep with the same tiled chunk-box culling as the triangle
+    kernel: one slab test per (chunk x ray tile) decides whether the chunk's
+    quadratics run at all.  Sphere tables are usually built in spatial order
+    (e.g. the One-Weekend grid), so chunks are compact."""
     ox = o_ref[0][None]        # (1, R, L)
+    oy = o_ref[1][None]
+    oz = o_ref[2][None]
+    dx = d_ref[0][None]
+    dy = d_ref[1][None]
+    dz = d_ref[2][None]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    inv_dx = 1.0 / dx[0]
+    inv_dy = 1.0 / dy[0]
+    inv_dz = 1.0 / dz[0]
+    prim_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                         (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+
+    best_t0 = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+    best_i0 = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+
+    def body(j, carry):
+        best_t, best_i = carry
+        base = j * PRIM_CHUNK
+
+        def bx(k):
+            return box_ref[k, pl.ds(j, 1), :][0, 0]
+
+        tx0 = (bx(0) - ox[0]) * inv_dx
+        tx1 = (bx(3) - ox[0]) * inv_dx
+        ty0 = (bx(1) - oy[0]) * inv_dy
+        ty1 = (bx(4) - oy[0]) * inv_dy
+        tz0 = (bx(2) - oz[0]) * inv_dz
+        tz1 = (bx(5) - oz[0]) * inv_dz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        # sphere tests DO respect [t_min, t_max] (no negative-t quirk), so the
+        # cull window matches exactly
+        reachable = (far >= near) & (far >= t_min) & (near < best_t)
+        any_hit = jnp.any(reachable)
+
+        def run_chunk(carry):
+            best_t, best_i = carry
+            cx = sph_ref[0, pl.ds(base, PRIM_CHUNK), :][:, :, None]   # (P,1,1)
+            cy = sph_ref[1, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+            cz = sph_ref[2, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+            r2 = sph_ref[3, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+            ocx = ox - cx                                             # (P,R,L)
+            ocy = oy - cy
+            ocz = oz - cz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            disc = b * b - a * c
+            hit = disc > 0.0
+            sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
+            t0 = (-b - sq) * inv_a
+            t1 = (-b + sq) * inv_a
+            ok0 = hit & (t0 < t_max) & (t0 > t_min)
+            ok1 = hit & (t1 < t_max) & (t1 > t_min)
+            t = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
+            return _merge_chunk(best_t, best_i, t, base, prim_iota)
+
+        return jax.lax.cond(any_hit, run_chunk, lambda cr: cr,
+                            (best_t, best_i))
+
+    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
+    out_t_ref[:] = best_t
+    out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
+
+
+def _sphere_kernel_plain(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
+                         n_chunks: int, t_min: float, t_max: float):
+    """Uncull'd sphere sweep — the right default for path tracing, where
+    bounced rays are incoherent and per-chunk box tests are pure overhead
+    (measured ~15% loss on the 484-sphere path-8 benchmark)."""
+    ox = o_ref[0][None]
     oy = o_ref[1][None]
     oz = o_ref[2][None]
     dx = d_ref[0][None]
@@ -99,11 +178,11 @@ def _sphere_kernel(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     def body(j, carry):
         best_t, best_i = carry
         base = j * PRIM_CHUNK
-        cx = sph_ref[0, pl.ds(base, PRIM_CHUNK), :][:, :, None]   # (P,1,1)
+        cx = sph_ref[0, pl.ds(base, PRIM_CHUNK), :][:, :, None]
         cy = sph_ref[1, pl.ds(base, PRIM_CHUNK), :][:, :, None]
         cz = sph_ref[2, pl.ds(base, PRIM_CHUNK), :][:, :, None]
         r2 = sph_ref[3, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-        ocx = ox - cx                                             # (P,R,L)
+        ocx = ox - cx
         ocy = oy - cy
         ocz = oz - cz
         b = ocx * dx + ocy * dy + ocz * dz
@@ -124,35 +203,64 @@ def _sphere_kernel(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
 
 
 def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
-                        radius: Array, t_min: float, t_max: float
-                        ) -> Tuple[Array, Array]:
-    """(best_t f32[N], best_idx int32[N]) over all spheres; idx -1 = miss."""
+                        radius: Array, t_min: float, t_max: float,
+                        cull: bool = False) -> Tuple[Array, Array]:
+    """(best_t f32[N], best_idx int32[N]) over all spheres; idx -1 = miss.
+
+    cull=True enables tiled chunk-box culling (wins for coherent
+    primary-ray workloads; loses for incoherent path bounces).
+    """
     n = origin.shape[0]
     c = center.shape[0]
     rows = _ray_rows(n)
     o = jnp.stack([_pad_rays(origin[:, k], rows) for k in range(3)])
     d = jnp.stack([_pad_rays(direction[:, k], rows) for k in range(3)])
-    # sphere table (4, c_pad, 1): x, y, z, r^2 (pad r^2 = -1 -> never hits)
+    # sphere table (4, c_pad, 1): x, y, z, r^2; pad by duplicating the last
+    # sphere (keeps chunk boxes tight; duplicates lose the first-wins tie)
     c_pad = -(-c // PRIM_CHUNK) * PRIM_CHUNK
-    tbl = jnp.full((4, c_pad), -1.0, jnp.float32)
-    tbl = tbl.at[:3, :c].set(center.T)
-    tbl = tbl.at[3, :c].set(radius * radius)
-    tbl = tbl[..., None]
+    pad = c_pad - c
+    center_p = jnp.concatenate(
+        [center, jnp.broadcast_to(center[-1:], (pad, 3))]) if pad else center
+    radius_p = jnp.concatenate(
+        [radius, jnp.broadcast_to(radius[-1:], (pad,))]) if pad else radius
+    tbl = jnp.concatenate([center_p.T, (radius_p * radius_p)[None]])[..., None]
+
+    n_chunks = c_pad // PRIM_CHUNK
+    lo = (center_p - radius_p[:, None]).reshape(n_chunks, PRIM_CHUNK, 3)
+    hi = (center_p + radius_p[:, None]).reshape(n_chunks, PRIM_CHUNK, 3)
+    boxes = jnp.concatenate([lo.min(axis=1).T, hi.max(axis=1).T])[..., None]
 
     grid = rows // TILE_ROWS
-    kernel = functools.partial(_sphere_kernel, n_chunks=c_pad // PRIM_CHUNK,
-                               t_min=float(t_min), t_max=float(t_max))
-    out_t, out_i = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
+    if cull:
+        kernel = functools.partial(_sphere_kernel, n_chunks=n_chunks,
+                                   t_min=float(t_min), t_max=float(t_max))
+        in_specs = [
+            pl.BlockSpec((4, c_pad, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, n_chunks, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (tbl, boxes, o, d)
+    else:
+        kernel = functools.partial(_sphere_kernel_plain, n_chunks=n_chunks,
+                                   t_min=float(t_min), t_max=float(t_max))
+        in_specs = [
             pl.BlockSpec((4, c_pad, 1), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        args = (tbl, o, d)
+    out_t, out_i = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -164,7 +272,7 @@ def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ],
         interpret=_interpret(),
-    )(tbl, o, d)
+    )(*args)
     return out_t.reshape(-1)[:n], out_i.reshape(-1)[:n]
 
 
@@ -231,23 +339,219 @@ def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
 
 
+def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
+                            out_i_ref, *, n_chunks: int, t_min: float,
+                            t_max: float, backface_only: bool,
+                            no_t_clip: bool):
+    """Triangle sweep with TILED AABB CULLING.
+
+    Triangles arrive Morton-sorted, so each PRIM_CHUNK chunk is spatially
+    compact; box_ref holds per-chunk AABBs (6, n_chunks, 1).  Before running
+    a chunk's Moller-Trumbore block, one slab test against the whole ray tile
+    decides whether ANY ray can hit the chunk's box within its current best
+    t — if not, the chunk is skipped via lax.cond.  Primary-ray tiles are
+    spatially coherent, so most chunks skip; worst case adds ~20 ops per
+    chunk.  The lower t bound for culling is -inf under the no-t-clip quirk
+    (behind-ray triangles stay reachable), so results are bit-identical to
+    the uncculled sweep in both quirk profiles.
+    """
+    ox = o_ref[0][None]
+    oy = o_ref[1][None]
+    oz = o_ref[2][None]
+    dx = d_ref[0][None]
+    dy = d_ref[1][None]
+    dz = d_ref[2][None]
+    inv_dx = 1.0 / dx[0]
+    inv_dy = 1.0 / dy[0]
+    inv_dz = 1.0 / dz[0]
+    cull_lo = -float(BIG) if no_t_clip else t_min
+    prim_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                         (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+
+    best_t0 = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+    best_i0 = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+
+    def body(j, carry):
+        best_t, best_i = carry
+        base = j * PRIM_CHUNK
+
+        # --- chunk box vs ray tile (slab test against running best) ---
+        def bx(k):
+            return box_ref[k, pl.ds(j, 1), :][0, 0]   # scalar
+
+        lox, loy, loz, hix, hiy, hiz = (bx(0), bx(1), bx(2), bx(3), bx(4),
+                                        bx(5))
+        tx0 = (lox - ox[0]) * inv_dx
+        tx1 = (hix - ox[0]) * inv_dx
+        ty0 = (loy - oy[0]) * inv_dy
+        ty1 = (hiy - oy[0]) * inv_dy
+        tz0 = (loz - oz[0]) * inv_dz
+        tz1 = (hiz - oz[0]) * inv_dz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        reachable = (far >= near) & (far >= cull_lo) & (near < best_t)
+        any_hit = jnp.any(reachable)
+
+        def run_chunk(carry):
+            best_t, best_i = carry
+
+            def comp(k):
+                return tri_ref[k, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+
+            v0x, v0y, v0z = comp(0), comp(1), comp(2)
+            e1x, e1y, e1z = comp(3), comp(4), comp(5)
+            e2x, e2y, e2z = comp(6), comp(7), comp(8)
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
+                & (v >= 0.0) & (u + v <= 1.0)
+            if backface_only:
+                nx, ny, nz = comp(9), comp(10), comp(11)
+                valid &= (dx * nx + dy * ny + dz * nz) >= 0.0
+            if no_t_clip:
+                valid &= t < t_max
+            else:
+                valid &= (t > t_min) & (t < t_max)
+            t = jnp.where(valid, t, BIG)
+            return _merge_chunk(best_t, best_i, t, base, prim_iota)
+
+        return jax.lax.cond(any_hit, run_chunk, lambda c: c,
+                            (best_t, best_i))
+
+    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
+    out_t_ref[:] = best_t
+    out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
+
+
+def morton_order(v0: Array, v1: Array, v2: Array):
+    """Spatial sort order of triangles by 30-bit Morton code of centroids
+    (host-side numpy) — makes PRIM_CHUNK chunks spatially compact."""
+    import numpy as onp
+    c = (onp.asarray(v0) + onp.asarray(v1) + onp.asarray(v2)) / 3.0
+    lo = c.min(axis=0)
+    span = onp.maximum(c.max(axis=0) - lo, 1e-20)
+    q = onp.clip(((c - lo) / span * 1023.0), 0, 1023).astype(onp.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return onp.argsort(code, kind="stable").astype(onp.int32)
+
+
 def triangle_best_hit_raw(origin: Array, direction: Array, v0: Array,
                           v1: Array, v2: Array, normal: Array, t_min: float,
-                          t_max: float, quirks: Quirks) -> Tuple[Array, Array]:
+                          t_max: float, quirks: Quirks,
+                          cull: bool | None = None) -> Tuple[Array, Array]:
     n = origin.shape[0]
     c = v0.shape[0]
     rows = _ray_rows(n)
     o = jnp.stack([_pad_rays(origin[:, k], rows) for k in range(3)])
     d = jnp.stack([_pad_rays(direction[:, k], rows) for k in range(3)])
-    # triangle table (12, c_pad, 1): v0, e1, e2, normal; pad with degenerate
-    # (zero-edge) triangles -> a == 0 -> never valid
+    if cull is None:
+        cull = c >= 128
+    if cull:
+        return _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows,
+                                         t_min, t_max, quirks)
+    return _triangle_best_hit_plain(o, d, v0, v1, v2, normal, n, rows,
+                                    t_min, t_max, quirks)
+
+
+def _pad_tris(v0, v1, v2, normal):
+    """Pad the triangle set to a PRIM_CHUNK multiple by DUPLICATING the last
+    triangle (duplicates lose the first-wins tie-break, and chunk bounding
+    boxes stay tight — zero-padding would plant degenerate geometry at the
+    origin and a huge-sentinel pad would blow up the last chunk's box)."""
+    c = v0.shape[0]
     c_pad = -(-c // PRIM_CHUNK) * PRIM_CHUNK
+    pad = c_pad - c
+    if pad:
+        v0 = jnp.concatenate([v0, jnp.broadcast_to(v0[-1:], (pad, 3))])
+        v1 = jnp.concatenate([v1, jnp.broadcast_to(v1[-1:], (pad, 3))])
+        v2 = jnp.concatenate([v2, jnp.broadcast_to(v2[-1:], (pad, 3))])
+        normal = jnp.concatenate(
+            [normal, jnp.broadcast_to(normal[-1:], (pad, 3))])
+    return v0, v1, v2, normal, c_pad
+
+
+def _tri_table(v0, v1, v2, normal, c_pad):
     tbl = jnp.zeros((12, c_pad), jnp.float32)
-    tbl = tbl.at[0:3, :c].set(v0.T)
-    tbl = tbl.at[3:6, :c].set((v1 - v0).T)
-    tbl = tbl.at[6:9, :c].set((v2 - v0).T)
-    tbl = tbl.at[9:12, :c].set(normal.T)
-    tbl = tbl[..., None]
+    tbl = tbl.at[0:3].set(v0.T)
+    tbl = tbl.at[3:6].set((v1 - v0).T)
+    tbl = tbl.at[6:9].set((v2 - v0).T)
+    tbl = tbl.at[9:12].set(normal.T)
+    return tbl[..., None]
+
+
+def _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows, t_min,
+                              t_max, quirks: Quirks):
+    v0, v1, v2, normal, c_pad = _pad_tris(v0, v1, v2, normal)
+    tbl = _tri_table(v0, v1, v2, normal, c_pad)
+    n_chunks = c_pad // PRIM_CHUNK
+    # per-chunk AABBs, computed on device so per-frame vertex updates flow
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2).reshape(n_chunks, PRIM_CHUNK, 3)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2).reshape(n_chunks, PRIM_CHUNK, 3)
+    boxes = jnp.concatenate([lo.min(axis=1).T, hi.max(axis=1).T])  # (6, n_chunks)
+    boxes = boxes[..., None]
+
+    grid = rows // TILE_ROWS
+    kernel = functools.partial(
+        _triangle_kernel_culled, n_chunks=n_chunks, t_min=float(t_min),
+        t_max=float(t_max), backface_only=quirks.triangle_backface_only,
+        no_t_clip=quirks.triangle_no_t_clip)
+    out_t, out_i = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((12, c_pad, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, n_chunks, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(tbl, boxes, o, d)
+    return out_t.reshape(-1)[:n], out_i.reshape(-1)[:n]
+
+
+def _triangle_best_hit_plain(o, d, v0, v1, v2, normal, n, rows, t_min,
+                             t_max, quirks: Quirks):
+    # triangle table (12, c_pad, 1): v0, e1, e2, normal
+    v0, v1, v2, normal, c_pad = _pad_tris(v0, v1, v2, normal)
+    tbl = _tri_table(v0, v1, v2, normal, c_pad)
 
     grid = rows // TILE_ROWS
     kernel = functools.partial(
@@ -296,17 +600,20 @@ def _sphere_t_of(origin, direction, center, radius, pick_first):
     return jnp.where(pick_first, (-b - sq) / a, (-b + sq) / a)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def sphere_best_hit(origin, direction, center, radius, t_min, t_max):
-    return sphere_best_hit_raw(origin, direction, center, radius, t_min, t_max)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def sphere_best_hit(origin, direction, center, radius, t_min, t_max,
+                    cull=False):
+    return sphere_best_hit_raw(origin, direction, center, radius, t_min,
+                               t_max, cull)
 
 
-def _sphere_fwd(origin, direction, center, radius, t_min, t_max):
-    t, idx = sphere_best_hit_raw(origin, direction, center, radius, t_min, t_max)
+def _sphere_fwd(origin, direction, center, radius, t_min, t_max, cull=False):
+    t, idx = sphere_best_hit_raw(origin, direction, center, radius, t_min,
+                                 t_max, cull)
     return (t, idx), (origin, direction, center, radius, t, idx)
 
 
-def _sphere_bwd(t_min, t_max, res, g):
+def _sphere_bwd(t_min, t_max, cull, res, g):
     origin, direction, center, radius, t, idx = res
     g_t, _ = g
     hit = idx >= 0

@@ -53,24 +53,58 @@ def bvh_intersector(cfg: RenderConfig):
 _PALLAS_FN_CACHE = {}
 
 
-def pallas_intersector(cfg: RenderConfig):
+def pallas_intersector(cfg: RenderConfig, coherent: bool = False):
     """Stable intersect_fn using the fused Pallas sweep kernels (TPU fast
-    path; runs interpreted on CPU)."""
-    if cfg not in _PALLAS_FN_CACHE:
-        def fn(scene, rays, aux, _cfg=cfg):
+    path; runs interpreted on CPU).  coherent=True additionally culls the
+    sphere sweep with chunk boxes (use for primary-ray-only work)."""
+    k = (cfg, coherent)
+    if k not in _PALLAS_FN_CACHE:
+        def fn(scene, rays, aux, _cfg=cfg, _coh=coherent):
             return _isect.intersect_scene_pallas(scene, rays, _cfg.t_min,
-                                                 _cfg.t_max, _cfg.quirks)
-        _PALLAS_FN_CACHE[cfg] = fn
-    return _PALLAS_FN_CACHE[cfg]
+                                                 _cfg.t_max, _cfg.quirks,
+                                                 _coh)
+        _PALLAS_FN_CACHE[k] = fn
+    return _PALLAS_FN_CACHE[k]
+
+
+def pallas_intersector_pair(cfg: RenderConfig):
+    """(primary_fn, bounce_fn): culled sweeps for the coherent camera pass,
+    uncull'd sphere sweep for incoherent bounces.  Pass the pair as
+    `intersect_fn` — the path integrator unrolls the first bounce with
+    primary_fn and scans the rest with bounce_fn."""
+    return (pallas_intersector(cfg, coherent=True),
+            pallas_intersector(cfg, coherent=False))
+
+
+def _swizzled_pixels(width: int, height: int, block_w: int = 32,
+                     block_h: int = 16):
+    """Pixel indices reordered into (block_h x block_w) screen tiles.
+
+    Consecutive rays then form compact screen-space frustums, which is what
+    makes the Pallas kernels' tiled AABB culling effective (a row-major order
+    would give each 4096-ray tile a frustum spanning the whole image width).
+    Returns int32[width*height] (a permutation)."""
+    import numpy as np
+    ys, xs = np.mgrid[0:height, 0:width]
+    order = np.lexsort((xs.ravel() % block_w, ys.ravel() % block_h,
+                        xs.ravel() // block_w, ys.ravel() // block_h))
+    return jnp.asarray((ys.ravel()[order] * width + xs.ravel()[order])
+                       .astype(np.int32))
 
 
 @partial(jax.jit, static_argnames=("cfg", "intersect_fn"))
 def render_image(scene: Scene, camera: _cam.Camera, key: jax.Array,
                  cfg: RenderConfig, intersect_fn=None, aux=None) -> Array:
     """Render the full frame -> f32[height, width, 3] (row 0 = BOTTOM row,
-    matching colorBuffer layout; the PNG writer flips, render.h:135-147)."""
-    colors = render_pixels(scene, camera, key, cfg, None, intersect_fn, aux)
-    return colors.reshape(cfg.height, cfg.width, 3)
+    matching colorBuffer layout; the PNG writer flips, render.h:135-147).
+
+    Pixels are processed in swizzled screen blocks (see _swizzled_pixels) and
+    scattered back to row-major order."""
+    pix = _swizzled_pixels(cfg.width, cfg.height)
+    colors = render_pixels(scene, camera, key, cfg, pix, intersect_fn, aux)
+    out = jnp.zeros((cfg.width * cfg.height, 3), colors.dtype)
+    out = out.at[pix].set(colors)
+    return out.reshape(cfg.height, cfg.width, 3)
 
 
 def render_pixels(scene: Scene, camera: _cam.Camera, key: jax.Array,
