@@ -46,6 +46,12 @@ Array = jnp.ndarray
 LANES = 128
 TILE_ROWS = 32          # 32 x 128 = 4096 rays per kernel instance
 PRIM_CHUNK = 16         # prims per inner step (leading axis of the 3D tile)
+# Primitive tables are shaped (comp, c_pad, 1); Mosaic pads the unit lane dim
+# to 128 in VMEM (x128 memory), so tables are SEGMENTED over a second,
+# fastest-varying grid dimension — each kernel instance sees at most SEG_PRIMS
+# prims (a few MB of VMEM) and revisits its output block across segments with
+# a running-min merge.  Segment order preserves the first-prim-wins tie-break.
+SEG_PRIMS = 1024
 IDX_BIG = 2 ** 30  # python int: kernels may not capture traced constants
 
 
@@ -86,6 +92,14 @@ def _sphere_kernel(sph_ref, box_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     kernel: one slab test per (chunk x ray tile) decides whether the chunk's
     quadratics run at all.  Sphere tables are usually built in spatial order
     (e.g. the One-Weekend grid), so chunks are compact."""
+    seg = pl.program_id(1)
+    seg_base = seg * SEG_PRIMS
+
+    @pl.when(seg == 0)
+    def _():
+        out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+        out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+
     ox = o_ref[0][None]        # (1, R, L)
     oy = o_ref[1][None]
     oz = o_ref[2][None]
@@ -100,8 +114,8 @@ def _sphere_kernel(sph_ref, box_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     prim_iota = jax.lax.broadcasted_iota(jnp.int32,
                                          (PRIM_CHUNK, TILE_ROWS, LANES), 0)
 
-    best_t0 = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
-    best_i0 = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+    best_t0 = out_t_ref[:]
+    best_i0 = out_i_ref[:]
 
     def body(j, carry):
         best_t, best_i = carry
@@ -146,14 +160,14 @@ def _sphere_kernel(sph_ref, box_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
             ok0 = hit & (t0 < t_max) & (t0 > t_min)
             ok1 = hit & (t1 < t_max) & (t1 > t_min)
             t = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
-            return _merge_chunk(best_t, best_i, t, base, prim_iota)
+            return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
 
         return jax.lax.cond(any_hit, run_chunk, lambda cr: cr,
                             (best_t, best_i))
 
     best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
     out_t_ref[:] = best_t
-    out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
+    out_i_ref[:] = best_i
 
 
 def _sphere_kernel_plain(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
@@ -161,6 +175,14 @@ def _sphere_kernel_plain(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     """Uncull'd sphere sweep — the right default for path tracing, where
     bounced rays are incoherent and per-chunk box tests are pure overhead
     (measured ~15% loss on the 484-sphere path-8 benchmark)."""
+    seg = pl.program_id(1)
+    seg_base = seg * SEG_PRIMS
+
+    @pl.when(seg == 0)
+    def _():
+        out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+        out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+
     ox = o_ref[0][None]
     oy = o_ref[1][None]
     oz = o_ref[2][None]
@@ -172,8 +194,8 @@ def _sphere_kernel_plain(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     prim_iota = jax.lax.broadcasted_iota(jnp.int32,
                                          (PRIM_CHUNK, TILE_ROWS, LANES), 0)
 
-    best_t0 = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
-    best_i0 = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+    best_t0 = out_t_ref[:]
+    best_i0 = out_i_ref[:]
 
     def body(j, carry):
         best_t, best_i = carry
@@ -195,11 +217,11 @@ def _sphere_kernel_plain(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
         ok0 = hit & (t0 < t_max) & (t0 > t_min)
         ok1 = hit & (t1 < t_max) & (t1 > t_min)
         t = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
-        return _merge_chunk(best_t, best_i, t, base, prim_iota)
+        return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
 
     best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
     out_t_ref[:] = best_t
-    out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
+    out_i_ref[:] = best_i
 
 
 def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
@@ -216,8 +238,12 @@ def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
     o = jnp.stack([_pad_rays(origin[:, k], rows) for k in range(3)])
     d = jnp.stack([_pad_rays(direction[:, k], rows) for k in range(3)])
     # sphere table (4, c_pad, 1): x, y, z, r^2; pad by duplicating the last
-    # sphere (keeps chunk boxes tight; duplicates lose the first-wins tie)
-    c_pad = -(-c // PRIM_CHUNK) * PRIM_CHUNK
+    # sphere (keeps chunk boxes tight; duplicates lose the first-wins tie).
+    # c_pad is a SEG_PRIMS multiple when segmented (> one segment).
+    c_seg = PRIM_CHUNK if c <= SEG_PRIMS else SEG_PRIMS
+    c_pad = -(-c // c_seg) * c_seg
+    seg_prims = min(c_pad, SEG_PRIMS)
+    n_segs = c_pad // seg_prims
     pad = c_pad - c
     center_p = jnp.concatenate(
         [center, jnp.broadcast_to(center[-1:], (pad, 3))]) if pad else center
@@ -225,46 +251,47 @@ def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
         [radius, jnp.broadcast_to(radius[-1:], (pad,))]) if pad else radius
     tbl = jnp.concatenate([center_p.T, (radius_p * radius_p)[None]])[..., None]
 
-    n_chunks = c_pad // PRIM_CHUNK
-    lo = (center_p - radius_p[:, None]).reshape(n_chunks, PRIM_CHUNK, 3)
-    hi = (center_p + radius_p[:, None]).reshape(n_chunks, PRIM_CHUNK, 3)
+    n_chunks_total = c_pad // PRIM_CHUNK
+    seg_chunks = seg_prims // PRIM_CHUNK
+    lo = (center_p - radius_p[:, None]).reshape(n_chunks_total, PRIM_CHUNK, 3)
+    hi = (center_p + radius_p[:, None]).reshape(n_chunks_total, PRIM_CHUNK, 3)
     boxes = jnp.concatenate([lo.min(axis=1).T, hi.max(axis=1).T])[..., None]
 
-    grid = rows // TILE_ROWS
+    grid = (rows // TILE_ROWS, n_segs)
     if cull:
-        kernel = functools.partial(_sphere_kernel, n_chunks=n_chunks,
+        kernel = functools.partial(_sphere_kernel, n_chunks=seg_chunks,
                                    t_min=float(t_min), t_max=float(t_max))
         in_specs = [
-            pl.BlockSpec((4, c_pad, 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((4, seg_prims, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, n_chunks, 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((6, seg_chunks, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
         args = (tbl, boxes, o, d)
     else:
-        kernel = functools.partial(_sphere_kernel_plain, n_chunks=n_chunks,
+        kernel = functools.partial(_sphere_kernel_plain, n_chunks=seg_chunks,
                                    t_min=float(t_min), t_max=float(t_max))
         in_specs = [
-            pl.BlockSpec((4, c_pad, 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((4, seg_prims, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
         args = (tbl, o, d)
     out_t, out_i = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -283,6 +310,14 @@ def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
 def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
                      n_chunks: int, t_min: float, t_max: float,
                      backface_only: bool, no_t_clip: bool):
+    seg = pl.program_id(1)
+    seg_base = seg * SEG_PRIMS
+
+    @pl.when(seg == 0)
+    def _():
+        out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+        out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+
     ox = o_ref[0][None]
     oy = o_ref[1][None]
     oz = o_ref[2][None]
@@ -292,8 +327,8 @@ def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     prim_iota = jax.lax.broadcasted_iota(jnp.int32,
                                          (PRIM_CHUNK, TILE_ROWS, LANES), 0)
 
-    best_t0 = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
-    best_i0 = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+    best_t0 = out_t_ref[:]
+    best_i0 = out_i_ref[:]
 
     def body(j, carry):
         best_t, best_i = carry
@@ -332,11 +367,11 @@ def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
         else:
             valid &= (t > t_min) & (t < t_max)
         t = jnp.where(valid, t, BIG)
-        return _merge_chunk(best_t, best_i, t, base, prim_iota)
+        return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
 
     best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
     out_t_ref[:] = best_t
-    out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
+    out_i_ref[:] = best_i
 
 
 def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
@@ -355,6 +390,14 @@ def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
     (behind-ray triangles stay reachable), so results are bit-identical to
     the uncculled sweep in both quirk profiles.
     """
+    seg = pl.program_id(1)
+    seg_base = seg * SEG_PRIMS
+
+    @pl.when(seg == 0)
+    def _():
+        out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+        out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+
     ox = o_ref[0][None]
     oy = o_ref[1][None]
     oz = o_ref[2][None]
@@ -368,8 +411,8 @@ def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
     prim_iota = jax.lax.broadcasted_iota(jnp.int32,
                                          (PRIM_CHUNK, TILE_ROWS, LANES), 0)
 
-    best_t0 = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
-    best_i0 = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+    best_t0 = out_t_ref[:]
+    best_i0 = out_i_ref[:]
 
     def body(j, carry):
         best_t, best_i = carry
@@ -429,14 +472,14 @@ def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
             else:
                 valid &= (t > t_min) & (t < t_max)
             t = jnp.where(valid, t, BIG)
-            return _merge_chunk(best_t, best_i, t, base, prim_iota)
+            return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
 
         return jax.lax.cond(any_hit, run_chunk, lambda c: c,
                             (best_t, best_i))
 
     best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
     out_t_ref[:] = best_t
-    out_i_ref[:] = jnp.where(best_t < BIG, best_i, -1)
+    out_i_ref[:] = best_i
 
 
 def morton_order(v0: Array, v1: Array, v2: Array):
@@ -477,13 +520,13 @@ def triangle_best_hit_raw(origin: Array, direction: Array, v0: Array,
                                     t_min, t_max, quirks)
 
 
-def _pad_tris(v0, v1, v2, normal):
-    """Pad the triangle set to a PRIM_CHUNK multiple by DUPLICATING the last
+def _pad_tris(v0, v1, v2, normal, multiple=PRIM_CHUNK):
+    """Pad the triangle set to a `multiple` by DUPLICATING the last
     triangle (duplicates lose the first-wins tie-break, and chunk bounding
     boxes stay tight — zero-padding would plant degenerate geometry at the
     origin and a huge-sentinel pad would blow up the last chunk's box)."""
     c = v0.shape[0]
-    c_pad = -(-c // PRIM_CHUNK) * PRIM_CHUNK
+    c_pad = -(-c // multiple) * multiple
     pad = c_pad - c
     if pad:
         v0 = jnp.concatenate([v0, jnp.broadcast_to(v0[-1:], (pad, 3))])
@@ -505,37 +548,43 @@ def _tri_table(v0, v1, v2, normal, c_pad):
 
 def _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows, t_min,
                               t_max, quirks: Quirks):
-    v0, v1, v2, normal, c_pad = _pad_tris(v0, v1, v2, normal)
+    c = v0.shape[0]
+    mult = PRIM_CHUNK if c <= SEG_PRIMS else SEG_PRIMS
+    v0, v1, v2, normal, c_pad = _pad_tris(v0, v1, v2, normal, mult)
+    seg_prims = min(c_pad, SEG_PRIMS)
+    n_segs = c_pad // seg_prims
+    seg_chunks = seg_prims // PRIM_CHUNK
     tbl = _tri_table(v0, v1, v2, normal, c_pad)
-    n_chunks = c_pad // PRIM_CHUNK
+    n_chunks_total = c_pad // PRIM_CHUNK
     # per-chunk AABBs, computed on device so per-frame vertex updates flow
-    lo = jnp.minimum(jnp.minimum(v0, v1), v2).reshape(n_chunks, PRIM_CHUNK, 3)
-    hi = jnp.maximum(jnp.maximum(v0, v1), v2).reshape(n_chunks, PRIM_CHUNK, 3)
-    boxes = jnp.concatenate([lo.min(axis=1).T, hi.max(axis=1).T])  # (6, n_chunks)
-    boxes = boxes[..., None]
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2).reshape(n_chunks_total,
+                                                      PRIM_CHUNK, 3)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2).reshape(n_chunks_total,
+                                                      PRIM_CHUNK, 3)
+    boxes = jnp.concatenate([lo.min(axis=1).T, hi.max(axis=1).T])[..., None]
 
-    grid = rows // TILE_ROWS
+    grid = (rows // TILE_ROWS, n_segs)
     kernel = functools.partial(
-        _triangle_kernel_culled, n_chunks=n_chunks, t_min=float(t_min),
+        _triangle_kernel_culled, n_chunks=seg_chunks, t_min=float(t_min),
         t_max=float(t_max), backface_only=quirks.triangle_backface_only,
         no_t_clip=quirks.triangle_no_t_clip)
     out_t, out_i = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((12, c_pad, 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((12, seg_prims, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, n_chunks, 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((6, seg_chunks, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -550,30 +599,34 @@ def _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows, t_min,
 def _triangle_best_hit_plain(o, d, v0, v1, v2, normal, n, rows, t_min,
                              t_max, quirks: Quirks):
     # triangle table (12, c_pad, 1): v0, e1, e2, normal
-    v0, v1, v2, normal, c_pad = _pad_tris(v0, v1, v2, normal)
+    c = v0.shape[0]
+    mult = PRIM_CHUNK if c <= SEG_PRIMS else SEG_PRIMS
+    v0, v1, v2, normal, c_pad = _pad_tris(v0, v1, v2, normal, mult)
+    seg_prims = min(c_pad, SEG_PRIMS)
+    n_segs = c_pad // seg_prims
     tbl = _tri_table(v0, v1, v2, normal, c_pad)
 
-    grid = rows // TILE_ROWS
+    grid = (rows // TILE_ROWS, n_segs)
     kernel = functools.partial(
-        _triangle_kernel, n_chunks=c_pad // PRIM_CHUNK, t_min=float(t_min),
-        t_max=float(t_max),
+        _triangle_kernel, n_chunks=seg_prims // PRIM_CHUNK,
+        t_min=float(t_min), t_max=float(t_max),
         backface_only=quirks.triangle_backface_only,
         no_t_clip=quirks.triangle_no_t_clip)
     out_t, out_i = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((12, c_pad, 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((12, seg_prims, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -162,3 +162,47 @@ def test_pallas_render_matches_bruteforce_render():
     b = np.asarray(render_image(scene, cam, jax.random.key(0), cfg,
                                 pallas_intersector(cfg)))
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_multi_segment_tables():
+    """Primitive tables larger than SEG_PRIMS run as multiple grid segments
+    with output revisiting; results must match the single-segment jnp path."""
+    rng = np.random.default_rng(0)
+    nt = 3 * pk.SEG_PRIMS  # forces 3 segments
+    c = rng.uniform(-5, 5, (nt, 3)).astype(np.float32) + [0, 0, -10]
+    v0 = jnp.asarray(c)
+    v1 = jnp.asarray(c + rng.normal(scale=0.2, size=(nt, 3)).astype(np.float32))
+    v2 = jnp.asarray(c + rng.normal(scale=0.2, size=(nt, 3)).astype(np.float32))
+    nrm = np.cross(np.asarray(v1 - v0), np.asarray(v2 - v0))
+    nrm = jnp.asarray((nrm / np.maximum(
+        np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)).astype(np.float32))
+    n = 256
+    o = jnp.asarray(rng.normal(scale=0.3, size=(n, 3)).astype(np.float32))
+    d = np.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d[:, 2] = -np.abs(d[:, 2]) - 0.3
+    d = jnp.asarray(d)
+    q = Quirks.reference()
+    valid, t, _, _ = isect.triangle_candidates(
+        o, d, v0, v1, v2, nrm, jnp.float32(1e-3), jnp.float32(3.4e38), q)
+    ref_t = np.where(np.asarray(valid), np.asarray(t), np.inf).min(axis=1)
+    for cull in [True, False]:
+        tt, ii = pk.triangle_best_hit_raw(o, d, v0, v1, v2, nrm, 1e-3, 3.4e38,
+                                          q, cull=cull)
+        hit = np.asarray(ii) >= 0
+        np.testing.assert_array_equal(hit, np.isfinite(ref_t))
+        np.testing.assert_allclose(np.asarray(tt)[hit],
+                                   ref_t[np.isfinite(ref_t)], rtol=1e-4)
+
+    ns = 2 * pk.SEG_PRIMS + 37
+    ctr = jnp.asarray(rng.uniform(-5, 5, (ns, 3)).astype(np.float32)
+                      + [0, 0, -10])
+    rad = jnp.asarray(rng.uniform(0.05, 0.3, (ns,)).astype(np.float32))
+    sv, st_ = isect.sphere_candidates(o, d, ctr, rad, jnp.float32(1e-3),
+                                      jnp.float32(3.4e38))
+    ref_ts = np.where(np.asarray(sv), np.asarray(st_), np.inf).min(axis=1)
+    for cull in [True, False]:
+        tt, ii = pk.sphere_best_hit_raw(o, d, ctr, rad, 1e-3, 3.4e38, cull)
+        hit = np.asarray(ii) >= 0
+        np.testing.assert_array_equal(hit, np.isfinite(ref_ts))
+        np.testing.assert_allclose(np.asarray(tt)[hit],
+                                   ref_ts[np.isfinite(ref_ts)], rtol=1e-4)
