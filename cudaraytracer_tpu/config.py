@@ -46,6 +46,14 @@ class Quirks:
     # sqrt(1 - ri^2 (1 - cos^2)) (a nonstandard form); kept verbatim.
     dielectric_reference_cosine: bool = True
 
+    # triangle.h:74 — `if (a < EPSILON && backCulling) return false;` rejects
+    # FRONT-determinant rays when the per-triangle backCulling flag is set.
+    # Every triangle the reference actually builds passes cull=false
+    # (createScene.h:185), and the unconditional two-sided test at
+    # triangle.h:77-78 (`a > -EPSILON && a < EPSILON`) always applies, so the
+    # default False matches the active pipeline exactly.
+    triangle_back_culling: bool = False
+
     @staticmethod
     def reference() -> "Quirks":
         return Quirks()
@@ -59,6 +67,7 @@ class Quirks:
             lambert_unnormalized_dot=False,
             fixed_face_normals=False,
             dielectric_reference_cosine=False,
+            triangle_back_culling=False,
         )
 
 

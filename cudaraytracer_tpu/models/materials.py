@@ -60,20 +60,36 @@ def emitted(mat: MaterialTable, tex: TextureTable, mat_id: Array, u: Array,
     return jnp.where(is_light[..., None], val, 0.0)
 
 
+def scatter_draws(key: jax.Array, n: int):
+    """The scatter step's random draws: one unit-ball sample + one uniform per
+    ray.  Factored out so callers can inject the identical stream into other
+    renderers (megakernel, oracle) for deterministic cross-renderer parity
+    (SURVEY.md §7 hard part 3)."""
+    k_ball, k_prob = jax.random.split(key)
+    ball = _rng.random_in_unit_sphere(k_ball, (n,))
+    prob = _rng.uniform(k_prob, (n,))
+    return ball, prob
+
+
 def scatter(mat: MaterialTable, tex: TextureTable, mat_id: Array, r_in: Rays,
             p: Array, normal: Array, u: Array, v: Array, key: jax.Array,
-            dielectric_reference_cosine: bool = True) -> ScatterResult:
+            dielectric_reference_cosine: bool = True,
+            ball: Array | None = None, prob: Array | None = None
+            ) -> ScatterResult:
     """Branch-free scatter for a batch of hits.
 
     All four material models are evaluated with shared random draws and the
     result is selected by ``mat.kind[mat_id]`` — no data-dependent control flow,
     so XLA fuses the whole thing into one elementwise pass over the ray batch.
+
+    ball/prob: optional INJECTED samples (f32[N,3] unit-ball vector and f32[N]
+    uniform) replacing the key-derived draws — the sample-sequence-injection
+    mode used for deterministic cross-renderer comparison.
     """
     n = mat_id.shape[0]
     kind = mat.kind[mat_id]
-    k_ball, k_prob = jax.random.split(key)
-    ball = _rng.random_in_unit_sphere(k_ball, (n,))
-    prob = _rng.uniform(k_prob, (n,))
+    if ball is None or prob is None:
+        ball, prob = scatter_draws(key, n)
 
     d_in = r_in.direction
 

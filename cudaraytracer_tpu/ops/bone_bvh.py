@@ -116,12 +116,15 @@ def concatenate_bvhs(trees: List[FlatBVH], prim_maps: List[np.ndarray]
         cl.append(np.where(lcl >= 0, lcl + offset, -1))
         cr.append(np.where(lcr >= 0, lcr + offset, -1))
         for d, ids in enumerate(tree.levels):      # deepest-first per tree
-            key = len(tree.levels) - d             # depth-from-bottom
-            level_groups.setdefault(key, []).append(np.asarray(ids) + offset)
+            # Key by position in the tree's OWN deepest-first order: within a
+            # tree, level d's children all live in levels < d, and trees are
+            # independent, so merging by d and iterating ascending keeps every
+            # child-before-parent constraint of refit_bvh.
+            level_groups.setdefault(d, []).append(np.asarray(ids) + offset)
         offset += n
 
-    # merge levels bottom-up: all nodes at distance k from their leaves can
-    # refit together once k-1 is done (trees are independent)
+    # merge levels bottom-up: group d of every tree refits once groups < d are
+    # done (trees are independent), so ascending-d iteration is deepest-first
     levels = []
     for k in sorted(level_groups):
         levels.append(jnp.asarray(np.concatenate(level_groups[k]).astype(np.int32)))

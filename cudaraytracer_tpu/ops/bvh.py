@@ -98,11 +98,17 @@ def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray,
 
     backend: 'auto' uses the native C++ builder (cudaraytracer_tpu/native)
     when it compiles/loads, falling back to the Python builder; 'python' and
-    'native' force one.  Both emit identical layouts.
+    'native' force one.  Both emit identical layouts for deterministic axis
+    modes.  axis_mode='random' draws axes from each backend's OWN generator
+    (np.random vs mt19937), so 'auto' pins it to the Python builder to keep
+    seeded builds reproducible across environments; pass backend='native'
+    explicitly to accept native-RNG topologies.
     """
     prim_min = np.asarray(prim_min, np.float32)
     prim_max = np.asarray(prim_max, np.float32)
 
+    if axis_mode == "random" and backend == "auto":
+        backend = "python"
     if backend in ("auto", "native"):
         from ..native import build_bvh_native
         out = build_bvh_native(prim_min, prim_max, leaf_size=leaf_size,
@@ -270,6 +276,8 @@ def _tri_test(origin, direction, v0, v1, v2, nrm, t_max, quirks: Quirks,
     t = f * jnp.sum(e2 * q, axis=-1)
     valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
         & (v >= 0.0) & (u + v <= 1.0)
+    if quirks.triangle_back_culling:   # triangle.h:74
+        valid &= a >= TRI_EPSILON
     if quirks.triangle_backface_only:
         valid &= jnp.sum(direction * nrm, axis=-1) >= 0.0
     if not quirks.triangle_no_t_clip:

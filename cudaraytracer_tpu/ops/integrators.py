@@ -26,6 +26,8 @@ reparameterized (keys independent of scene parameters).
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +39,31 @@ from ..models.scene import Scene
 from . import intersect as _isect
 
 Array = jnp.ndarray
+
+
+class SampleStream(NamedTuple):
+    """Injected per-(ray, bounce) scatter samples — the deterministic
+    cross-renderer parity mode (SURVEY.md §7 hard part 3, BASELINE.md
+    acceptance gate).  When passed to an integrator, every stochastic draw is
+    read from these arrays instead of the threefry key, so the jnp, BVH,
+    Pallas-sweep, and megakernel paths (and the float64 oracle) consume an
+    IDENTICAL sample sequence."""
+
+    ball: Array   # f32[max_depth+1, N, 3] unit-ball sample per bounce step
+    prob: Array   # f32[max_depth+1, N]    uniform draw per bounce step
+
+
+def stream_from_key(key: jax.Array, n: int, max_depth: int) -> SampleStream:
+    """The exact stream trace_path would draw internally from `key` — step i
+    uses fold_in(key, i) then scatter_draws.  Rendering with
+    samples=stream_from_key(key, ...) is bit-identical to rendering with
+    `key` alone."""
+    balls, probs = [], []
+    for step in range(max_depth + 1):
+        b, p = _mat.scatter_draws(jax.random.fold_in(key, step), n)
+        balls.append(b)
+        probs.append(p)
+    return SampleStream(jnp.stack(balls), jnp.stack(probs))
 
 
 def background_sky(direction: Array) -> Array:
@@ -67,12 +94,16 @@ def _intersect(scene: Scene, rays: Rays, cfg: RenderConfig, intersect_fn=None,
 
 
 def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
-               intersect_fn=None, aux=None) -> Array:
+               intersect_fn=None, aux=None,
+               samples: Optional[SampleStream] = None) -> Array:
     """shade() as a wavefront scan. Returns radiance f32[N,3].
 
     Step i corresponds to the recursive call at depth = max_depth - i; the
     final step (depth 0) can no longer scatter (render.h:57 `depth > 0`), so
     after max_depth+1 steps every lane has terminated.
+
+    samples: optional injected SampleStream replacing every key-derived draw
+    (deterministic cross-renderer parity mode).
     """
     n = rays.origin.shape[0]
     throughput0 = jnp.ones((n, 3), jnp.float32)
@@ -82,11 +113,26 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     primary_fn, bounce_fn = _split_fns(intersect_fn)
 
     def make_bounce(isect_fn):
-        def bounce(carry, step):
-            return _bounce_body(carry, step, isect_fn)
+        def bounce(carry, xs):
+            return _bounce_body(carry, xs, isect_fn)
         return bounce
 
-    def _bounce_body(carry, step, isect_fn):
+    def _step_xs(step):
+        if samples is None:
+            return jnp.int32(step)
+        return (jnp.int32(step), samples.ball[step], samples.prob[step])
+
+    def _scan_xs(lo, hi):
+        steps = jnp.arange(lo, hi)
+        if samples is None:
+            return steps
+        return (steps, samples.ball[lo:hi], samples.prob[lo:hi])
+
+    def _bounce_body(carry, xs, isect_fn):
+        if samples is None:
+            step, ball, prob = xs, None, None
+        else:
+            step, ball, prob = xs
         rays, throughput, radiance, alive = carry
         bounce_key = jax.random.fold_in(key, step)
         hits = _intersect(scene, rays, cfg, isect_fn, aux)
@@ -95,7 +141,8 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                                hits.u, hits.v, hits.p)
         sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,
                           hits.p, hits.normal, hits.u, hits.v, bounce_key,
-                          cfg.quirks.dielectric_reference_cosine)
+                          cfg.quirks.dielectric_reference_cosine,
+                          ball=ball, prob=prob)
         sky = background_sky(rays.direction)
 
         can_recurse = step < cfg.max_depth          # render.h:57 depth > 0
@@ -125,12 +172,12 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     # whole depth stays in one scan (smaller program, same math).
     if primary_fn is bounce_fn:
         carry, _ = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)), carry,
-                                jnp.arange(cfg.max_depth + 1))
+                                _scan_xs(0, cfg.max_depth + 1))
     else:
-        carry, _ = jax.checkpoint(make_bounce(primary_fn))(carry, jnp.int32(0))
+        carry, _ = jax.checkpoint(make_bounce(primary_fn))(carry, _step_xs(0))
         if cfg.max_depth >= 1:
             carry, _ = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)),
-                                    carry, jnp.arange(1, cfg.max_depth + 1))
+                                    carry, _scan_xs(1, cfg.max_depth + 1))
     return carry[2]
 
 
@@ -167,6 +214,11 @@ INTEGRATOR_FNS = {
 
 
 def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
-              intersect_fn=None, aux=None) -> Array:
+              intersect_fn=None, aux=None,
+              samples: Optional[SampleStream] = None) -> Array:
+    if cfg.integrator == "path":
+        return trace_path(scene, rays, key, cfg, intersect_fn, aux, samples)
+    # lambert/normal discard the scatter direction, so the injected stream
+    # cannot influence them; key-only is already deterministic there.
     return INTEGRATOR_FNS[cfg.integrator](scene, rays, key, cfg, intersect_fn,
                                           aux)

@@ -103,8 +103,13 @@ def triangle_candidates(origin, direction, v0, v1, v2, face_normal,
     v = f * jnp.sum(d * q, axis=-1)
     t = f * jnp.sum(e2 * q, axis=-1)
 
+    # triangle.h:77-78 — unconditional two-sided epsilon rejection; with the
+    # per-triangle backCulling flag (triangle.h:74, quirk-gated — reference
+    # scenes always pass cull=false) front-determinant rays also miss.
     valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
         & (v >= 0.0) & (u + v <= 1.0)
+    if quirks.triangle_back_culling:
+        valid &= a >= TRI_EPSILON
     if quirks.triangle_backface_only:
         # triangle.h:61 — dot(dir, stored normal) < 0 => miss.
         facing = jnp.sum(d * face_normal[None, :, :], axis=-1)
@@ -123,11 +128,27 @@ def rect_candidates(rays: Rays, rects, t_min, t_max):
     Returns valid[N,C], t[N,C], u[N,C], v[N,C], p[N,C,3] (object-space hit
     point, reproducing the reference's untransformed rec.p), normal[N,C,3]
     (object normal rotated by the object rotation, hitable.h:36).
+
+    t parameterization: the rect test runs on the ScaleRay'd ray whose
+    direction is NORMALIZED (transform.h:50-54) while sphere/triangle t here
+    is measured along the raw unnormalized direction.  The reference compares
+    every primitive's t in its own TransformRay-normalized parameterization
+    (hitable.h:29-38) — and since ScaleRay leaves the ORIGIN unscaled
+    (reference quirk), the rect's native t is a distance along a unit vector,
+    i.e. commensurable with the world-distance t of identity-transform
+    spheres/triangles.  Returned t is therefore rescaled into the caller's
+    raw-direction parameterization by 1/|direction|, which reproduces the
+    reference's closest-hit ordering exactly for ANY |direction| (camera rays
+    are deliberately unnormalized, |d| ~ focus_dist).  The [t_min, t_max]
+    window is applied to the native (normalized-param) t, matching
+    rectangle.h:32; note sphere/triangle windows use raw-param t — the same
+    epsilon-scale divergence the reference itself has for |d| != 1.
     """
     trs = rects.trs
     n_r = rects.flip.shape[0]
     o = rays.origin[:, None, :]
     dir0 = rays.direction[:, None, :]
+    raw_len = jnp.sqrt(jnp.sum(dir0 * dir0, axis=-1))      # (N,1)
     # transform.h:50-54 ScaleRay (origin untouched — reference quirk)
     d = dir0 / trs.scale[None, :, :]
     dlen = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
@@ -151,7 +172,10 @@ def rect_candidates(rays: Rays, rects, t_min, t_max):
     v = y + 0.5
     p = o + t[..., None] * d
     normal = v3.rotate(jnp.broadcast_to(obj_normal, d.shape), trs.rotation[None])
-    return valid, jnp.where(valid, t, BIG), u, v, p, normal
+    # rescale native t into the caller's raw-direction parameterization (see
+    # docstring) so the closest-hit reduction compares commensurable values
+    t_cmp = t / raw_len
+    return valid, jnp.where(valid, t_cmp, BIG), u, v, p, normal
 
 
 # ---------------------------------------------------------------------------

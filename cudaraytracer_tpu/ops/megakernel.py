@@ -1,0 +1,662 @@
+"""Fused path-tracing megakernel — the whole bounce loop in ONE Pallas call.
+
+The reference's entire hot path is a single CUDA kernel per frame
+(render.h:105-129: per-thread sample loop -> recursive shade -> BVH/list
+intersection -> material scatter, all in registers).  Round 1 decomposed that
+into per-bounce Pallas sweeps plus XLA glue (RNG, material scatter, winner
+gathers), and measured ~84% of frame time in the glue.  This module restores
+the reference's structure TPU-natively: one ``pallas_call`` runs intersection
+AND shading AND the full bounce loop for a (32 x 128)-ray tile entirely in
+VMEM/registers — HBM traffic is one read of the camera rays and one write of
+the radiance.
+
+Design notes (see also ops/pallas_intersect.py, whose sweep math this reuses):
+
+  * Primitive tables are laid out (prims, 128) with COMPONENTS ON LANES —
+    component k of a PRIM_CHUNK-sized chunk is the static-lane slice
+    ``tbl[pl.ds(base, P), k:k+1]`` reshaped to (P,1,1) and broadcast against
+    the (1, R, L) ray tile.  Static lane indices are Mosaic-legal (dynamic
+    ones are not) and the layout costs 512 B/prim of VMEM vs. the 10.7 KB/prim
+    of a (comp, prims, 1) table, lifting the in-VMEM ceiling to ~8k prims per
+    type.
+  * Because shading happens in-kernel, the sweep cannot defer winner-attribute
+    lookup to a host-side gather (dynamic per-lane gathers are impossible on
+    the VPU).  Instead each chunk merge carries the winner's attributes
+    (geometry + material parameters) via an exclusive winner mask — and the
+    attribute extraction only runs when the chunk actually improved some lane
+    (``lax.cond`` on ``any(take)``), which for coherent tiles is rare after
+    the first chunks.
+  * Per-chunk AABB culling (one slab test per chunk x tile) skips whole
+    chunks, exactly as in the round-1 culled sweeps.
+  * RNG: ``pltpu.prng_seed``/``prng_random_bits`` per tile (seeded from
+    (base_seed, program_id)); the unit-ball sample uses Box-Muller + cbrt
+    radius, the same distribution as core/rng.random_in_unit_sphere.  On CPU
+    (interpret mode) the TPU PRNG doesn't lower, so the wrapper falls back to
+    INJECTED samples drawn outside with the exact threefry stream of the jnp
+    integrator — which makes megakernel-vs-trace_path a deterministic golden
+    test, and doubles as the sample-sequence-injection parity mode
+    (SURVEY.md §7 hard part 3).
+  * Bounce recursion is a ``fori_loop`` of max_depth+1 steps (render.h:48-67
+    semantics: emitted + attenuation * recurse; ambient 0.1 on absorption;
+    sky on miss), with a tile-level early-out once every lane has terminated.
+  * Scope: spheres + triangles, all four materials, constant/checker textures.
+    Scenes with rects or image textures fall back to the wavefront path
+    (megakernel_supported()).  The megakernel is forward-only; the
+    differentiable path remains ops/integrators.trace_path with the
+    custom-VJP sweeps.
+
+Material/texture/shade math mirrors models/materials.py and
+ops/integrators.py line for line (same reference citations apply).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..core.rays import Rays
+from ..models import materials as _mat
+from ..models import textures as _tex
+from ..models.scene import Scene
+from .intersect import BIG, TRI_EPSILON
+from .pallas_intersect import (LANES, PRIM_CHUNK, TILE_ROWS, _interpret,
+                               _pad_rays, _ray_rows, morton_order)
+
+Array = jnp.ndarray
+
+IDX_BIG = 2 ** 30
+BIG_CUT = 1e37            # t >= this => miss (valid hits carry t < t_max)
+# In-VMEM table ceiling per primitive type: (prims, 128) f32 = 512 B/prim.
+MAX_VMEM_PRIMS = 8192
+
+# Sphere table lanes: geometry 0..4, material 5..13.
+S_CX, S_CY, S_CZ, S_R2, S_INVR = 0, 1, 2, 3, 4
+S_MAT = 5
+# Triangle table lanes: geometry 0..11 (v0, e1, e2, n), material 12..20.
+T_V0, T_E1, T_E2, T_N = 0, 3, 6, 9
+T_MAT = 12
+# Material lane block (offset from S_MAT / T_MAT):
+#   +0 kind, +1 tex kind, +2 aux (metal fuzz | dielectric ref_idx),
+#   +3..5 color0 (albedo / emit), +6..8 color1 (checker odd)
+N_MAT_COMPS = 9
+
+
+class MegaTables(NamedTuple):
+    """Device-side packed tables; built per frame inside jit (cheap gathers),
+    so skinned vertex updates flow without recompilation."""
+
+    sph: Array       # f32[S_pad, 128]
+    sph_box: Array   # f32[S_chunks_pad, 128] lanes 0..5 = lo.xyz, hi.xyz
+    tri: Array       # f32[T_pad, 128]
+    tri_box: Array   # f32[T_chunks_pad, 128]
+    n_sph: int
+    n_tri: int
+
+
+def megakernel_supported(scene: Scene) -> bool:
+    """Scenes the fused path handles: spheres/triangles only (no rects),
+    constant/checker textures (no image gathers in-kernel), and tables small
+    enough for VMEM residence."""
+    if scene.n_rects:
+        return False
+    if scene.n_spheres > MAX_VMEM_PRIMS or scene.n_triangles > MAX_VMEM_PRIMS:
+        return False
+    kinds = np.asarray(scene.textures.kind)
+    if (kinds == _tex.IMAGE).any():
+        return False
+    return True
+
+
+def _pad_rows(x: Array, mult: int, repeat_last: bool) -> Array:
+    n = x.shape[0]
+    pad = -(-max(n, 1) // mult) * mult - n
+    if pad == 0:
+        return x
+    filler = (jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:]) if repeat_last and n
+              else jnp.zeros((pad,) + x.shape[1:], x.dtype))
+    return jnp.concatenate([x, filler])
+
+
+def _mat_lanes(scene: Scene, mat_id: Array) -> Array:
+    """(N, 9) per-primitive material block (see lane layout above)."""
+    m = scene.materials
+    t = scene.textures
+    kind = m.kind[mat_id]
+    tex_id = m.tex_id[mat_id]
+    tex_kind = t.kind[tex_id]
+    # metal attenuation is the material's albedo color, not a texture
+    # (material.h:87); fold it into color0 with a constant tex kind.
+    is_metal = kind == _mat.METAL
+    c0 = jnp.where(is_metal[:, None], m.albedo[mat_id], t.color0[tex_id])
+    tex_kind = jnp.where(is_metal, _tex.CONSTANT, tex_kind)
+    aux = jnp.where(is_metal, m.fuzz[mat_id], m.ref_idx[mat_id])
+    return jnp.concatenate([
+        kind.astype(jnp.float32)[:, None],
+        tex_kind.astype(jnp.float32)[:, None],
+        aux[:, None],
+        c0,
+        t.color1[tex_id],
+    ], axis=1)
+
+
+def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
+                      ) -> MegaTables:
+    """Pack the scene into the megakernel's (prims, 128) lane tables.
+
+    tri_order: optional static Morton permutation (ops/pallas_intersect.
+    morton_order) making triangle chunks spatially compact for culling; must
+    be computed once from the bind pose so jit caches survive animation.
+    """
+    n_s, n_t = scene.n_spheres, scene.n_triangles
+
+    def pack(cols: Array) -> Array:
+        # cols (N, k<=128) -> (N_pad, 128); pad rows repeat the last prim
+        # (duplicates lose the first-wins tie-break, boxes stay tight).
+        cols = _pad_rows(cols, PRIM_CHUNK, repeat_last=True)
+        lanes = jnp.zeros((cols.shape[0], LANES - cols.shape[1]), jnp.float32)
+        return jnp.concatenate([cols, lanes], axis=1)
+
+    def chunk_boxes(lo: Array, hi: Array) -> Array:
+        lo = _pad_rows(lo, PRIM_CHUNK, repeat_last=True)
+        hi = _pad_rows(hi, PRIM_CHUNK, repeat_last=True)
+        k = lo.shape[0] // PRIM_CHUNK
+        b = jnp.concatenate([
+            lo.reshape(k, PRIM_CHUNK, 3).min(axis=1),
+            hi.reshape(k, PRIM_CHUNK, 3).max(axis=1)], axis=1)   # (k, 6)
+        b = _pad_rows(b, 8, repeat_last=True)  # sublane multiple
+        return jnp.concatenate(
+            [b, jnp.zeros((b.shape[0], LANES - 6), jnp.float32)], axis=1)
+
+    if n_s:
+        sp = scene.spheres
+        cols = jnp.concatenate([
+            sp.center,
+            (sp.radius * sp.radius)[:, None],
+            (1.0 / sp.radius)[:, None],
+            _mat_lanes(scene, sp.mat),
+        ], axis=1)
+        sph = pack(cols)
+        sph_box = chunk_boxes(sp.center - sp.radius[:, None],
+                              sp.center + sp.radius[:, None])
+    else:
+        sph = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
+        sph_box = jnp.zeros((8, LANES), jnp.float32)
+
+    if n_t:
+        tr = scene.triangles
+        v0, v1, v2, nrm, mid = tr.v0, tr.v1, tr.v2, tr.normal, tr.mat
+        if tri_order is not None:
+            order = jnp.asarray(tri_order)
+            v0, v1, v2 = v0[order], v1[order], v2[order]
+            nrm, mid = nrm[order], mid[order]
+        cols = jnp.concatenate([
+            v0, v1 - v0, v2 - v0, nrm, _mat_lanes(scene, mid)], axis=1)
+        tri = pack(cols)
+        tri_box = chunk_boxes(jnp.minimum(jnp.minimum(v0, v1), v2),
+                              jnp.maximum(jnp.maximum(v0, v1), v2))
+    else:
+        tri = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
+        tri_box = jnp.zeros((8, LANES), jnp.float32)
+
+    return MegaTables(sph, sph_box, tri, tri_box, n_s, n_t)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
+                 *rest, n_sph_chunks: int, n_tri_chunks: int, has_sph: bool,
+                 has_tri: bool, max_depth: int, t_min: float, t_max: float,
+                 ambient: float, backface_only: bool, no_t_clip: bool,
+                 back_culling: bool, die_ref_cosine: bool, injected: bool):
+    if injected:
+        uni_ref, seed_ref, out_ref = rest
+    else:
+        uni_ref = None
+        seed_ref, out_ref = rest
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    shape = (TILE_ROWS, LANES)
+    piota = jax.lax.broadcasted_iota(jnp.int32, (PRIM_CHUNK, 1, 1), 0)
+
+    def comp(tbl_ref, base, k):
+        return tbl_ref[pl.ds(base, PRIM_CHUNK), k:k + 1][:, :, None]  # (P,1,1)
+
+    def box_scalar(box_ref, j, k):
+        return box_ref[pl.ds(j, 1), k:k + 1][0, 0]
+
+    def slab(box_ref, j, ox, oy, oz, inv_dx, inv_dy, inv_dz, best_t, lo_cut):
+        tx0 = (box_scalar(box_ref, j, 0) - ox) * inv_dx
+        tx1 = (box_scalar(box_ref, j, 3) - ox) * inv_dx
+        ty0 = (box_scalar(box_ref, j, 1) - oy) * inv_dy
+        ty1 = (box_scalar(box_ref, j, 4) - oy) * inv_dy
+        tz0 = (box_scalar(box_ref, j, 2) - oz) * inv_dz
+        tz1 = (box_scalar(box_ref, j, 5) - oz) * inv_dz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        return (far >= near) & (far >= lo_cut) & (near < best_t)
+
+    def merge(best_t, t3, base):
+        """Chunk reduce: (tmin, exclusive winner mask, take mask)."""
+        tmin = jnp.min(t3, axis=0)
+        idxc = jnp.where(t3 <= tmin[None], piota + base, IDX_BIG)
+        imin = jnp.min(idxc, axis=0)
+        wmask = (piota + base) == imin[None]
+        take = tmin < best_t
+        return tmin, wmask, take
+
+    def pick_attrs(wmask, take, reads, cur):
+        def upd(cur):
+            out = []
+            for val, c in zip(reads, cur):
+                w = jnp.sum(jnp.where(wmask, val(), 0.0), axis=0)
+                out.append(jnp.where(take, w, c))
+            return tuple(out)
+        return jax.lax.cond(jnp.any(take), upd, lambda c: c, cur)
+
+    def sphere_sweep(ox, oy, oz, dx, dy, dz):
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        o3x, o3y, o3z = ox[None], oy[None], oz[None]
+        d3x, d3y, d3z = dx[None], dy[None], dz[None]
+        a3 = a[None]
+
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        attrs = tuple(jnp.zeros(shape, jnp.float32)
+                      for _ in range(4 + N_MAT_COMPS))
+
+        def body(j, carry):
+            best_t, attrs = carry
+            base = j * PRIM_CHUNK
+            reachable = slab(sph_box_ref, j, ox, oy, oz, inv_dx, inv_dy,
+                             inv_dz, best_t, t_min)
+
+            def run(carry):
+                best_t, attrs = carry
+                cx = comp(sph_ref, base, S_CX)
+                cy = comp(sph_ref, base, S_CY)
+                cz = comp(sph_ref, base, S_CZ)
+                r2 = comp(sph_ref, base, S_R2)
+                ocx = o3x - cx
+                ocy = o3y - cy
+                ocz = o3z - cz
+                b = ocx * d3x + ocy * d3y + ocz * d3z
+                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = b * b - a3 * c
+                hit = disc > 0.0
+                sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
+                t0 = (-b - sq) * (1.0 / a3)
+                t1 = (-b + sq) * (1.0 / a3)
+                ok0 = hit & (t0 < t_max) & (t0 > t_min)
+                ok1 = hit & (t1 < t_max) & (t1 > t_min)
+                t3 = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
+                tmin, wmask, take = merge(best_t, t3, base)
+                reads = ([lambda v=cx: v, lambda v=cy: v, lambda v=cz: v,
+                          lambda: comp(sph_ref, base, S_INVR)]
+                         + [functools.partial(comp, sph_ref, base, S_MAT + k)
+                            for k in range(N_MAT_COMPS)])
+                attrs = pick_attrs(wmask, take, reads, attrs)
+                return jnp.where(take, tmin, best_t), attrs
+
+            return jax.lax.cond(jnp.any(reachable), run, lambda c: c,
+                                (best_t, attrs))
+
+        return jax.lax.fori_loop(0, n_sph_chunks, body, (best_t, attrs))
+
+    def tri_sweep(ox, oy, oz, dx, dy, dz):
+        inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        o3x, o3y, o3z = ox[None], oy[None], oz[None]
+        d3x, d3y, d3z = dx[None], dy[None], dz[None]
+        lo_cut = -float(BIG) if no_t_clip else t_min
+
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        attrs = tuple(jnp.zeros(shape, jnp.float32)
+                      for _ in range(3 + N_MAT_COMPS))
+
+        def body(j, carry):
+            best_t, attrs = carry
+            base = j * PRIM_CHUNK
+            reachable = slab(tri_box_ref, j, ox, oy, oz, inv_dx, inv_dy,
+                             inv_dz, best_t, lo_cut)
+
+            def run(carry):
+                best_t, attrs = carry
+                v0x = comp(tri_ref, base, T_V0)
+                v0y = comp(tri_ref, base, T_V0 + 1)
+                v0z = comp(tri_ref, base, T_V0 + 2)
+                e1x = comp(tri_ref, base, T_E1)
+                e1y = comp(tri_ref, base, T_E1 + 1)
+                e1z = comp(tri_ref, base, T_E1 + 2)
+                e2x = comp(tri_ref, base, T_E2)
+                e2y = comp(tri_ref, base, T_E2 + 1)
+                e2z = comp(tri_ref, base, T_E2 + 2)
+                hx = d3y * e2z - d3z * e2y
+                hy = d3z * e2x - d3x * e2z
+                hz = d3x * e2y - d3y * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / a
+                sx = o3x - v0x
+                sy = o3y - v0y
+                sz = o3z - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (d3x * qx + d3y * qy + d3z * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
+                    & (v >= 0.0) & (u + v <= 1.0)
+                if back_culling:       # triangle.h:74
+                    valid &= a >= TRI_EPSILON
+                nx = comp(tri_ref, base, T_N)
+                ny = comp(tri_ref, base, T_N + 1)
+                nz = comp(tri_ref, base, T_N + 2)
+                if backface_only:      # triangle.h:61
+                    valid &= (d3x * nx + d3y * ny + d3z * nz) >= 0.0
+                if no_t_clip:          # triangle.h:92-94 + hitable_list.h:84
+                    valid &= t < t_max
+                else:
+                    valid &= (t > t_min) & (t < t_max)
+                t3 = jnp.where(valid, t, BIG)
+                tmin, wmask, take = merge(best_t, t3, base)
+                reads = ([lambda v=nx: v, lambda v=ny: v, lambda v=nz: v]
+                         + [functools.partial(comp, tri_ref, base, T_MAT + k)
+                            for k in range(N_MAT_COMPS)])
+                attrs = pick_attrs(wmask, take, reads, attrs)
+                return jnp.where(take, tmin, best_t), attrs
+
+            return jax.lax.cond(jnp.any(reachable), run, lambda c: c,
+                                (best_t, attrs))
+
+        return jax.lax.fori_loop(0, n_tri_chunks, body, (best_t, attrs))
+
+    def draw_samples(step):
+        """(ballx, bally, ballz, prob) — in-kernel TPU PRNG (Box-Muller
+        direction + cbrt radius, the core/rng.random_in_unit_sphere
+        distribution) or the injected stream."""
+        if injected:
+            u4 = uni_ref[pl.ds(step * 4, 4)]
+            return u4[0], u4[1], u4[2], u4[3]
+        bits = pltpu.prng_random_bits((6,) + shape)
+        u = (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        r1 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-12)))
+        ang1 = (2.0 * np.pi) * u[1]
+        g0 = r1 * jnp.cos(ang1)
+        g1 = r1 * jnp.sin(ang1)
+        r2 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[2], 1e-12)))
+        g2 = r2 * jnp.cos((2.0 * np.pi) * u[3])
+        inv_norm = 1.0 / jnp.maximum(
+            jnp.sqrt(g0 * g0 + g1 * g1 + g2 * g2), 1e-12)
+        rad = jnp.exp(jnp.log(jnp.maximum(u[4], 1e-30)) * (1.0 / 3.0))
+        s = inv_norm * rad
+        return g0 * s, g1 * s, g2 * s, u[5]
+
+    # ------------------------------------------------------------------
+    # Bounce loop
+    # ------------------------------------------------------------------
+    def bounce(step, carry):
+        def live(carry):
+            (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb, alive) = carry
+
+            if has_sph:
+                s_t, s_at = sphere_sweep(ox, oy, oz, dx, dy, dz)
+            else:
+                s_t = jnp.full(shape, BIG, jnp.float32)
+                s_at = tuple(jnp.zeros(shape, jnp.float32)
+                             for _ in range(4 + N_MAT_COMPS))
+            if has_tri:
+                t_t, t_at = tri_sweep(ox, oy, oz, dx, dy, dz)
+            else:
+                t_t = jnp.full(shape, BIG, jnp.float32)
+                t_at = tuple(jnp.zeros(shape, jnp.float32)
+                             for _ in range(3 + N_MAT_COMPS))
+
+            tri_w = t_t < s_t
+            t = jnp.where(tri_w, t_t, s_t)
+            hit = t < BIG_CUT
+
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
+            # normal: sphere (p - c) / r  (sphere.h:40) vs stored face normal
+            s_nx = (px - s_at[0]) * s_at[3]
+            s_ny = (py - s_at[1]) * s_at[3]
+            s_nz = (pz - s_at[2]) * s_at[3]
+            nx = jnp.where(tri_w, t_at[0], s_nx)
+            ny = jnp.where(tri_w, t_at[1], s_ny)
+            nz = jnp.where(tri_w, t_at[2], s_nz)
+            m = [jnp.where(tri_w, t_at[3 + k], s_at[4 + k])
+                 for k in range(N_MAT_COMPS)]
+            kind, texk, aux = m[0], m[1], m[2]
+            c0r, c0g, c0b, c1r, c1g, c1b = m[3], m[4], m[5], m[6], m[7], m[8]
+
+            # texture value at p (texture.h: constant / checker sin products)
+            sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
+            odd = sines < 0.0
+            is_chk = texk == float(_tex.CHECKER)
+            texr = jnp.where(is_chk & odd, c1r, c0r)
+            texg = jnp.where(is_chk & odd, c1g, c0g)
+            texb = jnp.where(is_chk & odd, c1b, c0b)
+
+            is_light = kind == float(_mat.DIFFUSE_LIGHT)
+            emr = jnp.where(is_light, texr, 0.0)
+            emg = jnp.where(is_light, texg, 0.0)
+            emb = jnp.where(is_light, texb, 0.0)
+
+            ballx, bally, ballz, prob = draw_samples(step)
+
+            # LAMBERTIAN (material.h:60-68): dir = n + ball
+            lamx = nx + ballx
+            lamy = ny + bally
+            lamz = nz + ballz
+
+            # METAL (material.h:81-92)
+            d_len2 = dx * dx + dy * dy + dz * dz
+            inv_dlen = 1.0 / jnp.sqrt(d_len2)
+            udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
+            ud_n = udx * nx + udy * ny + udz * nz
+            refx = udx - 2.0 * ud_n * nx
+            refy = udy - 2.0 * ud_n * ny
+            refz = udz - 2.0 * ud_n * nz
+            metx = refx + aux * ballx
+            mety = refy + aux * bally
+            metz = refz + aux * ballz
+            met_ok = (metx * nx + mety * ny + metz * nz) > 0.0
+
+            # DIELECTRIC (material.h:104-141)
+            d_n = dx * nx + dy * ny + dz * nz
+            exiting = d_n > 0.0
+            sgn = jnp.where(exiting, -1.0, 1.0)          # outward normal sign
+            onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+            ni = jnp.where(exiting, aux, 1.0 / aux)
+            cos_plain = jnp.where(exiting, d_n, -d_n) * inv_dlen
+            if die_ref_cosine:   # material.h:116-117 nonstandard exit cosine
+                qv = 1.0 - aux * aux * (1.0 - cos_plain * cos_plain)
+                cos_exit = jnp.where(qv > 0.0,
+                                     jnp.sqrt(jnp.maximum(qv, 0.0)), 0.0)
+                cosine = jnp.where(exiting, cos_exit, cos_plain)
+            else:
+                cosine = cos_plain
+            # refract(d, outward, ni): on unit d
+            dtv = udx * onx + udy * ony + udz * onz
+            disc_r = 1.0 - ni * ni * (1.0 - dtv * dtv)
+            refr_ok = disc_r > 0.0
+            sq_r = jnp.sqrt(jnp.maximum(disc_r, 0.0))
+            refrx = ni * (udx - onx * dtv) - onx * sq_r
+            refry = ni * (udy - ony * dtv) - ony * sq_r
+            refrz = ni * (udz - onz * dtv) - onz * sq_r
+            # schlick (material.h:33-37)
+            r0 = (1.0 - aux) / (1.0 + aux)
+            r0 = r0 * r0
+            one_c = 1.0 - cosine
+            one_c5 = one_c * one_c
+            one_c5 = one_c5 * one_c5 * one_c
+            refl_p = jnp.where(refr_ok, r0 + (1.0 - r0) * one_c5, 1.0)
+            # reflect on the UNNORMALIZED direction (material.h:107)
+            drefx = dx - 2.0 * d_n * nx
+            drefy = dy - 2.0 * d_n * ny
+            drefz = dz - 2.0 * d_n * nz
+            take_refl = prob < refl_p
+            diex = jnp.where(take_refl, drefx, refrx)
+            diey = jnp.where(take_refl, drefy, refry)
+            diez = jnp.where(take_refl, drefz, refrz)
+
+            # select by material kind
+            is_met = kind == float(_mat.METAL)
+            is_die = kind == float(_mat.DIELECTRIC)
+            outx = jnp.where(is_met, metx, lamx)
+            outy = jnp.where(is_met, mety, lamy)
+            outz = jnp.where(is_met, metz, lamz)
+            outx = jnp.where(is_die, diex, outx)
+            outy = jnp.where(is_die, diey, outy)
+            outz = jnp.where(is_die, diez, outz)
+            attr = jnp.where(is_met | is_die, 1.0, 0.0)
+            atr = jnp.where(is_die, 1.0, jnp.where(is_met, c0r, texr))
+            atg = jnp.where(is_die, 1.0, jnp.where(is_met, c0g, texg))
+            atb = jnp.where(is_die, 1.0, jnp.where(is_met, c0b, texb))
+            ok = jnp.where(is_met, met_ok, ~is_light)
+
+            # sky (render.h:41-46) on the CURRENT direction
+            sky_t = 0.5 * (dy * inv_dlen + 1.0)
+            skyr = (1.0 - sky_t) + sky_t * 0.5
+            skyg = (1.0 - sky_t) + sky_t * 0.7
+            skyb = (1.0 - sky_t) + sky_t * 1.0
+
+            can_rec = step < max_depth            # render.h:57 depth > 0
+            continues = alive & hit & ok & can_rec
+            absorbed = alive & hit & ~(ok & can_rec)
+            missed = alive & ~hit
+
+            cr = jnp.where(alive & hit, emr, 0.0) \
+                + jnp.where(absorbed, ambient, 0.0) \
+                + jnp.where(missed, skyr, 0.0)
+            cg = jnp.where(alive & hit, emg, 0.0) \
+                + jnp.where(absorbed, ambient, 0.0) \
+                + jnp.where(missed, skyg, 0.0)
+            cb = jnp.where(alive & hit, emb, 0.0) \
+                + jnp.where(absorbed, ambient, 0.0) \
+                + jnp.where(missed, skyb, 0.0)
+            rr = rr + tr_ * cr
+            rg = rg + tg * cg
+            rb = rb + tb * cb
+
+            tr_ = jnp.where(continues, tr_ * atr, tr_)
+            tg = jnp.where(continues, tg * atg, tg)
+            tb = jnp.where(continues, tb * atb, tb)
+            ox = jnp.where(continues, px, ox)
+            oy = jnp.where(continues, py, oy)
+            oz = jnp.where(continues, pz, oz)
+            dx = jnp.where(continues, outx, dx)
+            dy = jnp.where(continues, outy, dy)
+            dz = jnp.where(continues, outz, dz)
+            return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb,
+                    continues)
+
+        alive = carry[-1]
+        return jax.lax.cond(jnp.any(alive), live, lambda c: c, carry)
+
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    one = jnp.ones(shape, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    carry = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
+             jnp.ones(shape, jnp.bool_))
+    carry = jax.lax.fori_loop(0, max_depth + 1, bounce, carry)
+    out_ref[0] = carry[9]
+    out_ref[1] = carry[10]
+    out_ref[2] = carry[11]
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:
+    """SampleStream arrays -> (4 * steps, rows, LANES) kernel input planes."""
+    steps = ball.shape[0]
+    planes = []
+    for i in range(steps):
+        for comp in range(3):
+            planes.append(_pad_rays(ball[i, :, comp], rows))
+        planes.append(_pad_rays(prob[i], rows))
+    return jnp.stack(planes)
+
+
+def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
+                    cfg: RenderConfig, tables: Optional[MegaTables] = None,
+                    samples=None) -> Array:
+    """Fused path integrator — drop-in for integrators.trace_path on
+    supported scenes (forward only).  Returns radiance f32[N, 3].
+
+    samples: optional integrators.SampleStream for injected-sample parity.
+    On non-TPU backends, where the Mosaic PRNG doesn't lower, the wrapper
+    injects stream_from_key(key, ...) — the jnp integrator's exact stream —
+    automatically, so CPU results match trace_path to fp tolerance.
+    """
+    from .integrators import stream_from_key   # local: avoid import cycle
+
+    if tables is None:
+        tables = build_mega_tables(scene)
+    n = rays.origin.shape[0]
+    rows = _ray_rows(n)
+    o = jnp.stack([_pad_rays(rays.origin[:, k], rows) for k in range(3)])
+    d = jnp.stack([_pad_rays(rays.direction[:, k], rows) for k in range(3)])
+
+    injected = samples is not None
+    if not injected and _interpret():
+        samples = stream_from_key(key, n, cfg.max_depth)
+        injected = True
+
+    q = cfg.quirks
+    kernel = functools.partial(
+        _mega_kernel,
+        n_sph_chunks=tables.sph.shape[0] // PRIM_CHUNK,
+        n_tri_chunks=tables.tri.shape[0] // PRIM_CHUNK,
+        has_sph=tables.n_sph > 0, has_tri=tables.n_tri > 0,
+        max_depth=cfg.max_depth, t_min=float(cfg.t_min),
+        t_max=float(cfg.t_max), ambient=float(q.ambient_on_absorb),
+        backface_only=q.triangle_backface_only,
+        no_t_clip=q.triangle_no_t_clip,
+        back_culling=q.triangle_back_culling,
+        die_ref_cosine=q.dielectric_reference_cosine,
+        injected=injected)
+
+    grid = (rows // TILE_ROWS,)
+    full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.VMEM)
+    tile3 = lambda k: pl.BlockSpec((k, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+    in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
+                full(tables.tri.shape), full(tables.tri_box.shape),
+                tile3(3), tile3(3)]
+    args = [tables.sph, tables.sph_box, tables.tri, tables.tri_box, o, d]
+    if injected:
+        planes = _stream_planes(samples.ball, samples.prob, rows)
+        in_specs.append(tile3(planes.shape[0]))
+        args.append(planes)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    args.append(seed)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tile3(3),
+        out_shape=jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(*args)
+    return out.reshape(3, -1)[:, :n].T

@@ -309,7 +309,8 @@ def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
 
 def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
                      n_chunks: int, t_min: float, t_max: float,
-                     backface_only: bool, no_t_clip: bool):
+                     backface_only: bool, no_t_clip: bool,
+                     back_culling: bool):
     seg = pl.program_id(1)
     seg_base = seg * SEG_PRIMS
 
@@ -359,6 +360,8 @@ def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
 
         valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
             & (v >= 0.0) & (u + v <= 1.0)
+        if back_culling:    # triangle.h:74 (quirk-gated; scenes pass false)
+            valid &= a >= TRI_EPSILON
         if backface_only:   # triangle.h:61
             nx, ny, nz = comp(9), comp(10), comp(11)
             valid &= (dx * nx + dy * ny + dz * nz) >= 0.0
@@ -377,7 +380,7 @@ def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
 def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
                             out_i_ref, *, n_chunks: int, t_min: float,
                             t_max: float, backface_only: bool,
-                            no_t_clip: bool):
+                            no_t_clip: bool, back_culling: bool):
     """Triangle sweep with TILED AABB CULLING.
 
     Triangles arrive Morton-sorted, so each PRIM_CHUNK chunk is spatially
@@ -464,6 +467,8 @@ def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
             t = f * (e2x * qx + e2y * qy + e2z * qz)
             valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
                 & (v >= 0.0) & (u + v <= 1.0)
+            if back_culling:   # triangle.h:74
+                valid &= a >= TRI_EPSILON
             if backface_only:
                 nx, ny, nz = comp(9), comp(10), comp(11)
                 valid &= (dx * nx + dy * ny + dz * nz) >= 0.0
@@ -567,7 +572,8 @@ def _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows, t_min,
     kernel = functools.partial(
         _triangle_kernel_culled, n_chunks=seg_chunks, t_min=float(t_min),
         t_max=float(t_max), backface_only=quirks.triangle_backface_only,
-        no_t_clip=quirks.triangle_no_t_clip)
+        no_t_clip=quirks.triangle_no_t_clip,
+        back_culling=quirks.triangle_back_culling)
     out_t, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -611,7 +617,8 @@ def _triangle_best_hit_plain(o, d, v0, v1, v2, normal, n, rows, t_min,
         _triangle_kernel, n_chunks=seg_prims // PRIM_CHUNK,
         t_min=float(t_min), t_max=float(t_max),
         backface_only=quirks.triangle_backface_only,
-        no_t_clip=quirks.triangle_no_t_clip)
+        no_t_clip=quirks.triangle_no_t_clip,
+        back_culling=quirks.triangle_back_culling)
     out_t, out_i = pl.pallas_call(
         kernel,
         grid=grid,

@@ -73,12 +73,13 @@ class Triangle:
     """triangle.h:57-100 with quirks: backface-only + no t clamp."""
 
     def __init__(self, v0, v1, v2, normal, mat,
-                 backface_only=True, no_t_clip=True):
+                 backface_only=True, no_t_clip=True, back_culling=False):
         self.v = [np.asarray(x, np.float64) for x in (v0, v1, v2)]
         self.normal = np.asarray(normal, np.float64)
         self.mat = mat
         self.backface_only = backface_only
         self.no_t_clip = no_t_clip
+        self.back_culling = back_culling   # triangle.h ctor cull flag
 
     def hit(self, o, d, t_min, t_max):
         if self.backface_only and np.dot(d, self.normal) < 0:
@@ -87,7 +88,9 @@ class Triangle:
         e2 = self.v[2] - self.v[0]
         h = np.cross(d, e2)
         a = np.dot(e1, h)
-        if -TRI_EPS < a < TRI_EPS:
+        if a < TRI_EPS and self.back_culling:   # triangle.h:74
+            return None
+        if -TRI_EPS < a < TRI_EPS:              # triangle.h:77-78
             return None
         f = 1.0 / a
         s = o - self.v[0]

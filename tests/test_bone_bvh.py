@@ -99,6 +99,44 @@ def test_forest_refit():
     ids = np.nonzero(leaf)[0]
     assert (lo[ids] <= tlo[p0[ids]] + 1e-3).all()
     assert (hi[ids] >= thi[p0[ids]] - 1e-3).all()
+    # ...and every INTERNAL node bounds its children (regression: concatenated
+    # forests once merged refit levels root-first, leaving internal boxes at
+    # the bind pose after deformation)
+    cl = np.asarray(refit.child_l)
+    cr = np.asarray(refit.child_r)
+    internal = np.nonzero(~leaf)[0]
+    assert (lo[internal] <= lo[cl[internal]] + 1e-4).all()
+    assert (lo[internal] <= lo[cr[internal]] + 1e-4).all()
+    assert (hi[internal] >= hi[cl[internal]] - 1e-4).all()
+    assert (hi[internal] >= hi[cr[internal]] - 1e-4).all()
+
+
+def test_forest_refit_large_translation():
+    """Repro from the round-1 advisor: a +100 translation refit must move the
+    ROOT boxes, not just the leaves, so traversal still finds the mesh."""
+    tris = np.array([[[i, 0, 0], [i + 0.5, 0, 0], [i, 0.5, 0]]
+                     for i in range(8)], np.float32)
+    v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    weights = np.ones((24, 1), np.float32)    # one bone owns every vertex
+    faces = np.arange(24).reshape(8, 3)
+    forest = bb.build_bone_forest(v0, v1, v2, weights, faces)
+    shift = np.float32(100.0)
+    refit = bvhmod.refit_bvh(forest.bvh, jnp.asarray(v0 + shift),
+                             jnp.asarray(v1 + shift), jnp.asarray(v2 + shift))
+    lo = np.asarray(refit.bbox_min)
+    hi = np.asarray(refit.bbox_max)
+    # every node (root included) must now live at >= 99
+    assert (lo >= 99.0).all() and (hi >= 99.0).all()
+    # and a ray aimed at the moved mesh must hit through the forest
+    rays = make_rays(jnp.asarray([[100.25, 100.1, 105.0]], jnp.float32),
+                     jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32))
+    # stored normal -z so dot(d, n) >= 0 passes the backface-only quirk
+    nrm = np.tile(np.array([[0, 0, -1]], np.float32), (8, 1))
+    bt, bp = bvhmod.traverse_bvh(refit, jnp.asarray(v0 + shift),
+                                 jnp.asarray(v1 + shift),
+                                 jnp.asarray(v2 + shift), jnp.asarray(nrm),
+                                 rays, 1e-3, 3.4e38, Quirks.reference())
+    assert int(bp[0]) >= 0
 
 
 def test_keyframe_track():

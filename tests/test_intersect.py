@@ -167,6 +167,89 @@ def test_rect_intersection():
     np.testing.assert_allclose(hits.u[0], 1.0, rtol=1e-4)  # x=0.5 -> u=1
 
 
+def test_rect_sphere_occlusion_unnormalized_dirs():
+    """Regression (round-1 advisor): rect t was measured along the normalized
+    ScaleRay'd direction while sphere t used the raw direction, so occlusion
+    between them depended on |direction|.  A rect at z=3 in front of a sphere
+    at z=0 (camera at z=8) must win at EVERY |d| — camera rays are
+    deliberately unnormalized with |d| ~ focus_dist."""
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(1, 1, 1))
+    b.add_sphere((0, 0, 0), 1.0, mat)
+    b.add_rect(mat, flip=False, position=(0, 0, 3))
+    scene = b.build()
+
+    for dlen in (1.0, 10.0, 0.1):
+        r = _rays([[0, 0, 8]], [[0, 0, -dlen]])
+        hits = isect.intersect_scene(scene, r)
+        assert int(hits.prim[0]) == 1, f"|d|={dlen}: sphere shone through rect"
+        # t in raw-direction parameterization: world distance 5 / |d|
+        np.testing.assert_allclose(hits.t[0], 5.0 / dlen, rtol=1e-5)
+    # and with the rect BEHIND the sphere the sphere must win at every |d|
+    b2 = SceneBuilder()
+    m2 = b2.materials.lambertian(color=(1, 1, 1))
+    b2.add_sphere((0, 0, 3), 1.0, m2)
+    b2.add_rect(m2, flip=False, position=(0, 0, 0))
+    s2 = b2.build()
+    for dlen in (1.0, 10.0):
+        r = _rays([[0, 0, 8]], [[0, 0, -dlen]])
+        hits = isect.intersect_scene(s2, r)
+        assert int(hits.prim[0]) == 0, f"|d|={dlen}: rect won behind sphere"
+
+
+def test_rect_scaled_t_parameterization():
+    """Scaled rect occluding a sphere: ScaleRay leaves the ray ORIGIN
+    unscaled (transform.h:50-54 quirk), so a uniformly scaled rect's plane
+    stays at world z=position.z and its native t is a true distance along a
+    unit vector — the rescaled t must equal world distance / |d| regardless
+    of the scale factor, and occlusion must be |d|-independent."""
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(1, 1, 1))
+    b.add_sphere((0, 0, 0), 1.0, mat)
+    b.add_rect(mat, flip=False, position=(0, 0, 4.5), scale=(4, 4, 4))
+    scene = b.build()
+    for dlen in (1.0, 10.0):
+        r = _rays([[0.2, 0.2, 8]], [[0, 0, -dlen]])
+        hits = isect.intersect_scene(scene, r, quirks=Quirks.reference())
+        assert bool(hits.hit[0])
+        assert int(hits.prim[0]) == 1, f"|d|={dlen}"
+        np.testing.assert_allclose(hits.t[0], 3.5 / dlen, rtol=1e-5)
+
+
+def test_triangle_back_culling_flag():
+    """triangle.h:74 — with backCulling=true a NEGATIVE determinant ray
+    misses; with the reference's cull=false (createScene.h:185) it hits, and
+    the unconditional two-sided epsilon test (triangle.h:77-78) still
+    applies.  Pinned against the oracle."""
+    # backface_only off so the determinant path is reachable from both sides
+    q_nocull = Quirks(triangle_backface_only=False)
+    q_cull = Quirks(triangle_backface_only=False, triangle_back_culling=True)
+
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(1, 1, 1))
+    # For this winding, a -z ray gives a = dot(e1, d x e2) = +4 (front
+    # determinant) and a +z ray gives a = -4 (back determinant).
+    b.add_triangle((-1, -1, -3), (1, -1, -3), (0, 1, -3), mat, normal=(0, 0, 1))
+    scene = b.build()
+    r_neg = _rays([[0, 0, -6]], [[0, 0, 1]])    # a < 0: culled when flag set
+    r_pos = _rays([[0, 0, 0]], [[0, 0, -1]])    # a > 0: hits in both modes
+
+    for r, o, d in ((r_neg, [0, 0, -6], [0, 0, 1]),
+                    (r_pos, [0, 0, 0], [0, 0, -1])):
+        for q, cull in ((q_nocull, False), (q_cull, True)):
+            got = isect.intersect_scene(scene, r, quirks=q)
+            tri = oracle.Triangle((-1, -1, -3), (1, -1, -3), (0, 1, -3),
+                                  (0, 0, 1), 0, backface_only=False,
+                                  back_culling=cull)
+            rec = tri.hit(np.asarray(o, float), np.asarray(d, float),
+                          1e-3, oracle.FLT_MAX)
+            assert bool(got.hit[0]) == (rec is not None), (cull, o)
+    # sanity: the flag actually flips the negative-determinant outcome
+    assert bool(isect.intersect_scene(scene, r_neg, quirks=q_nocull).hit[0])
+    assert not bool(isect.intersect_scene(scene, r_neg, quirks=q_cull).hit[0])
+    assert bool(isect.intersect_scene(scene, r_pos, quirks=q_cull).hit[0])
+
+
 def test_mixed_scene_types():
     b = SceneBuilder()
     mat = b.materials.lambertian(color=(1, 1, 1))
