@@ -93,10 +93,17 @@ class RenderConfig:
     # Rays are processed in chunks of this many pixels*samples to bound memory.
     ray_chunk: int = 1 << 18
     dtype: str = "float32"
+    # 'wavefront': per-bounce intersect + XLA shading (differentiable, any
+    # scene).  'mega': the fused Pallas megakernel (ops/megakernel.py) — the
+    # whole bounce loop in one kernel, forward-only, spheres+triangles scenes;
+    # unsupported scenes fall back to wavefront automatically.
+    engine: str = "wavefront"
 
     def __post_init__(self):
         if self.integrator not in INTEGRATORS:
             raise ValueError(f"integrator must be one of {INTEGRATORS}")
+        if self.engine not in ("wavefront", "mega"):
+            raise ValueError("engine must be 'wavefront' or 'mega'")
 
     @property
     def aspect(self) -> float:

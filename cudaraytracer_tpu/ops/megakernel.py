@@ -90,26 +90,27 @@ N_MAT_COMPS = 9
 
 class MegaTables(NamedTuple):
     """Device-side packed tables; built per frame inside jit (cheap gathers),
-    so skinned vertex updates flow without recompilation."""
+    so skinned vertex updates flow without recompilation.  Array-only pytree
+    (prim counts come from the Scene's static shapes) so it can flow through
+    jit as an operand."""
 
     sph: Array       # f32[S_pad, 128]
     sph_box: Array   # f32[S_chunks_pad, 128] lanes 0..5 = lo.xyz, hi.xyz
     tri: Array       # f32[T_pad, 128]
     tri_box: Array   # f32[T_chunks_pad, 128]
-    n_sph: int
-    n_tri: int
 
 
 def megakernel_supported(scene: Scene) -> bool:
     """Scenes the fused path handles: spheres/triangles only (no rects),
     constant/checker textures (no image gathers in-kernel), and tables small
-    enough for VMEM residence."""
+    enough for VMEM residence.  Uses only STATIC shape information so it can
+    gate the engine choice inside jit (a TextureBuilder with no images packs
+    a (1,1,1,3) dummy image array)."""
     if scene.n_rects:
         return False
     if scene.n_spheres > MAX_VMEM_PRIMS or scene.n_triangles > MAX_VMEM_PRIMS:
         return False
-    kinds = np.asarray(scene.textures.kind)
-    if (kinds == _tex.IMAGE).any():
+    if scene.textures.images.shape[0] > 1:   # image textures registered
         return False
     return True
 
@@ -205,7 +206,7 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
         tri = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
         tri_box = jnp.zeros((8, LANES), jnp.float32)
 
-    return MegaTables(sph, sph_box, tri, tri_box, n_s, n_t)
+    return MegaTables(sph, sph_box, tri, tri_box)
 
 
 # ---------------------------------------------------------------------------
@@ -625,7 +626,7 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
         _mega_kernel,
         n_sph_chunks=tables.sph.shape[0] // PRIM_CHUNK,
         n_tri_chunks=tables.tri.shape[0] // PRIM_CHUNK,
-        has_sph=tables.n_sph > 0, has_tri=tables.n_tri > 0,
+        has_sph=scene.n_spheres > 0, has_tri=scene.n_triangles > 0,
         max_depth=cfg.max_depth, t_min=float(cfg.t_min),
         t_max=float(cfg.t_max), ambient=float(q.ambient_on_absorb),
         backface_only=q.triangle_backface_only,

@@ -130,14 +130,29 @@ class HitList:
 
 class Lambertian:
     def __init__(self, albedo):
-        self.albedo = np.asarray(albedo, np.float64)
+        # albedo: RGB triple, or a callable p -> RGB (texture, e.g. checker)
+        self.albedo = albedo if callable(albedo) else np.asarray(albedo, np.float64)
 
     def emitted(self, rec):
         return np.zeros(3)
 
     def scatter(self, o, d, rec, sampler):
         target_dir = rec["normal"] + sampler.unit_ball()
-        return True, rec["p"], target_dir, self.albedo.copy()
+        att = (self.albedo(rec["p"]) if callable(self.albedo)
+               else self.albedo.copy())
+        return True, rec["p"], target_dir, att
+
+
+def checker_texture(even, odd):
+    """texture.h:25-42 CheckerTexture as a callable for oracle Lambertian."""
+    even = np.asarray(even, np.float64)
+    odd = np.asarray(odd, np.float64)
+
+    def value(p):
+        sines = math.sin(10 * p[0]) * math.sin(10 * p[1]) * math.sin(10 * p[2])
+        return (odd if sines < 0 else even).copy()
+
+    return value
 
 
 class Metal:
@@ -202,6 +217,31 @@ class ZeroSampler:
         return 0.0
 
 
+class InjectedSampler:
+    """Per-bounce-step injected draws for ONE ray, matching the layout of
+    cudaraytracer_tpu.ops.integrators.SampleStream: scan step i (== recursion
+    depth max_depth - i) consumes ball[i] and prob[i] regardless of which
+    material (or none) actually uses them — the branch-free renderers draw
+    both every step.  shade() announces the current recursion depth via
+    on_depth() so the cursor stays aligned even though this oracle only
+    *consumes* draws lazily."""
+
+    def __init__(self, balls, probs, max_depth):
+        self.balls = np.asarray(balls, np.float64)   # (max_depth+1, 3)
+        self.probs = np.asarray(probs, np.float64)   # (max_depth+1,)
+        self.max_depth = max_depth
+        self.step = 0
+
+    def on_depth(self, depth):
+        self.step = self.max_depth - depth
+
+    def unit_ball(self):
+        return self.balls[self.step].copy()
+
+    def uniform(self):
+        return float(self.probs[self.step])
+
+
 # --- integrators ------------------------------------------------------------
 
 def shade(world, o, d, depth, sampler, ambient=0.1):
@@ -211,6 +251,8 @@ def shade(world, o, d, depth, sampler, ambient=0.1):
         mat = rec["mat"]
         emitted = mat.emitted(rec)
         if depth > 0:
+            if hasattr(sampler, "on_depth"):
+                sampler.on_depth(depth)
             ok, so, sd, att = mat.scatter(o, d, rec, sampler)
             if ok:
                 return emitted + att * shade(world, so, sd, depth - 1, sampler, ambient)

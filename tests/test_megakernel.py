@@ -1,0 +1,172 @@
+"""Megakernel (fused path tracer) golden tests vs the wavefront integrator.
+
+On CPU the kernel runs in interpret mode with the injected sample stream
+derived from the SAME threefry key the wavefront path uses internally, so
+results must agree to float32-reassociation tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudaraytracer_tpu.config import Quirks, RenderConfig
+from cudaraytracer_tpu.core import camera as cam_mod
+from cudaraytracer_tpu.models import presets
+from cudaraytracer_tpu.models.scene import SceneBuilder
+from cudaraytracer_tpu.ops import integrators as integ
+from cudaraytracer_tpu.ops import megakernel as mk
+from cudaraytracer_tpu.ops import render as render_ops
+from cudaraytracer_tpu.ops.pallas_intersect import morton_order
+
+
+def _cfg(**kw):
+    kw.setdefault("width", 64)
+    kw.setdefault("height", 32)
+    kw.setdefault("samples", 2)
+    kw.setdefault("max_depth", 8)
+    kw.setdefault("integrator", "path")
+    return RenderConfig(**kw)
+
+
+def _mixed_scene():
+    """Spheres + triangles, all four materials, checker texture."""
+    b = SceneBuilder()
+    m = b.materials
+    chk = m.lambertian(m.textures.checker((0.9, 0.9, 0.9), (0.1, 0.2, 0.1)))
+    red = m.lambertian(color=(0.9, 0.2, 0.2))
+    met = m.metal((0.8, 0.7, 0.3), fuzz=0.2)
+    glass = m.dielectric(1.5)
+    light = m.diffuse_light(color=(4.0, 4.0, 4.0))
+    b.add_sphere((0, -100.5, -3), 100.0, chk)
+    b.add_sphere((-1.1, 0, -3), 0.5, glass)
+    b.add_sphere((1.1, 0, -3), 0.5, met)
+    pts = np.array([[0, 0, -3], [0.5, 0, -2.6], [-0.5, 0, -2.6],
+                    [0, 0.8, -2.8]], np.float32)
+    for tri in [(0, 1, 3), (1, 2, 3), (2, 0, 3), (0, 2, 1)]:
+        v = pts[list(tri)]
+        b.add_triangle(v[0], v[1], v[2], red)
+    b.add_triangle((-1, 2.0, -2.5), (1, 2.0, -2.5), (0, 2.0, -4), light,
+                   normal=(0, -1, 0))
+    scene = b.build()
+    cam = cam_mod.make_camera((0, 0.4, 2), (0, 0.2, -3), vfov=45, aspect=2.0,
+                              focus_dist=5.0)
+    return scene, cam
+
+
+def _rays(scene_cam, cfg, key):
+    _, cam = scene_cam
+    return cam_mod.generate_pixel_rays(cam, cfg.width, cfg.height,
+                                       cfg.samples, key)
+
+
+def test_mega_matches_wavefront_three_spheres():
+    scene, cam = presets.three_spheres(aspect=2.0)
+    cfg = _cfg()
+    rays = cam_mod.generate_pixel_rays(cam, cfg.width, cfg.height,
+                                       cfg.samples, jax.random.key(0))
+    ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(7), cfg))
+    got = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(7), cfg))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_mega_matches_wavefront_mixed_both_quirks():
+    sc = _mixed_scene()
+    scene, _ = sc
+    order = morton_order(np.asarray(scene.triangles.v0),
+                         np.asarray(scene.triangles.v1),
+                         np.asarray(scene.triangles.v2))
+    for quirks in (Quirks.reference(), Quirks.fixed()):
+        cfg = _cfg(quirks=quirks)
+        rays = _rays(sc, cfg, jax.random.key(3))
+        n = rays.origin.shape[0]
+        stream = integ.stream_from_key(jax.random.key(9), n, cfg.max_depth)
+        ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(9),
+                                          cfg, samples=stream))
+        tables = mk.build_mega_tables(scene, tri_order=order)
+        got = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(9),
+                                            cfg, tables=tables,
+                                            samples=stream))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_mega_single_type_scenes():
+    """Sphere-only and triangle-only scenes exercise the has_sph/has_tri
+    static specializations."""
+    cfg = _cfg()
+    # triangle-only
+    b = SceneBuilder()
+    m2 = b.materials.lambertian(color=(0.4, 0.6, 0.9))
+    pts = np.array([[0, 0, -3], [0.5, 0, -2.6], [-0.5, 0, -2.6],
+                    [0, 0.8, -2.8]], np.float32)
+    for tri in [(0, 1, 3), (1, 2, 3), (2, 0, 3), (0, 2, 1)]:
+        v = pts[list(tri)]
+        b.add_triangle(v[0], v[1], v[2], m2)
+    s_tri = b.build()
+    cam = cam_mod.make_camera((0, 0.4, 2), (0, 0.2, -3), vfov=45, aspect=2.0,
+                              focus_dist=5.0)
+    rays = cam_mod.generate_pixel_rays(cam, cfg.width, cfg.height,
+                                       cfg.samples, jax.random.key(1))
+    ref = np.asarray(integ.trace_path(s_tri, rays, jax.random.key(2), cfg))
+    got = np.asarray(mk.trace_path_mega(s_tri, rays, jax.random.key(2), cfg))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+    # sphere-only (three_spheres covers it, but check an empty-triangle build)
+    scene, _ = presets.three_spheres(aspect=2.0)
+    assert scene.n_triangles == 0
+    assert mk.megakernel_supported(scene)
+
+
+def test_mega_engine_render_image_and_fallback():
+    """cfg.engine='mega' renders full images through the standard driver and
+    matches engine='wavefront'; scenes with rects fall back automatically."""
+    scene, cam = presets.three_spheres(aspect=2.0)
+    cfg_wave = _cfg(samples=1)
+    cfg_mega = _cfg(samples=1, engine="mega")
+    img_w = np.asarray(render_ops.render_image(scene, cam, jax.random.key(5),
+                                               cfg_wave))
+    img_m = np.asarray(render_ops.render_image(scene, cam, jax.random.key(5),
+                                               cfg_mega))
+    np.testing.assert_allclose(img_m, img_w, atol=3e-4)
+
+    # light_box has a rect -> unsupported -> automatic wavefront fallback
+    scene2, cam2 = presets.light_box(aspect=2.0)
+    assert not mk.megakernel_supported(scene2)
+    img2_w = np.asarray(render_ops.render_image(scene2, cam2,
+                                                jax.random.key(6), cfg_wave))
+    img2_m = np.asarray(render_ops.render_image(scene2, cam2,
+                                                jax.random.key(6), cfg_mega))
+    np.testing.assert_allclose(img2_m, img2_w, atol=1e-6)
+
+
+def test_mega_tables_refit_flow():
+    """Rebuilding tables from updated vertices (animation) changes results
+    without recompilation — tables are traced operands."""
+    sc = _mixed_scene()
+    scene, cam = sc
+    cfg = _cfg(samples=1)
+    rays = _rays(sc, cfg, jax.random.key(4))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(11), n, cfg.max_depth)
+
+    calls = {"n": 0}
+
+    @jax.jit
+    def render(tables, scene):
+        calls["n"] += 1
+        return mk.trace_path_mega(scene, rays, jax.random.key(11), cfg,
+                                  tables=tables, samples=stream)
+
+    t0 = mk.build_mega_tables(scene)
+    r0 = render(t0, scene)
+    # shift the pyramid up by 0.4: rebuild tables from the updated scene
+    tr = scene.triangles
+    shift = jnp.asarray([0.0, 0.4, 0.0])
+    scene2 = scene.with_triangle_vertices(tr.v0 + shift, tr.v1 + shift,
+                                          tr.v2 + shift)
+    t1 = mk.build_mega_tables(scene2)
+    r1 = render(t1, scene2)
+    assert calls["n"] == 1          # same trace, no recompilation
+    assert np.abs(np.asarray(r0) - np.asarray(r1)).max() > 1e-3
+    ref = np.asarray(integ.trace_path(scene2, rays, jax.random.key(11), cfg,
+                                      samples=stream))
+    np.testing.assert_allclose(np.asarray(r1), ref, atol=2e-4, rtol=1e-4)
