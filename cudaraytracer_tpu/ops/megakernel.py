@@ -75,6 +75,11 @@ IDX_BIG = 2 ** 30
 BIG_CUT = 1e37            # t >= this => miss (valid hits carry t < t_max)
 # In-VMEM table ceiling per primitive type: (prims, 128) f32 = 512 B/prim.
 MAX_VMEM_PRIMS = 8192
+# Above the VMEM ceiling, TRIANGLE tables stay in HBM and stream through a
+# VMEM scratch segment by in-kernel DMA; a per-SEGMENT AABB test (the
+# top-level structure) skips the DMA *and* the math for unreachable segments.
+SEG_T = 2048              # triangles per streamed segment (1 MB scratch)
+MAX_STREAM_PRIMS = 1 << 20
 
 # Sphere table lanes: geometry 0..4, material 5..13.
 S_CX, S_CY, S_CZ, S_R2, S_INVR = 0, 1, 2, 3, 4
@@ -98,6 +103,7 @@ class MegaTables(NamedTuple):
     sph_box: Array   # f32[S_chunks_pad, 128] lanes 0..5 = lo.xyz, hi.xyz
     tri: Array       # f32[T_pad, 128]
     tri_box: Array   # f32[T_chunks_pad, 128]
+    tri_seg: Array   # f32[T_segs_pad, 128] per-SEG_T segment boxes (streaming)
 
 
 def megakernel_supported(scene: Scene) -> bool:
@@ -108,7 +114,9 @@ def megakernel_supported(scene: Scene) -> bool:
     a (1,1,1,3) dummy image array)."""
     if scene.n_rects:
         return False
-    if scene.n_spheres > MAX_VMEM_PRIMS or scene.n_triangles > MAX_VMEM_PRIMS:
+    if scene.n_spheres > MAX_VMEM_PRIMS:
+        return False
+    if scene.n_triangles > MAX_STREAM_PRIMS:   # HBM streaming above 8k
         return False
     if scene.textures.images.shape[0] > 1:   # image textures registered
         return False
@@ -156,24 +164,29 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
     be computed once from the bind pose so jit caches survive animation.
     """
     n_s, n_t = scene.n_spheres, scene.n_triangles
+    stream_tri = n_t > MAX_VMEM_PRIMS
+    tri_mult = SEG_T if stream_tri else PRIM_CHUNK
 
-    def pack(cols: Array) -> Array:
+    def pack(cols: Array, mult: int) -> Array:
         # cols (N, k<=128) -> (N_pad, 128); pad rows repeat the last prim
         # (duplicates lose the first-wins tie-break, boxes stay tight).
-        cols = _pad_rows(cols, PRIM_CHUNK, repeat_last=True)
+        cols = _pad_rows(cols, mult, repeat_last=True)
         lanes = jnp.zeros((cols.shape[0], LANES - cols.shape[1]), jnp.float32)
         return jnp.concatenate([cols, lanes], axis=1)
 
-    def chunk_boxes(lo: Array, hi: Array) -> Array:
-        lo = _pad_rows(lo, PRIM_CHUNK, repeat_last=True)
-        hi = _pad_rows(hi, PRIM_CHUNK, repeat_last=True)
-        k = lo.shape[0] // PRIM_CHUNK
+    def boxes_of(lo: Array, hi: Array, group: int, prim_mult: int) -> Array:
+        lo = _pad_rows(lo, prim_mult, repeat_last=True)
+        hi = _pad_rows(hi, prim_mult, repeat_last=True)
+        k = lo.shape[0] // group
         b = jnp.concatenate([
-            lo.reshape(k, PRIM_CHUNK, 3).min(axis=1),
-            hi.reshape(k, PRIM_CHUNK, 3).max(axis=1)], axis=1)   # (k, 6)
+            lo.reshape(k, group, 3).min(axis=1),
+            hi.reshape(k, group, 3).max(axis=1)], axis=1)   # (k, 6)
         b = _pad_rows(b, 8, repeat_last=True)  # sublane multiple
         return jnp.concatenate(
             [b, jnp.zeros((b.shape[0], LANES - 6), jnp.float32)], axis=1)
+
+    def chunk_boxes(lo, hi, prim_mult=PRIM_CHUNK):
+        return boxes_of(lo, hi, PRIM_CHUNK, prim_mult)
 
     if n_s:
         sp = scene.spheres
@@ -183,7 +196,7 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
             (1.0 / sp.radius)[:, None],
             _mat_lanes(scene, sp.mat),
         ], axis=1)
-        sph = pack(cols)
+        sph = pack(cols, PRIM_CHUNK)
         sph_box = chunk_boxes(sp.center - sp.radius[:, None],
                               sp.center + sp.radius[:, None])
     else:
@@ -199,14 +212,18 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
             nrm, mid = nrm[order], mid[order]
         cols = jnp.concatenate([
             v0, v1 - v0, v2 - v0, nrm, _mat_lanes(scene, mid)], axis=1)
-        tri = pack(cols)
-        tri_box = chunk_boxes(jnp.minimum(jnp.minimum(v0, v1), v2),
-                              jnp.maximum(jnp.maximum(v0, v1), v2))
+        tri = pack(cols, tri_mult)
+        lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+        hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+        tri_box = chunk_boxes(lo, hi, tri_mult)
+        tri_seg = (boxes_of(lo, hi, SEG_T, tri_mult) if stream_tri
+                   else jnp.zeros((8, LANES), jnp.float32))
     else:
         tri = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
         tri_box = jnp.zeros((8, LANES), jnp.float32)
+        tri_seg = jnp.zeros((8, LANES), jnp.float32)
 
-    return MegaTables(sph, sph_box, tri, tri_box)
+    return MegaTables(sph, sph_box, tri, tri_box, tri_seg)
 
 
 # ---------------------------------------------------------------------------
@@ -217,12 +234,15 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
                  *rest, n_sph_chunks: int, n_tri_chunks: int, has_sph: bool,
                  has_tri: bool, max_depth: int, t_min: float, t_max: float,
                  ambient: float, backface_only: bool, no_t_clip: bool,
-                 back_culling: bool, die_ref_cosine: bool, injected: bool):
-    if injected:
-        uni_ref, seed_ref, out_ref = rest
-    else:
-        uni_ref = None
-        seed_ref, out_ref = rest
+                 back_culling: bool, die_ref_cosine: bool, injected: bool,
+                 stream_tri: bool = False, n_tri_segs: int = 0):
+    rest = list(rest)
+    tri_seg_ref = rest.pop(0) if stream_tri else None
+    uni_ref = rest.pop(0) if injected else None
+    seed_ref = rest.pop(0)
+    out_ref = rest.pop(0)
+    tri_scratch, dma_sem = rest if stream_tri else (None, None)
+    if not injected:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     shape = (TILE_ROWS, LANES)
@@ -323,66 +343,106 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
         d3x, d3y, d3z = dx[None], dy[None], dz[None]
         lo_cut = -float(BIG) if no_t_clip else t_min
 
-        best_t = jnp.full(shape, BIG, jnp.float32)
-        attrs = tuple(jnp.zeros(shape, jnp.float32)
-                      for _ in range(3 + N_MAT_COMPS))
+        best_t0 = jnp.full(shape, BIG, jnp.float32)
+        attrs0 = tuple(jnp.zeros(shape, jnp.float32)
+                       for _ in range(3 + N_MAT_COMPS))
 
-        def body(j, carry):
+        def chunk_math(src_ref, base, idx_base, carry):
+            """Moller-Trumbore over one PRIM_CHUNK chunk read from src_ref at
+            sublane `base`, merged with global prim index `idx_base`."""
             best_t, attrs = carry
-            base = j * PRIM_CHUNK
-            reachable = slab(tri_box_ref, j, ox, oy, oz, inv_dx, inv_dy,
+            v0x = comp(src_ref, base, T_V0)
+            v0y = comp(src_ref, base, T_V0 + 1)
+            v0z = comp(src_ref, base, T_V0 + 2)
+            e1x = comp(src_ref, base, T_E1)
+            e1y = comp(src_ref, base, T_E1 + 1)
+            e1z = comp(src_ref, base, T_E1 + 2)
+            e2x = comp(src_ref, base, T_E2)
+            e2y = comp(src_ref, base, T_E2 + 1)
+            e2z = comp(src_ref, base, T_E2 + 2)
+            hx = d3y * e2z - d3z * e2y
+            hy = d3z * e2x - d3x * e2z
+            hz = d3x * e2y - d3y * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = o3x - v0x
+            sy = o3y - v0y
+            sz = o3z - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (d3x * qx + d3y * qy + d3z * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
+                & (v >= 0.0) & (u + v <= 1.0)
+            if back_culling:       # triangle.h:74
+                valid &= a >= TRI_EPSILON
+            nx = comp(src_ref, base, T_N)
+            ny = comp(src_ref, base, T_N + 1)
+            nz = comp(src_ref, base, T_N + 2)
+            if backface_only:      # triangle.h:61
+                valid &= (d3x * nx + d3y * ny + d3z * nz) >= 0.0
+            if no_t_clip:          # triangle.h:92-94 + hitable_list.h:84
+                valid &= t < t_max
+            else:
+                valid &= (t > t_min) & (t < t_max)
+            t3 = jnp.where(valid, t, BIG)
+            tmin, wmask, take = merge(best_t, t3, idx_base)
+            reads = ([lambda v=nx: v, lambda v=ny: v, lambda v=nz: v]
+                     + [functools.partial(comp, src_ref, base, T_MAT + k)
+                        for k in range(N_MAT_COMPS)])
+            attrs = pick_attrs(wmask, take, reads, attrs)
+            return jnp.where(take, tmin, best_t), attrs
+
+        if not stream_tri:
+            def body(j, carry):
+                best_t, _ = carry
+                base = j * PRIM_CHUNK
+                reachable = slab(tri_box_ref, j, ox, oy, oz, inv_dx, inv_dy,
+                                 inv_dz, best_t, lo_cut)
+                return jax.lax.cond(
+                    jnp.any(reachable),
+                    functools.partial(chunk_math, tri_ref, base, base),
+                    lambda c: c, carry)
+
+            return jax.lax.fori_loop(0, n_tri_chunks, body, (best_t0, attrs0))
+
+        # Streaming: triangle table lives in HBM; per segment, a top-level
+        # AABB test decides whether to DMA the segment into VMEM scratch at
+        # all — unreachable segments cost one slab test and zero bandwidth.
+        chunks_per_seg = SEG_T // PRIM_CHUNK
+
+        def seg_body(s, carry):
+            best_t, _ = carry
+            seg_reach = slab(tri_seg_ref, s, ox, oy, oz, inv_dx, inv_dy,
                              inv_dz, best_t, lo_cut)
 
-            def run(carry):
-                best_t, attrs = carry
-                v0x = comp(tri_ref, base, T_V0)
-                v0y = comp(tri_ref, base, T_V0 + 1)
-                v0z = comp(tri_ref, base, T_V0 + 2)
-                e1x = comp(tri_ref, base, T_E1)
-                e1y = comp(tri_ref, base, T_E1 + 1)
-                e1z = comp(tri_ref, base, T_E1 + 2)
-                e2x = comp(tri_ref, base, T_E2)
-                e2y = comp(tri_ref, base, T_E2 + 1)
-                e2z = comp(tri_ref, base, T_E2 + 2)
-                hx = d3y * e2z - d3z * e2y
-                hy = d3z * e2x - d3x * e2z
-                hz = d3x * e2y - d3y * e2x
-                a = e1x * hx + e1y * hy + e1z * hz
-                f = 1.0 / a
-                sx = o3x - v0x
-                sy = o3y - v0y
-                sz = o3z - v0z
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                v = f * (d3x * qx + d3y * qy + d3z * qz)
-                t = f * (e2x * qx + e2y * qy + e2z * qz)
-                valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
-                    & (v >= 0.0) & (u + v <= 1.0)
-                if back_culling:       # triangle.h:74
-                    valid &= a >= TRI_EPSILON
-                nx = comp(tri_ref, base, T_N)
-                ny = comp(tri_ref, base, T_N + 1)
-                nz = comp(tri_ref, base, T_N + 2)
-                if backface_only:      # triangle.h:61
-                    valid &= (d3x * nx + d3y * ny + d3z * nz) >= 0.0
-                if no_t_clip:          # triangle.h:92-94 + hitable_list.h:84
-                    valid &= t < t_max
-                else:
-                    valid &= (t > t_min) & (t < t_max)
-                t3 = jnp.where(valid, t, BIG)
-                tmin, wmask, take = merge(best_t, t3, base)
-                reads = ([lambda v=nx: v, lambda v=ny: v, lambda v=nz: v]
-                         + [functools.partial(comp, tri_ref, base, T_MAT + k)
-                            for k in range(N_MAT_COMPS)])
-                attrs = pick_attrs(wmask, take, reads, attrs)
-                return jnp.where(take, tmin, best_t), attrs
+            def run_seg(carry):
+                dma = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(s * SEG_T, SEG_T), :], tri_scratch,
+                    dma_sem)
+                dma.start()
+                dma.wait()
 
-            return jax.lax.cond(jnp.any(reachable), run, lambda c: c,
-                                (best_t, attrs))
+                def body(j, carry):
+                    best_t, _ = carry
+                    reachable = slab(tri_box_ref, s * chunks_per_seg + j,
+                                     ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                                     best_t, lo_cut)
+                    return jax.lax.cond(
+                        jnp.any(reachable),
+                        functools.partial(chunk_math, tri_scratch,
+                                          j * PRIM_CHUNK,
+                                          s * SEG_T + j * PRIM_CHUNK),
+                        lambda c: c, carry)
 
-        return jax.lax.fori_loop(0, n_tri_chunks, body, (best_t, attrs))
+                return jax.lax.fori_loop(0, chunks_per_seg, body, carry)
+
+            return jax.lax.cond(jnp.any(seg_reach), run_seg, lambda c: c,
+                                carry)
+
+        return jax.lax.fori_loop(0, n_tri_segs, seg_body, (best_t0, attrs0))
 
     def draw_samples(step):
         """(ballx, bally, ballz, prob) — in-kernel TPU PRNG (Box-Muller
@@ -410,7 +470,10 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
     # ------------------------------------------------------------------
     def bounce(step, carry):
         def live(carry):
-            (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb, alive) = carry
+            (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb, alive_f) = carry
+            # alive is carried as f32 0/1 — Mosaic cannot carry i1 vectors
+            # through fori/cond boundaries (trunci to i1 is unsupported).
+            alive = alive_f > 0.0
 
             if has_sph:
                 s_t, s_at = sphere_sweep(ox, oy, oz, dx, dy, dz)
@@ -564,17 +627,16 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
             dy = jnp.where(continues, outy, dy)
             dz = jnp.where(continues, outz, dz)
             return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb,
-                    continues)
+                    jnp.where(continues, 1.0, 0.0))
 
-        alive = carry[-1]
-        return jax.lax.cond(jnp.any(alive), live, lambda c: c, carry)
+        return jax.lax.cond(jnp.any(carry[-1] > 0.0), live, lambda c: c,
+                            carry)
 
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     one = jnp.ones(shape, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
-    carry = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
-             jnp.ones(shape, jnp.bool_))
+    carry = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero, one)
     carry = jax.lax.fori_loop(0, max_depth + 1, bounce, carry)
     out_ref[0] = carry[9]
     out_ref[1] = carry[10]
@@ -621,6 +683,7 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
         samples = stream_from_key(key, n, cfg.max_depth)
         injected = True
 
+    stream_tri = scene.n_triangles > MAX_VMEM_PRIMS
     q = cfg.quirks
     kernel = functools.partial(
         _mega_kernel,
@@ -633,17 +696,23 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
         no_t_clip=q.triangle_no_t_clip,
         back_culling=q.triangle_back_culling,
         die_ref_cosine=q.dielectric_reference_cosine,
-        injected=injected)
+        injected=injected, stream_tri=stream_tri,
+        n_tri_segs=tables.tri.shape[0] // SEG_T if stream_tri else 0)
 
     grid = (rows // TILE_ROWS,)
     full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.VMEM)
     tile3 = lambda k: pl.BlockSpec((k, TILE_ROWS, LANES), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri
+                else full(tables.tri.shape))
     in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
-                full(tables.tri.shape), full(tables.tri_box.shape),
+                tri_spec, full(tables.tri_box.shape),
                 tile3(3), tile3(3)]
     args = [tables.sph, tables.sph_box, tables.tri, tables.tri_box, o, d]
+    if stream_tri:   # kernel consumes *rest as (tri_seg, [uni], seed)
+        in_specs.append(full(tables.tri_seg.shape))
+        args.append(tables.tri_seg)
     if injected:
         planes = _stream_planes(samples.ball, samples.prob, rows)
         in_specs.append(tile3(planes.shape[0]))
@@ -651,6 +720,8 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
     args.append(seed)
+    scratch = ([pltpu.VMEM((SEG_T, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA] if stream_tri else [])
 
     out = pl.pallas_call(
         kernel,
@@ -658,6 +729,7 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
         in_specs=in_specs,
         out_specs=tile3(3),
         out_shape=jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(*args)
     return out.reshape(3, -1)[:, :n].T

@@ -357,12 +357,20 @@ def load_skinned_mesh(path: str, fps: int = 60,
     # --- mesh (GetMeshData, :11-65) ---
     geom = None
     geom_id = None
+    n_geoms = 0
     for uid, n in scene.by_id.items():
         if n.name == "Geometry":
-            geom, geom_id = n, uid
-            break
+            n_geoms += 1
+            if geom is None:
+                geom, geom_id = n, uid
     if geom is None:
         raise ValueError(f"{path}: no Geometry")
+    if n_geoms > 1:
+        # the reference also takes the first mesh (FbxLoader.h:189-192
+        # GetChild(0) recursion stops at the first eMesh)
+        import warnings
+        warnings.warn(f"{path}: {n_geoms} meshes found; loading the first "
+                      "only (reference behavior, FbxLoader.h:189-192)")
     points = np.asarray(geom.find("Vertices").props[0], np.float64).reshape(-1, 3)
     pvi = np.asarray(geom.find("PolygonVertexIndex").props[0], np.int64)
     faces, first_pv = _triangulate(pvi)

@@ -90,11 +90,11 @@ def _read_property(buf: memoryview, pos: int):
 
 
 def parse_fbx(path: str) -> FbxNode:
-    """Parse the file into a root FbxNode tree."""
+    """Parse the file (binary OR ASCII FBX) into a root FbxNode tree."""
     with open(path, "rb") as f:
         data = f.read()
     if not data.startswith(MAGIC):
-        raise ValueError(f"{path}: not a binary FBX file (ASCII FBX unsupported)")
+        return parse_fbx_ascii(path)
     version = struct.unpack_from("<I", data, 23)[0]
     big = version >= 7500  # 64-bit record headers from 7.5
     buf = memoryview(data)
@@ -130,6 +130,113 @@ def parse_fbx(path: str) -> FbxNode:
         if node is None:
             break
         root.children.append(node)
+    root.props = [version]
+    return root
+
+
+# ---------------------------------------------------------------------------
+# ASCII FBX
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_KEY_RE = _re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*:\s*(.*)$")
+_VALUE_RE = _re.compile(
+    r'"((?:[^"\\]|\\.)*)"'                       # quoted string
+    r"|([+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)"  # number
+    r"|(\*\d+)"                                  # array count marker
+    r"|([A-Za-z_][A-Za-z0-9_]*)"                 # bare word (Y, T, W, ...)
+)
+
+
+def _parse_ascii_values(text: str) -> List[Any]:
+    """Comma-separated FBX ASCII value list -> python values."""
+    out: List[Any] = []
+    for m in _VALUE_RE.finditer(text):
+        s, num, count, word = m.groups()
+        if s is not None:
+            out.append(s)
+        elif num is not None:
+            out.append(float(num) if any(c in num for c in ".eE")
+                       else int(num))
+        elif count is not None:
+            pass            # "*N" array length marker — implied by the data
+        else:
+            out.append(word)
+    return out
+
+
+def _collapse_ascii_arrays(node: FbxNode) -> None:
+    """Rewrite the ASCII `X: *N { a: v1,v2,... }` pattern into the binary
+    form X.props == [ndarray], which is what fbx_loader consumes."""
+    for c in node.children:
+        _collapse_ascii_arrays(c)
+    if len(node.children) == 1 and node.children[0].name == "a":
+        vals = node.children[0].props
+        isfloat = any(isinstance(v, float) for v in vals)
+        node.props = [np.asarray(vals, np.float64 if isfloat else np.int64)]
+        node.children = []
+
+
+def parse_fbx_ascii(path: str) -> FbxNode:
+    """Parse an ASCII FBX 7.x file into the same FbxNode tree shape as the
+    binary reader (array containers collapsed to ndarray props), so the
+    semantic layer (fbx_loader) is format-agnostic."""
+    with open(path, "r", errors="replace") as f:
+        lines = f.read().split("\n")
+    first = next((ln for ln in lines if ln.strip()), "")
+    if not (first.lstrip().startswith(";") or _KEY_RE.match(first)):
+        raise ValueError(f"{path}: neither binary nor ASCII FBX")
+
+    root = FbxNode("<root>")
+    stack = [root]
+    last_leaf: List[Optional[FbxNode]] = [None]
+
+    for raw in lines:
+        # strip full-line and trailing comments (';' never appears inside
+        # FBX identifiers; a ';' inside a quoted string would be rare — cut
+        # only when outside quotes)
+        line = raw
+        if ";" in line:
+            q = False
+            for i, ch in enumerate(line):
+                if ch == '"':
+                    q = not q
+                elif ch == ";" and not q:
+                    line = line[:i]
+                    break
+        line = line.strip()
+        if not line:
+            continue
+        if line == "}":
+            if len(stack) > 1:
+                stack.pop()
+                last_leaf.pop()
+            continue
+        m = _KEY_RE.match(line)
+        if m:
+            name, rest = m.groups()
+            opens = rest.rstrip().endswith("{")
+            if opens:
+                rest = rest.rstrip()[:-1]
+            node = FbxNode(name, _parse_ascii_values(rest))
+            stack[-1].children.append(node)
+            if opens:
+                stack.append(node)
+                last_leaf.append(None)
+            else:
+                last_leaf[-1] = node
+        elif last_leaf[-1] is not None:
+            # continuation of a wrapped value list (long `a:` arrays)
+            last_leaf[-1].props.extend(_parse_ascii_values(line))
+
+    _collapse_ascii_arrays(root)
+    version = 0
+    hdr = root.find("FBXHeaderExtension")
+    if hdr is not None:
+        v = hdr.find("FBXVersion")
+        if v is not None and v.props:
+            version = int(v.props[0])
     root.props = [version]
     return root
 

@@ -62,26 +62,92 @@ def frame_path(frame_index: int, folder: str = "images/moveTest") -> str:
     return os.path.join(folder, f"picture_{frame_index}.png")
 
 
+def _unfilter(raw: np.ndarray, h: int, bpp: int, stride: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 (incl. Paeth) -> uint8[h, stride]."""
+    out = np.zeros((h, stride), np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:                       # None
+            cur = line
+        elif ftype == 1:                     # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:                     # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:                     # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:                     # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype} on row {y}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
 def read_png(path: str) -> np.ndarray:
-    """Minimal PNG reader for round-tripping our own files in tests
-    (8-bit RGB/RGBA, no interlace)."""
+    """General PNG reader (stb_image analog for the ImageTexture path,
+    texture.h:54-76): 8/16-bit, greyscale / RGB / palette / grey+alpha /
+    RGBA, all scanline filters 0-4.  Returns uint8[H, W, 3|4] (16-bit
+    downsampled to 8 like stb; grey expanded to RGB; palette resolved).
+    Adam7 interlacing is not supported (rare for textures; re-export)."""
     with open(path, "rb") as f:
         data = f.read()
-    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG file")
     pos = 8
     idat = b""
-    w = h = c = None
+    plte = None
+    w = h = depth = color_type = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
         if tag == b"IHDR":
-            w, h, depth, color_type = struct.unpack(">IIBB", body[:10])
-            assert depth == 8
-            c = {2: 3, 6: 4}[color_type]
+            w, h, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body[:13])
+            if interlace:
+                raise ValueError(f"{path}: Adam7 interlaced PNG unsupported")
+            if depth not in (8, 16):
+                raise ValueError(f"{path}: bit depth {depth} unsupported")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
+        elif tag == b"IEND":
+            break
         pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w * c + 1)
-    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
-    return raw[:, 1:].reshape(h, w, c)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    nbytes = depth // 8
+    bpp = channels * nbytes
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    px = _unfilter(raw, h, bpp, stride)
+    if depth == 16:   # high byte == stb's 16->8 reduction
+        px = px.reshape(h, w, channels, 2)[..., 0]
+    else:
+        px = px.reshape(h, w, channels)
+    if color_type == 3:                      # palette
+        if plte is None:
+            raise ValueError(f"{path}: palette PNG missing PLTE")
+        return plte[px[..., 0]]
+    if color_type == 0:                      # greyscale
+        return np.repeat(px, 3, axis=-1)
+    if color_type == 4:                      # grey + alpha
+        return np.concatenate([np.repeat(px[..., :1], 3, axis=-1),
+                               px[..., 1:]], axis=-1)
+    return px                                # RGB / RGBA

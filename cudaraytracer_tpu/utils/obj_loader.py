@@ -34,11 +34,13 @@ def load_obj(path: str, center: bool = True, scale_to_unit: bool = False
             if parts[0] == "v":
                 points.append([float(x) for x in parts[1:4]])
             elif parts[0] == "f":
-                idx = []
-                for tok in parts[1:4]:
-                    # supports "3", "3/1", "3//7", "3/1/7"
-                    idx.append(int(tok.split("/")[0]) - 1)
-                faces.append(idx)
+                # supports "3", "3/1", "3//7", "3/1/7"; quads and larger
+                # n-gons are FAN-triangulated (the reference truncates them
+                # to the first three vertices, obj_loader.h:113-119 — a
+                # silent data loss we fix, like the 1-based-index bug)
+                idx = [int(tok.split("/")[0]) - 1 for tok in parts[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
     pts = np.asarray(points, np.float32)
     fcs = np.asarray(faces, np.int32)
     if center and len(pts):

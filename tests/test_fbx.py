@@ -170,3 +170,90 @@ def test_animation_is_smooth(mesh):
     step = np.linalg.norm(a - b, axis=-1)
     assert step.max() < 15.0       # no exploding limbs
     assert step.mean() > 0.01      # but actually moving
+
+
+def test_ascii_fbx_handcrafted(tmp_path):
+    """ASCII FBX 7.x parses into the same tree shape as binary: a quad mesh
+    (negative-terminated PolygonVertexIndex) fan-triangulates into 2 tris."""
+    from cudaraytracer_tpu.utils.fbx_loader import load_skinned_mesh
+
+    txt = """; FBX 7.4.0 project file
+FBXHeaderExtension:  {
+    FBXHeaderVersion: 1003
+    FBXVersion: 7400
+}
+Objects:  {
+    Geometry: 1000, "Geometry::quad", "Mesh" {
+        Vertices: *12 {
+            a: 0,0,0, 1,0,0, 1,1,0, 0,1,0
+        }
+        PolygonVertexIndex: *4 {
+            a: 0,1,2,-4
+        }
+    }
+    Model: 2000, "Model::quadModel", "Mesh" {
+        Version: 232
+        Properties70:  {
+            P: "Lcl Translation", "Lcl Translation", "", "A",0,0,0
+        }
+    }
+}
+Connections:  {
+    C: "OO",1000,2000
+    C: "OO",2000,0
+}
+"""
+    p = tmp_path / "quad_ascii.fbx"
+    p.write_text(txt)
+    mesh = load_skinned_mesh(str(p))
+    assert mesh.points.shape == (4, 3)
+    np.testing.assert_array_equal(mesh.faces,
+                                  [[0, 1, 2], [0, 2, 3]])
+    assert mesh.frame_count >= 1
+    assert mesh.weights.shape[0] == 4
+    # computed fallback normals point +z for this CCW winding
+    np.testing.assert_allclose(mesh.normals, [[0, 0, 1]] * 2, atol=1e-6)
+
+
+def test_ascii_fbx_roundtrip_real_geometry(tmp_path):
+    """Serialize low_walking.fbx's geometry into ASCII form (wrapped value
+    lines, comments) and re-parse: arrays must round-trip exactly."""
+    from cudaraytracer_tpu.utils.fbx_parser import parse_fbx
+
+    root = parse_fbx(WALKING)
+    objs = root.find("Objects")
+    geom = next(c for c in objs.children if c.name == "Geometry")
+    verts = np.asarray(geom.find("Vertices").props[0], np.float64)
+    pvi = np.asarray(geom.find("PolygonVertexIndex").props[0], np.int64)
+
+    def fmt_array(name, arr, fmt):
+        vals = ", ".join(fmt(v) for v in arr)
+        # wrap lines at ~70 chars like real exporters
+        out = []
+        line = ""
+        for tok in vals.split(" "):
+            if len(line) + len(tok) > 70:
+                out.append(line)
+                line = ""
+            line += tok + " "
+        out.append(line)
+        body = "\n            ".join(out)
+        return (f"        {name}: *{len(arr)} {{\n"
+                f"            a: {body}\n        }}\n")
+
+    txt = ("; generated round-trip file\n"
+           "FBXHeaderExtension:  {\n    FBXVersion: 7400\n}\n"
+           "Objects:  {\n"
+           '    Geometry: 555, "Geometry::rt", "Mesh" {\n'
+           + fmt_array("Vertices", verts, lambda v: repr(float(v)))
+           + fmt_array("PolygonVertexIndex", pvi, lambda v: str(int(v)))
+           + "    }\n}\nConnections:  {\n    C: \"OO\",555,0\n}\n")
+    p = tmp_path / "rt_ascii.fbx"
+    p.write_text(txt)
+    root2 = parse_fbx(str(p))
+    g2 = next(c for c in root2.find("Objects").children
+              if c.name == "Geometry")
+    np.testing.assert_array_equal(
+        np.asarray(g2.find("Vertices").props[0], np.float64), verts)
+    np.testing.assert_array_equal(
+        np.asarray(g2.find("PolygonVertexIndex").props[0], np.int64), pvi)

@@ -138,6 +138,57 @@ def test_mega_engine_render_image_and_fallback():
     np.testing.assert_allclose(img2_m, img2_w, atol=1e-6)
 
 
+def test_mega_streaming_large_mesh():
+    """> MAX_VMEM_PRIMS triangles: the table stays in HBM and streams through
+    VMEM scratch by in-kernel DMA with per-segment culling; results must
+    match the jnp brute-force path exactly."""
+    from cudaraytracer_tpu.core.rays import make_rays
+
+    n = 72   # 72x72 quads = 10368 tris > 8192
+    xs = np.linspace(-5, 5, n + 1)
+    zs = np.linspace(-10, 0, n + 1)
+    X, Z = np.meshgrid(xs, zs)
+    Y = 0.3 * np.sin(X * 1.3) * np.cos(Z * 1.1)
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(0.7, 0.5, 0.3))
+    P = np.stack([X, Y, Z], axis=-1).astype(np.float32)
+    v0 = P[:-1, :-1].reshape(-1, 3)
+    v1 = P[:-1, 1:].reshape(-1, 3)
+    v2 = P[1:, :-1].reshape(-1, 3)
+    v3 = P[1:, 1:].reshape(-1, 3)
+    tris = np.concatenate([np.stack([v0, v1, v3], 1),
+                           np.stack([v0, v3, v2], 1)])
+    nrm = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    nrm[nrm[:, 1] > 0] *= -1.0      # face down: visible under backface quirk
+    for t, nn in zip(tris, nrm):
+        b.add_triangle(t[0], t[1], t[2], mat, normal=nn)
+    b.add_sphere((0, 2.0, -5), 0.8, b.materials.metal((0.9, 0.9, 0.9), 0.1))
+    scene = b.build()
+    assert scene.n_triangles > mk.MAX_VMEM_PRIMS
+    assert mk.megakernel_supported(scene)
+
+    rng = np.random.default_rng(0)
+    nr = 512
+    o = np.tile(np.array([[0, 4.0, 2.0]], np.float32), (nr, 1))
+    d = np.stack([rng.uniform(-0.6, 0.6, nr), -np.ones(nr),
+                  rng.uniform(-1.6, -0.4, nr)], 1).astype(np.float32)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+    cfg = _cfg(width=16, height=32, samples=1, max_depth=4)
+    stream = integ.stream_from_key(jax.random.key(5), nr, cfg.max_depth)
+    ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(5), cfg,
+                                      samples=stream))
+    order = morton_order(np.asarray(scene.triangles.v0),
+                         np.asarray(scene.triangles.v1),
+                         np.asarray(scene.triangles.v2))
+    tables = mk.build_mega_tables(scene, tri_order=order)
+    assert tables.tri.shape[0] % mk.SEG_T == 0
+    got = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(5), cfg,
+                                        tables=tables, samples=stream))
+    assert ref.mean() > 0.01      # rays actually hit the terrain
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-4)
+
+
 def test_mega_tables_refit_flow():
     """Rebuilding tables from updated vertices (animation) changes results
     without recompilation — tables are traced operands."""
