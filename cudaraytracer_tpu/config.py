@@ -98,6 +98,13 @@ class RenderConfig:
     # whole bounce loop in one kernel, forward-only, spheres+triangles scenes;
     # unsupported scenes fall back to wavefront automatically.
     engine: str = "wavefront"
+    # Mesh axis names to all-reduce scene-parameter GRADIENTS over, applied
+    # PER BOUNCE inside the backward scan (an identity whose cotangent is
+    # pmean'd).  Each bounce's contribution reduces while the next bounce's
+    # backward computes — the bucketed-overlap form of the post-hoc grad
+    # pmean (SURVEY.md §7 hard part 4).  Only meaningful under shard_map;
+    # callers using it must NOT pmean the grads again afterwards.
+    grad_sync_axes: Tuple[str, ...] = ()
 
     def __post_init__(self):
         if self.integrator not in INTEGRATORS:

@@ -26,6 +26,7 @@ reparameterized (keys independent of scene parameters).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -83,6 +84,35 @@ def _split_fns(intersect_fn):
     return intersect_fn, intersect_fn
 
 
+def _pmean_cotangent_tree(tree, axis_names):
+    """Identity on the forward pass; pmean's the COTANGENT over axis_names on
+    the backward pass.  Applied to the scene once per bounce, this turns the
+    single post-hoc gradient all-reduce into per-bounce buckets that the
+    backward scan overlaps with compute (SURVEY.md §7 hard part 4).  Linear,
+    so sum-over-bounces of pmean'd buckets == pmean of the summed gradient."""
+
+    @jax.custom_vjp
+    def ident(leaves):
+        return leaves
+
+    def fwd(leaves):
+        return leaves, None
+
+    def bwd(_, g):
+        return (jax.tree.map(
+            lambda x: functools.reduce(
+                lambda a, ax: jax.lax.pmean(a, ax), axis_names, x), g),)
+
+    ident.defvjp(fwd, bwd)
+
+    leaves, treedef = jax.tree.flatten(tree)
+    inexact = [jnp.issubdtype(x.dtype, jnp.inexact) for x in leaves]
+    synced = ident(tuple(x for x, f in zip(leaves, inexact) if f))
+    it = iter(synced)
+    out = [next(it) if f else x for x, f in zip(leaves, inexact)]
+    return jax.tree.unflatten(treedef, out)
+
+
 def _intersect(scene: Scene, rays: Rays, cfg: RenderConfig, intersect_fn=None,
                aux=None):
     """intersect_fn(scene, rays, aux) lets callers swap the brute-force path
@@ -135,11 +165,16 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
             step, ball, prob = xs
         rays, throughput, radiance, alive = carry
         bounce_key = jax.random.fold_in(key, step)
-        hits = _intersect(scene, rays, cfg, isect_fn, aux)
+        # per-bounce gradient bucketing: this bounce's scene-parameter
+        # cotangents all-reduce during ITS backward step, overlapping with
+        # the neighbouring bounces' backward compute
+        bscene = (_pmean_cotangent_tree(scene, cfg.grad_sync_axes)
+                  if cfg.grad_sync_axes else scene)
+        hits = _intersect(bscene, rays, cfg, isect_fn, aux)
 
-        emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
+        emitted = _mat.emitted(bscene.materials, bscene.textures, hits.mat,
                                hits.u, hits.v, hits.p)
-        sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,
+        sc = _mat.scatter(bscene.materials, bscene.textures, hits.mat, rays,
                           hits.p, hits.normal, hits.u, hits.v, bounce_key,
                           cfg.quirks.dielectric_reference_cosine,
                           ball=ball, prob=prob)

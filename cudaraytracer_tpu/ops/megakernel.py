@@ -279,11 +279,16 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
         return tmin, wmask, take
 
     def pick_attrs(wmask, take, reads, cur):
+        # f32 masks: bool (i1) vectors may not cross the lax.cond boundary as
+        # closed-over operands (Mosaic "unsupported target bitwidth" trunci)
+        wf = jnp.where(wmask, 1.0, 0.0)
+        tf = jnp.where(take, 1.0, 0.0)
+
         def upd(cur):
             out = []
             for val, c in zip(reads, cur):
-                w = jnp.sum(jnp.where(wmask, val(), 0.0), axis=0)
-                out.append(jnp.where(take, w, c))
+                w = jnp.sum(val() * wf, axis=0)
+                out.append(w * tf + c * (1.0 - tf))
             return tuple(out)
         return jax.lax.cond(jnp.any(take), upd, lambda c: c, cur)
 
@@ -587,11 +592,12 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
             outx = jnp.where(is_die, diex, outx)
             outy = jnp.where(is_die, diey, outy)
             outz = jnp.where(is_die, diez, outz)
-            attr = jnp.where(is_met | is_die, 1.0, 0.0)
             atr = jnp.where(is_die, 1.0, jnp.where(is_met, c0r, texr))
             atg = jnp.where(is_die, 1.0, jnp.where(is_met, c0g, texg))
             atb = jnp.where(is_die, 1.0, jnp.where(is_met, c0b, texb))
-            ok = jnp.where(is_met, met_ok, ~is_light)
+            # no jnp.where on bool operands — Mosaic can't truncate the i8
+            # select result back to i1; plain boolean algebra lowers clean
+            ok = (is_met & met_ok) | (~is_met & ~is_light)
 
             # sky (render.h:41-46) on the CURRENT direction
             sky_t = 0.5 * (dy * inv_dlen + 1.0)

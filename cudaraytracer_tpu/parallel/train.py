@@ -61,19 +61,29 @@ def pixel_loss(scene_template: Scene, params: Params, camera: Camera,
 
 
 def make_fit_step(scene_template: Scene, camera: Camera, cfg: RenderConfig,
-                  mesh: Mesh, lr: float = 0.5) -> Callable:
+                  mesh: Mesh, lr: float = 0.5,
+                  overlap_grads: bool = True) -> Callable:
     """Build a jitted SGD step: (params, target_image, key) -> (loss, params).
 
     target_image: f32[H*W, 3] flattened (row 0 = bottom).  Pixels are sharded
-    over 'dp'; gradients are pmean'd across the whole mesh before the update,
-    so every member applies identical updates (replicated params stay in sync).
+    over 'dp'; gradients are all-reduced across the whole mesh before the
+    update, so every member applies identical updates.
+
+    overlap_grads=True (default) buckets the gradient all-reduce PER BOUNCE
+    inside the backward scan (cfg.grad_sync_axes) so collectives overlap with
+    backward compute; False reproduces the post-hoc single pmean (useful for
+    A/B-ing collective scheduling).  Both produce identical gradients (the
+    reduction is linear).
     """
+    import dataclasses
     n_pix = cfg.width * cfg.height
     dp = mesh.shape["dp"]
     tp = mesh.shape["tp"]
     n_total = dp * tp
     pixel_index = jnp.asarray(
         pad_to_multiple(np.arange(n_pix, dtype=np.int32), n_total, fill=0))
+    lcfg = (dataclasses.replace(cfg, grad_sync_axes=("dp", "tp"))
+            if overlap_grads else cfg)
 
     def local_step(params, pix_slice, target_slice, key):
         pix_slice = pix_slice.reshape(-1)          # drop (1,1,..) mesh dims
@@ -82,13 +92,14 @@ def make_fit_step(scene_template: Scene, camera: Camera, cfg: RenderConfig,
         lkey = jax.random.fold_in(key, member)
 
         def loss_fn(p):
-            return pixel_loss(scene_template, p, camera, lkey, cfg,
+            return pixel_loss(scene_template, p, camera, lkey, lcfg,
                               pix_slice, target_slice)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         loss = jax.lax.pmean(jax.lax.pmean(loss, "dp"), "tp")
-        grads = jax.tree.map(
-            lambda g: jax.lax.pmean(jax.lax.pmean(g, "dp"), "tp"), grads)
+        if not overlap_grads:   # overlapped mode reduced inside the backward
+            grads = jax.tree.map(
+                lambda g: jax.lax.pmean(jax.lax.pmean(g, "dp"), "tp"), grads)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return loss, new_params
 

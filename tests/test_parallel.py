@@ -168,3 +168,42 @@ def test_sample_parallel_render():
                                   _cfg(samples=8, integrator="path",
                                        max_depth=4)))
     assert abs(img.mean() - ref.mean()) < 0.02
+
+
+def test_overlapped_grad_allreduce_matches_posthoc():
+    """Per-bounce bucketed pmean inside the backward scan (grad_sync_axes)
+    must produce the same loss and gradients as the post-hoc tree pmean —
+    the reduction is linear, so bucketing changes scheduling, not math."""
+    scene, cam = presets.three_spheres(aspect=2.0)
+    cfg = _cfg(integrator="path", samples=1, max_depth=4)
+    mesh = make_mesh(8, tp=2)
+    params = {"centers": scene.spheres.center,
+              "albedo": scene.textures.color0}
+    target = np.asarray(render_image(scene, cam, jax.random.key(9), cfg)
+                        ).reshape(-1, 3)
+    step_post = make_fit_step(scene, cam, cfg, mesh, lr=0.1,
+                              overlap_grads=False)
+    step_over = make_fit_step(scene, cam, cfg, mesh, lr=0.1,
+                              overlap_grads=True)
+    l0, p0 = step_post(params, jnp.asarray(target), jax.random.key(3))
+    l1, p1 = step_over(params, jnp.asarray(target), jax.random.key(3))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p0[k]), np.asarray(p1[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_megakernel_inside_shard_map():
+    """cfg.engine='mega' routes through the Pallas megakernel inside
+    shard_map (interpret mode on CPU with the jnp path's exact injected
+    stream), so sharded mega must equal sharded wavefront to fp tolerance —
+    same keys, same streams, different engine."""
+    scene, cam = presets.three_spheres(aspect=2.0)
+    mesh = make_mesh(8, tp=1)
+    cfg_w = _cfg(integrator="path", samples=1, max_depth=6)
+    cfg_m = _cfg(integrator="path", samples=1, max_depth=6, engine="mega")
+    img_w = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
+                                            cfg_w, mesh))
+    img_m = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
+                                            cfg_m, mesh))
+    np.testing.assert_allclose(img_m, img_w, atol=3e-4)
