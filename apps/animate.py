@@ -10,10 +10,12 @@ Pipelines (kernel.cu:93-97 menu, a flag here instead of comments):
   bvh    — single BVH over the mesh, refit per frame (ACTIVE in the reference)
   list   — no acceleration structure (renderListAnimation)
   fused  — skin+refit+render in ONE jit call per frame (BVH path fused)
-  pallas — fused Pallas brute-force sweep kernels, no BVH: for meshes up to
-           tens of thousands of triangles this is the FASTEST TPU pipeline
-           (the lock-step BVH walk is gather-bound on TPU); 'update' then
+  pallas — fused Pallas brute-force sweep kernels, no BVH; 'update' then
            reports the skinning time alone
+  mega   — the fused MEGAKERNEL (ops/megakernel.py): intersect + shade (+ the
+           whole bounce loop for --integrator path) in ONE Pallas call per
+           frame, with HBM-streamed per-segment culling above 8k triangles —
+           the fastest TPU pipeline
   bonebvh — per-bone BVH forest (renderBoneBVHAnimation, kernel.cu:5-21):
            one tree per skeleton bone, whole forest refit each frame;
            orphan triangles are dropped exactly as the reference does
@@ -45,7 +47,8 @@ def main(argv=None):
     ap.add_argument("--integrator", default="lambert",       # render.h:120 active
                     choices=["path", "lambert", "normal"])
     ap.add_argument("--pipeline", default="bvh",
-                    choices=["bvh", "list", "fused", "pallas", "bonebvh"])
+                    choices=["bvh", "list", "fused", "pallas", "bonebvh",
+                             "mega"])
     ap.add_argument("--begin-frame", type=int, default=0)   # kernel.cu:50
     ap.add_argument("--frames", type=int, default=None,
                     help="limit frame count (default: animation length)")
@@ -140,6 +143,23 @@ def main(argv=None):
     isect = bvh_intersector(cfg)
     isect_pallas = pallas_intersector(cfg)
 
+    import dataclasses
+    from cudaraytracer_tpu.ops import megakernel as megamod
+    from cudaraytracer_tpu.ops.pallas_intersect import morton_order
+    cfg_mega = dataclasses.replace(cfg, engine="mega")
+    # static Morton permutation from the BIND pose: chunk/segment boxes stay
+    # compact across the animation and jit caches survive per-frame refits
+    mega_order = (morton_order(np.asarray(scene0.triangles.v0),
+                               np.asarray(scene0.triangles.v1),
+                               np.asarray(scene0.triangles.v2))
+                  if scene0.n_triangles else None)
+
+    @jax.jit
+    def mega_step(scene, frame, fkey):
+        s = scene_with_frame(scene, dm, frame)
+        tables = megamod.build_mega_tables(s, tri_order=mega_order)
+        return render_image(s, camera, fkey, cfg_mega, None, tables)
+
     @jax.jit
     def fused_step(scene, bvh, frame, fkey):
         s = scene_with_frame(scene, dm, frame)
@@ -161,14 +181,15 @@ def main(argv=None):
             print(f"resuming at frame {begin}")
     for frame in range(begin, end_frame + 1):
         fkey = jax.random.fold_in(key, frame)
-        if args.pipeline == "pallas":
+        if args.pipeline in ("pallas", "mega"):
             sw.Reset(); sw.Start()
             scene_f = update_skin(scene0, jnp.int32(frame))
             jax.block_until_ready(scene_f.triangles.v0)
             sw.Stop()
             update_t = sw.GetTime()
+            step = mega_step if args.pipeline == "mega" else pallas_step
             sw.Reset(); sw.Start()
-            img = np.asarray(pallas_step(scene0, jnp.int32(frame), fkey))
+            img = np.asarray(step(scene0, jnp.int32(frame), fkey))
             sw.Stop()
             render_t = sw.GetTime()
         elif args.pipeline == "fused":

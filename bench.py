@@ -2,15 +2,27 @@
 
 Headline metric (BASELINE.md): camera rays/sec/chip on a 1080p path-traced
 render at depth 8 on the "One Weekend" random-spheres scene (~500 spheres,
-BASELINE config[1] geometry at config[4] resolution).  rays = width * height *
-samples (camera samples; each traces up to max_depth+1 bounces).
+BASELINE config[1] geometry at config[4] resolution), rendered with the
+FUSED MEGAKERNEL engine (ops/megakernel.py) by default.  rays = width *
+height * samples (camera samples; each traces up to max_depth+1 bounces).
 
-vs_baseline: ratio against the self-measured value recorded in
-BASELINE_SELF.json (the reference publishes no numbers — BASELINE.md); 1.0
-when no prior record exists (first round records it).
+vs_baseline: ratio against the value recorded in BASELINE_SELF.json — the
+reference publishes no numbers (BASELINE.md), so the baseline is the ROUND-1
+self-measured figure and is FROZEN: it only changes when BENCH_UPDATE_BASELINE=1
+is set explicitly (round-1's silent first-write is gone).
 
-Env knobs: BENCH_SPP (default 16), BENCH_WIDTH/HEIGHT, BENCH_CHUNK,
-BENCH_SCENE (random_spheres|three_spheres|mesh).
+Secondary metrics ride in the same JSON line under "secondary":
+  * mesh_scene_sec — OBJ mesh frame time (BASELINE config[2] analog).
+  * wavefront_rays_per_sec — the differentiable engine on the same headline
+    workload (BENCH_WAVEFRONT=1; slow TPU compile, opt-in).
+  * bwd_fwd_ratio / bwd_fwd_ratio_geom — backward/forward time ratio for
+    albedo and GEOMETRY (sphere-center) gradients (BENCH_BWD=1, opt-in:
+    grad programs compile slowly through the TPU tunnel).
+
+Env knobs: BENCH_ENGINE (mega|wavefront), BENCH_SPP, BENCH_WIDTH/HEIGHT,
+BENCH_CHUNK, BENCH_SCENE (random_spheres|three_spheres|mesh), BENCH_ITERS,
+BENCH_MESH=0 to skip the mesh secondary, BENCH_BWD=1, BENCH_WAVEFRONT=1,
+BENCH_UPDATE_BASELINE=1.
 """
 
 from __future__ import annotations
@@ -25,135 +37,190 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _build_scene(scene_name: str, width: int, height: int):
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import presets
+
+    if scene_name == "three_spheres":
+        return presets.three_spheres(aspect=width / height)
+    if scene_name == "mesh":
+        return _mesh_scene(width, height)
+    return presets.random_spheres(aspect=width / height)
+
+
+def _mesh_scene(width: int, height: int):
+    # BASELINE config[2]: repo OBJ mesh via the fused sweeps
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.core.camera import make_camera
+    from cudaraytracer_tpu.utils.obj_loader import face_normals, load_obj
+
+    pts, faces = load_obj("/root/reference/CudaTest/objects/small_bunny.obj")
+    pts *= 10.0
+    b = crt.SceneBuilder()
+    mat = b.materials.lambertian(color=(0.65, 0.05, 0.05))
+    b.add_mesh(pts, faces, mat, normals=face_normals(pts, faces),
+               reverse_winding=True)
+    scene = b.build()
+    cam = make_camera((0, 0.4, 2.6), (0, 0.3, 0), (0, 1, 0), 40.0,
+                      width / height, 0.0, 10.0)
+    return scene, cam
+
+
+def _timed_render(scene, cam, cfg, isect_fn, n_iters: int, aux=None) -> float:
+    """Seconds per frame; K renders inside ONE jitted scan + scalar fetch
+    (on the tunnel TPU backend block_until_ready can return early)."""
+    import jax
+    import jax.numpy as jnp
+    from cudaraytracer_tpu.ops.render import render_image
+
+    @jax.jit
+    def bench_n(key):
+        def body(acc, i):
+            img = render_image(scene, cam, jax.random.fold_in(key, i), cfg,
+                               isect_fn, aux)
+            return acc + jnp.mean(img), None
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_iters))
+        return tot
+
+    float(bench_n(jax.random.key(0)))  # warmup/compile
+    t0 = time.perf_counter()
+    s = float(bench_n(jax.random.key(123)))
+    dt = (time.perf_counter() - t0) / n_iters
+    assert s == s, "NaN render"
+    return dt
+
+
+def _bwd_fwd_ratios(scene, cam, cfg):
+    """(albedo_ratio, geometry_ratio): backward/forward wall ratio for
+    texture-albedo grads and sphere-CENTER grads (scatter-add VJP path)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from cudaraytracer_tpu.ops.render import render_pixels
+
+    gcfg = dataclasses.replace(cfg, width=256, height=256, samples=4,
+                               gamma=False, ray_chunk=1 << 17,
+                               engine="wavefront")
+    pix = jnp.arange(gcfg.width * gcfg.height, dtype=jnp.int32)
+    gkey = jax.random.key(5)
+
+    def ratio(install):
+        @jax.jit
+        def fwd(p):
+            return jnp.mean(render_pixels(install(p), cam, gkey, gcfg, pix))
+
+        grad_fn = jax.jit(jax.grad(lambda p: fwd(p)))
+        p0 = install.init
+        float(fwd(p0))                        # warmup/compile
+        jax.block_until_ready(grad_fn(p0))
+        t0 = time.perf_counter(); float(fwd(p0)); t_f = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(grad_fn(p0))
+        t_b = time.perf_counter() - t0
+        return max(t_b - t_f, 0.0) / max(t_f, 1e-9)
+
+    class Albedo:
+        init = scene.textures.color0
+
+        def __call__(self, p):
+            return scene._replace(textures=scene.textures._replace(color0=p))
+
+    class Centers:
+        init = scene.spheres.center
+
+        def __call__(self, p):
+            return scene._replace(spheres=scene.spheres._replace(center=p))
+
+    return ratio(Albedo()), ratio(Centers())
+
+
 def main() -> int:
     import jax
 
     import cudaraytracer_tpu as crt
-    from cudaraytracer_tpu.models import presets
-    from cudaraytracer_tpu.ops.render import pallas_intersector, render_image
+    from cudaraytracer_tpu.ops.render import pallas_intersector
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     spp = int(os.environ.get("BENCH_SPP", 16))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
     scene_name = os.environ.get("BENCH_SCENE", "random_spheres")
-
-    if scene_name == "three_spheres":
-        scene, cam = presets.three_spheres(aspect=width / height)
-    elif scene_name == "mesh":
-        # BASELINE config[2]: repo OBJ mesh (~5k tris) via the pallas sweep
-        import cudaraytracer_tpu as _crt
-        from cudaraytracer_tpu.core.camera import make_camera
-        from cudaraytracer_tpu.utils.obj_loader import face_normals, load_obj
-        pts, faces = load_obj(
-            "/root/reference/CudaTest/objects/small_bunny.obj")
-        pts *= 10.0
-        b = _crt.SceneBuilder()
-        mat = b.materials.lambertian(color=(0.65, 0.05, 0.05))
-        b.add_mesh(pts, faces, mat, normals=face_normals(pts, faces),
-                   reverse_winding=True)
-        scene = b.build()
-        cam = make_camera((0, 0.4, 2.6), (0, 0.3, 0), (0, 1, 0), 40.0,
-                          width / height, 0.0, 10.0)
-    else:
-        scene, cam = presets.random_spheres(aspect=width / height)
-
-    cfg = crt.RenderConfig(width=width, height=height, samples=spp,
-                           max_depth=8, integrator="path", ray_chunk=chunk)
-    # fused Pallas sweep kernels by default (interpret-mode on CPU);
-    # BENCH_INTERSECT=bruteforce selects the jnp path
-    use_pallas = os.environ.get("BENCH_INTERSECT", "pallas") == "pallas"
-    isect_fn = pallas_intersector(cfg) if use_pallas else None
-
-    key = jax.random.key(0)
-
-    # Timing note: on the remote-tunnel TPU backend block_until_ready can
-    # return before execution finishes, so we time K renders inside ONE jitted
-    # scan and fetch a single scalar — the host round-trip brackets the real
-    # device work.
-    import jax.numpy as jnp
-
+    engine = os.environ.get("BENCH_ENGINE", "mega")
     n_iters = int(os.environ.get("BENCH_ITERS", 2))
 
-    @jax.jit
-    def bench_n(key):
-        def body(acc, i):
-            img = render_image(scene, cam, jax.random.fold_in(key, i), cfg,
-                               isect_fn)
-            return acc + jnp.mean(img), None
-        tot, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_iters))
-        return tot
+    scene, cam = _build_scene(scene_name, width, height)
+    cfg = crt.RenderConfig(width=width, height=height, samples=spp,
+                           max_depth=8, integrator="path", ray_chunk=chunk,
+                           engine=engine)
+    isect_fn = pallas_intersector(cfg) if engine == "wavefront" else None
 
-    float(bench_n(key))  # warmup/compile
-    t0 = time.perf_counter()
-    s = float(bench_n(jax.random.fold_in(key, 123)))
-    dt = (time.perf_counter() - t0) / n_iters
-    assert s == s, "NaN render"
+    dt = _timed_render(scene, cam, cfg, isect_fn, n_iters)
     rays = width * height * spp
     value = rays / dt
 
-    # secondary metric (BASELINE.md): backward/forward time ratio, measured
-    # on a smaller tile so the grad program compiles quickly; recorded in
-    # BASELINE_SELF.json, not printed (stdout stays one JSON line).
-    bwd_fwd_ratio = None
-    if os.environ.get("BENCH_BWD", "0") == "1":  # opt-in: slow compile
+    secondary = {"engine": engine, "frame_sec": round(dt, 4)}
+
+    if os.environ.get("BENCH_MESH", "1") == "1" and scene_name != "mesh":
+        mscene, mcam = _mesh_scene(1280, 720)
         import dataclasses
-        from cudaraytracer_tpu.ops.render import render_pixels
-        gcfg = dataclasses.replace(cfg, width=256, height=256, samples=4,
-                                   gamma=False, ray_chunk=1 << 17)
-        pix = jnp.arange(gcfg.width * gcfg.height, dtype=jnp.int32)
-        gkey = jax.random.key(5)
+        mcfg = dataclasses.replace(cfg, width=1280, height=720, samples=8)
+        if engine == "wavefront":
+            m_isect, m_aux = pallas_intersector(mcfg), None
+        else:
+            # Morton-ordered tables: compact chunk boxes cull ~1.3x better
+            from cudaraytracer_tpu.ops import megakernel as mk
+            from cudaraytracer_tpu.ops.pallas_intersect import morton_order
+            tr = mscene.triangles
+            order = morton_order(np.asarray(tr.v0), np.asarray(tr.v1),
+                                 np.asarray(tr.v2))
+            m_isect, m_aux = None, mk.build_mega_tables(mscene, order)
+        mdt = _timed_render(mscene, mcam, mcfg, m_isect, n_iters, m_aux)
+        secondary["mesh_scene_sec"] = round(mdt, 4)
+        secondary["mesh_scene_rays_per_sec"] = round(1280 * 720 * 8 / mdt, 1)
 
-        @jax.jit
-        def fwd(albedo):
-            s2 = scene._replace(
-                textures=scene.textures._replace(color0=albedo))
-            return jnp.mean(render_pixels(s2, cam, gkey, gcfg, pix))
+    if os.environ.get("BENCH_WAVEFRONT", "0") == "1":
+        import dataclasses
+        wcfg = dataclasses.replace(cfg, engine="wavefront")
+        wdt = _timed_render(scene, cam, wcfg, pallas_intersector(wcfg),
+                            n_iters)
+        secondary["wavefront_rays_per_sec"] = round(rays / wdt, 1)
 
-        grad_fn = jax.jit(jax.grad(fwd))
-        a0 = scene.textures.color0
-        float(fwd(a0))
-        float(grad_fn(a0).sum())
-        t0 = time.perf_counter(); float(fwd(a0)); t_f = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(grad_fn(a0).sum())
-        t_b = time.perf_counter() - t0
-        # grad_fn runs fwd+bwd; bwd alone ~ total - fwd
-        bwd_fwd_ratio = max(t_b - t_f, 0.0) / max(t_f, 1e-9)
+    if os.environ.get("BENCH_BWD", "0") == "1":  # opt-in: slow grad compiles
+        from cudaraytracer_tpu.models import presets
+        ts, tcam = presets.three_spheres(aspect=1.0)
+        alb, geo = _bwd_fwd_ratios(ts, tcam, cfg)
+        secondary["bwd_fwd_ratio"] = round(alb, 3)
+        secondary["bwd_fwd_ratio_geom"] = round(geo, 3)
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_SELF.json")
-    vs = 1.0
+    # --- baseline: FROZEN round-1 record; explicit update only ---
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(here, "BASELINE_SELF.json")
     record = {}
     if os.path.exists(baseline_path):
         try:
             with open(baseline_path) as f:
                 record = json.load(f)
-            prior = record.get("camera_rays_per_sec")
-            if prior:
-                vs = value / float(prior)
         except Exception:
-            pass
-    changed = False
-    if "camera_rays_per_sec" not in record:
-        record.update({"camera_rays_per_sec": value,
-                       "config": f"{width}x{height}x{spp}spp depth8 {scene_name}",
-                       "backend": jax.devices()[0].platform})
-        changed = True
-    if bwd_fwd_ratio is not None and "bwd_fwd_ratio" not in record:
-        record["bwd_fwd_ratio"] = round(bwd_fwd_ratio, 3)
-        changed = True
-    if changed:
-        try:
-            with open(baseline_path, "w") as f:
-                json.dump(record, f, indent=2)
-        except Exception:
-            pass
+            record = {}
+    prior = record.get("camera_rays_per_sec")
+    vs = value / float(prior) if prior else 1.0
+    if os.environ.get("BENCH_UPDATE_BASELINE", "0") == "1":
+        record.update({
+            "camera_rays_per_sec": value,
+            "config": f"{width}x{height}x{spp}spp depth8 {scene_name} "
+                      f"engine={engine}",
+            "backend": jax.devices()[0].platform,
+            "secondary": secondary,
+        })
+        with open(baseline_path, "w") as f:
+            json.dump(record, f, indent=2)
 
     print(json.dumps({
         "metric": "camera_rays_per_sec_1080p_path8",
         "value": round(value, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 4),
+        "secondary": secondary,
     }))
     return 0
 

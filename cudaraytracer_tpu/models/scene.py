@@ -54,12 +54,34 @@ class Rectangles(NamedTuple):
     mat: Array     # int32[R]
 
 
+class TSpheres(NamedTuple):
+    """Spheres with a runtime TRS — the reference's general Hitable form
+    (sphere.h: object-space sphere AT THE ORIGIN + a Transform whose position
+    is the center; hit through TransformRay, hitable.h:29-38).  Only needed
+    for non-identity rotation/scale; plain translations bake into Spheres."""
+    trs: TRS       # each f32[K,3]
+    radius: Array  # f32[K]
+    mat: Array     # int32[K]
+
+
+class TTriangles(NamedTuple):
+    """Triangles with a runtime TRS (object-space vertices + TransformRay)."""
+    trs: TRS
+    v0: Array      # f32[K,3] object space
+    v1: Array
+    v2: Array
+    normal: Array  # f32[K,3] object-space stored normal
+    mat: Array     # int32[K]
+
+
 class Scene(NamedTuple):
     spheres: Spheres
     triangles: Triangles
     rects: Rectangles
     materials: MaterialTable
     textures: TextureTable
+    t_spheres: TSpheres
+    t_triangles: TTriangles
 
     @property
     def n_spheres(self) -> int:
@@ -72,6 +94,14 @@ class Scene(NamedTuple):
     @property
     def n_rects(self) -> int:
         return self.rects.flip.shape[0]
+
+    @property
+    def n_t_spheres(self) -> int:
+        return self.t_spheres.radius.shape[0]
+
+    @property
+    def n_t_triangles(self) -> int:
+        return self.t_triangles.mat.shape[0]
 
     def with_triangle_vertices(self, v0: Array, v1: Array, v2: Array,
                                normal: Optional[Array] = None) -> "Scene":
@@ -100,23 +130,55 @@ class SceneBuilder:
         self._rect_trs: list = []
         self._rect_flip: list = []
         self._rect_mat: list = []
+        self._tsph: list = []        # (trs, radius, mat)
+        self._ttri: list = []        # (trs, (3,3) verts, normal, mat)
+
+    @staticmethod
+    def _is_identity_rs(rotation, scale) -> bool:
+        return (np.allclose(np.asarray(rotation, np.float32), 0.0)
+                and np.allclose(np.asarray(scale, np.float32), 1.0))
 
     # -- spheres ---------------------------------------------------------
-    def add_sphere(self, center, radius: float, mat_id: int) -> int:
+    def add_sphere(self, center, radius: float, mat_id: int,
+                   rotation=(0, 0, 0), scale=(1, 1, 1)) -> int:
+        """Sphere parity (sphere.h): an origin-centered sphere + a Transform
+        whose position is the center.  Pure translations bake into the fast
+        table; non-identity rotation/scale routes through the runtime
+        TransformRay chain (hitable.h:29-38), exactly like the reference."""
+        if not self._is_identity_rs(rotation, scale):
+            trs = (np.asarray(center, np.float32),
+                   np.asarray(rotation, np.float32),
+                   np.asarray(scale, np.float32))
+            self._tsph.append((trs, float(radius), int(mat_id)))
+            return -len(self._tsph)   # t-table handle (negative)
         self._sph_center.append(np.asarray(center, np.float32))
         self._sph_radius.append(float(radius))
         self._sph_mat.append(int(mat_id))
         return len(self._sph_radius) - 1
 
     # -- triangles -------------------------------------------------------
-    def add_triangle(self, v0, v1, v2, mat_id: int, normal=None) -> int:
-        """Triangle ctor parity: normal from edges if not given (triangle.h:14-17)."""
+    def add_triangle(self, v0, v1, v2, mat_id: int, normal=None,
+                     position=(0, 0, 0), rotation=(0, 0, 0),
+                     scale=(1, 1, 1)) -> int:
+        """Triangle ctor parity: normal from edges if not given
+        (triangle.h:14-17).  A non-identity transform keeps the vertices in
+        OBJECT space and intersects through the reference TransformRay chain
+        (note the reference quirks: ScaleRay does not move the origin, so
+        'scale' warps the ray direction rather than scaling the triangle)."""
         v0 = np.asarray(v0, np.float32)
         v1 = np.asarray(v1, np.float32)
         v2 = np.asarray(v2, np.float32)
         if normal is None:
             n = np.cross(v1 - v0, v2 - v0)
             normal = n / max(np.linalg.norm(n), 1e-20)
+        if not (self._is_identity_rs(rotation, scale)
+                and np.allclose(np.asarray(position, np.float32), 0.0)):
+            trs = (np.asarray(position, np.float32),
+                   np.asarray(rotation, np.float32),
+                   np.asarray(scale, np.float32))
+            self._ttri.append((trs, np.stack([v0, v1, v2]),
+                               np.asarray(normal, np.float32), int(mat_id)))
+            return -len(self._ttri)
         self._tri_v.append(np.stack([v0, v1, v2]))
         self._tri_n.append(np.asarray(normal, np.float32))
         self._tri_mat.append(int(mat_id))
@@ -217,5 +279,28 @@ class SceneBuilder:
             jnp.asarray(np.asarray(self._rect_flip, bool)),
             jnp.asarray(np.asarray(self._rect_mat, np.int32)))
 
+        def trs_of(entries):
+            if entries:
+                p = np.stack([e[0][0] for e in entries])
+                r = np.stack([e[0][1] for e in entries])
+                s = np.stack([e[0][2] for e in entries])
+            else:
+                p = r = np.zeros((0, 3), np.float32)
+                s = np.ones((0, 3), np.float32)
+            return TRS(jnp.asarray(p), jnp.asarray(r), jnp.asarray(s))
+
+        tsph = TSpheres(
+            trs_of(self._tsph),
+            jnp.asarray(np.asarray([e[1] for e in self._tsph], np.float32)),
+            jnp.asarray(np.asarray([e[2] for e in self._tsph], np.int32)))
+        tv = (np.stack([e[1] for e in self._ttri]) if self._ttri
+              else np.zeros((0, 3, 3), np.float32))
+        ttri = TTriangles(
+            trs_of(self._ttri),
+            jnp.asarray(tv[:, 0]), jnp.asarray(tv[:, 1]), jnp.asarray(tv[:, 2]),
+            jnp.asarray(np.stack([e[2] for e in self._ttri]) if self._ttri
+                        else np.zeros((0, 3), np.float32)),
+            jnp.asarray(np.asarray([e[3] for e in self._ttri], np.int32)))
+
         return Scene(sph, tri, rects, self.materials.build(),
-                     self.materials.textures.build())
+                     self.materials.textures.build(), tsph, ttri)

@@ -251,15 +251,15 @@ INTEGRATOR_FNS = {
 def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
               intersect_fn=None, aux=None,
               samples: Optional[SampleStream] = None) -> Array:
+    if cfg.engine == "mega":
+        from . import megakernel as _mk   # local: pallas optional
+        if _mk.megakernel_supported(scene):
+            tables = aux if isinstance(aux, _mk.MegaTables) else None
+            return _mk.trace_path_mega(scene, rays, key, cfg,
+                                       tables=tables, samples=samples)
+        if isinstance(aux, _mk.MegaTables):   # fall back to wavefront
+            aux = None
     if cfg.integrator == "path":
-        if cfg.engine == "mega":
-            from . import megakernel as _mk   # local: pallas optional
-            if _mk.megakernel_supported(scene):
-                tables = aux if isinstance(aux, _mk.MegaTables) else None
-                return _mk.trace_path_mega(scene, rays, key, cfg,
-                                           tables=tables, samples=samples)
-            if isinstance(aux, _mk.MegaTables):   # fall back to wavefront
-                aux = None
         return trace_path(scene, rays, key, cfg, intersect_fn, aux, samples)
     # lambert/normal discard the scatter direction, so the injected stream
     # cannot influence them; key-only is already deterministic there.

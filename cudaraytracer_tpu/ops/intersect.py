@@ -178,9 +178,115 @@ def rect_candidates(rays: Rays, rects, t_min, t_max):
     return valid, jnp.where(valid, t_cmp, BIG), u, v, p, normal
 
 
+def _transform_rays_nc(rays: Rays, trs):
+    """TransformRay (transform.h:11-14) broadcast to (N, C): returns the
+    object-space origin/unit-direction plus 1/|raw d| for rescaling the
+    native t into the caller's raw-direction parameterization (see
+    rect_candidates' docstring — identical reasoning)."""
+    o = rays.origin[:, None, :]
+    dir0 = rays.direction[:, None, :]
+    raw_len = jnp.sqrt(jnp.sum(dir0 * dir0, axis=-1))      # (N,1)
+    d = dir0 / trs.scale[None, :, :]                        # ScaleRay
+    dlen = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    d = d / dlen
+    o = v3.rotate(jnp.broadcast_to(o, d.shape), trs.rotation[None])  # RotateRay
+    d = v3.rotate(d, trs.rotation[None])
+    o = o - trs.position[None]                              # TranslateRay
+    return o, d, raw_len
+
+
+def t_sphere_candidates(rays: Rays, tsph, t_min, t_max):
+    """Runtime-TRS spheres — sphere.h:27-55 on the TransformRay'd ray
+    (origin-centered object-space sphere; hitable.h:29-38 chain).
+
+    Returns valid[N,C], t_cmp[N,C] (raw-direction parameterization),
+    p_obj[N,C,3] (reference rec.p stays object-space), normal[N,C,3]
+    (object normal p/r rotated by the object rotation, hitable.h:36).
+    """
+    o, d, raw_len = _transform_rays_nc(rays, tsph.trs)
+    r = tsph.radius[None, :]
+    b = jnp.sum(o * d, axis=-1)
+    a = jnp.sum(d * d, axis=-1)
+    c = jnp.sum(o * o, axis=-1) - r * r
+    disc = b * b - a * c
+    disc_safe = jnp.where(disc > 0.0, disc, 1.0)
+    sq = jnp.where(disc > 0.0, jnp.sqrt(disc_safe), 0.0)
+    t0 = (-b - sq) / a
+    t1 = (-b + sq) / a
+    # t window applies in the NATIVE (normalized) parameterization, as the
+    # reference does (sphere.h:38/45 on the transformed ray)
+    ok0 = (disc > 0.0) & (t0 < t_max) & (t0 > t_min)
+    ok1 = (disc > 0.0) & (t1 < t_max) & (t1 > t_min)
+    t = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
+    valid = ok0 | ok1
+    p = o + t[..., None] * d
+    normal = v3.rotate(p / r[..., None], tsph.trs.rotation[None])
+    t_cmp = t / raw_len
+    return valid, jnp.where(valid, t_cmp, BIG), p, normal
+
+
+def t_triangle_candidates(rays: Rays, ttri, t_min, t_max, quirks: Quirks):
+    """Runtime-TRS triangles — triangle.h:57-100 on the TransformRay'd ray
+    against OBJECT-space vertices, quirks included; normal is the stored
+    object normal rotated by the object rotation (hitable.h:36).
+
+    Returns valid[N,C], t_cmp[N,C], u, v, p_obj[N,C,3], normal[N,C,3]."""
+    o, d, raw_len = _transform_rays_nc(rays, ttri.trs)
+    e1 = (ttri.v1 - ttri.v0)[None]
+    e2 = (ttri.v2 - ttri.v0)[None]
+    h = jnp.cross(d, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = 1.0 / a
+    s = o - ttri.v0[None]
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(d * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
+        & (v >= 0.0) & (u + v <= 1.0)
+    if quirks.triangle_back_culling:
+        valid &= a >= TRI_EPSILON
+    if quirks.triangle_backface_only:
+        # triangle.h:61 on the TRANSFORMED direction vs the object normal
+        valid &= jnp.sum(d * ttri.normal[None], axis=-1) >= 0.0
+    if not quirks.triangle_no_t_clip:
+        valid &= (t > t_min) & (t < t_max)
+    else:
+        valid &= t < t_max
+    p = o + t[..., None] * d
+    normal = v3.rotate(jnp.broadcast_to(ttri.normal[None], d.shape),
+                       ttri.trs.rotation[None])
+    t_cmp = t / raw_len
+    return valid, jnp.where(valid, t_cmp, BIG), u, v, p, normal
+
+
 # ---------------------------------------------------------------------------
 # Whole-scene brute-force intersect with chunked reduction.
 # ---------------------------------------------------------------------------
+
+def _reduce_t_tables(scene: Scene, rays: Rays, best, t_min, t_max,
+                     quirks: Quirks):
+    """Fold the runtime-TRS sphere/triangle tables into the running best.
+    Global index space appends them after rects: [spheres, triangles, rects,
+    t_spheres, t_triangles]."""
+    best_t, best_idx = best
+    n_base = scene.n_spheres + scene.n_triangles + scene.n_rects
+    n_ts = scene.n_t_spheres
+    if n_ts:
+        valid, t, _, _ = t_sphere_candidates(rays, scene.t_spheres, t_min,
+                                             t_max)
+        idx = jnp.arange(n_ts, dtype=jnp.int32) + n_base
+        best_t, best_idx = _reduce_best((best_t, best_idx), t, valid,
+                                        jnp.broadcast_to(idx[None], t.shape))
+    if scene.n_t_triangles:
+        valid, t, _, _, _, _ = t_triangle_candidates(rays, scene.t_triangles,
+                                                     t_min, t_max, quirks)
+        idx = jnp.arange(scene.n_t_triangles, dtype=jnp.int32) + n_base + n_ts
+        best_t, best_idx = _reduce_best((best_t, best_idx), t, valid,
+                                        jnp.broadcast_to(idx[None], t.shape))
+    return best_t, best_idx
+
+
 
 def _reduce_best(best, cand_t, cand_valid, cand_idx):
     """Keep the smaller-t candidate; first occurrence wins ties (matching the
@@ -249,6 +355,8 @@ def intersect_scene(scene: Scene, rays: Rays, t_min: float = 1e-3,
         (best_t, best_idx) = _reduce_best((best_t, best_idx), t, valid,
                                           jnp.broadcast_to(idx[None], t.shape))
 
+    best_t, best_idx = _reduce_t_tables(scene, rays, (best_t, best_idx),
+                                        t_min, t_max, quirks)
     return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks,
                          tri_override)
 
@@ -297,6 +405,8 @@ def intersect_scene_bvh(scene: Scene, rays: Rays, bvh, t_min: float = 1e-3,
         best_t, best_idx = _reduce_best((best_t, best_idx), t, valid,
                                         jnp.broadcast_to(idx[None], t.shape))
 
+    best_t, best_idx = _reduce_t_tables(scene, rays, (best_t, best_idx),
+                                        t_min_f, t_max_f, quirks)
     return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks,
                          tri_override)
 
@@ -347,6 +457,9 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
         best_t, best_idx = _reduce_best((best_t, best_idx), t, valid,
                                         jnp.broadcast_to(idx[None], t.shape))
 
+    best_t, best_idx = _reduce_t_tables(scene, rays, (best_t, best_idx),
+                                        jnp.float32(t_min), jnp.float32(t_max),
+                                        quirks)
     return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks)
 
 
@@ -409,6 +522,30 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         # reference rec.p is the object-space point (hitable.h never maps back)
         p = jnp.where(is_r[..., None], rp[rows, ri], p)
         mat = jnp.where(is_r, scene.rects.mat[ri], mat)
+
+    base = n_s + n_t + n_r
+    n_ts, n_tt = scene.n_t_spheres, scene.n_t_triangles
+    if n_ts:
+        _, tst, tsp, tsn = t_sphere_candidates(rays, scene.t_spheres,
+                                               t_min, t_max)
+        si = jnp.clip(idx - base, 0, n_ts - 1)
+        is_ts = hit & (best_idx >= base) & (best_idx < base + n_ts)
+        rows = jnp.arange(n)
+        normal = jnp.where(is_ts[..., None], tsn[rows, si], normal)
+        # reference rec.p stays in object space (hitable.h never maps back)
+        p = jnp.where(is_ts[..., None], tsp[rows, si], p)
+        mat = jnp.where(is_ts, scene.t_spheres.mat[si], mat)
+    if n_tt:
+        _, ttt, ttu, ttv, ttp, ttn = t_triangle_candidates(
+            rays, scene.t_triangles, t_min, t_max, quirks)
+        ti2 = jnp.clip(idx - base - n_ts, 0, n_tt - 1)
+        is_tt = hit & (best_idx >= base + n_ts)
+        rows = jnp.arange(n)
+        normal = jnp.where(is_tt[..., None], ttn[rows, ti2], normal)
+        p = jnp.where(is_tt[..., None], ttp[rows, ti2], p)
+        u = jnp.where(is_tt, ttu[rows, ti2], u)
+        vv = jnp.where(is_tt, ttv[rows, ti2], vv)
+        mat = jnp.where(is_tt, scene.t_triangles.mat[ti2], mat)
 
     return Hits(hit, t, p, normal, u, vv, mat, best_idx)
 

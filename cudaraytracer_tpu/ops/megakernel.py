@@ -39,9 +39,12 @@ Design notes (see also ops/pallas_intersect.py, whose sweep math this reuses):
   * Bounce recursion is a ``fori_loop`` of max_depth+1 steps (render.h:48-67
     semantics: emitted + attenuation * recurse; ambient 0.1 on absorption;
     sky on miss), with a tile-level early-out once every lane has terminated.
-  * Scope: spheres + triangles, all four materials, constant/checker textures.
-    Scenes with rects or image textures fall back to the wavefront path
-    (megakernel_supported()).  The megakernel is forward-only; the
+  * Scope: spheres + triangles, all four materials, constant/checker
+    textures, and all THREE integrators — the path tracer's full bounce loop,
+    plus the single-intersect LambertShade (the reference's active
+    integrator, render.h:70-87) and shade_normal.  Scenes with rects,
+    runtime-TRS primitives, or image textures fall back to the wavefront
+    path (megakernel_supported()).  The megakernel is forward-only; the
     differentiable path remains ops/integrators.trace_path with the
     custom-VJP sweeps.
 
@@ -112,7 +115,7 @@ def megakernel_supported(scene: Scene) -> bool:
     enough for VMEM residence.  Uses only STATIC shape information so it can
     gate the engine choice inside jit (a TextureBuilder with no images packs
     a (1,1,1,3) dummy image array)."""
-    if scene.n_rects:
+    if scene.n_rects or scene.n_t_spheres or scene.n_t_triangles:
         return False
     if scene.n_spheres > MAX_VMEM_PRIMS:
         return False
@@ -235,14 +238,15 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
                  has_tri: bool, max_depth: int, t_min: float, t_max: float,
                  ambient: float, backface_only: bool, no_t_clip: bool,
                  back_culling: bool, die_ref_cosine: bool, injected: bool,
-                 stream_tri: bool = False, n_tri_segs: int = 0):
+                 stream_tri: bool = False, n_tri_segs: int = 0,
+                 integrator: str = "path", lambert_unnorm: bool = True):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
     uni_ref = rest.pop(0) if injected else None
     seed_ref = rest.pop(0)
     out_ref = rest.pop(0)
     tri_scratch, dma_sem = rest if stream_tri else (None, None)
-    if not injected:
+    if not injected and integrator == "path":   # lambert/normal draw nothing
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     shape = (TILE_ROWS, LANES)
@@ -640,13 +644,77 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
 
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
-    one = jnp.ones(shape, jnp.float32)
-    zero = jnp.zeros(shape, jnp.float32)
-    carry = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero, one)
-    carry = jax.lax.fori_loop(0, max_depth + 1, bounce, carry)
-    out_ref[0] = carry[9]
-    out_ref[1] = carry[10]
-    out_ref[2] = carry[11]
+    if integrator == "path":
+        one = jnp.ones(shape, jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        carry = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero, one)
+        carry = jax.lax.fori_loop(0, max_depth + 1, bounce, carry)
+        out_ref[0] = carry[9]
+        out_ref[1] = carry[10]
+        out_ref[2] = carry[11]
+        return
+
+    # ---- single-intersect debug integrators (render.h:70-87 / :90-103) ----
+    if has_sph:
+        s_t, s_at = sphere_sweep(ox, oy, oz, dx, dy, dz)
+    else:
+        s_t = jnp.full(shape, BIG, jnp.float32)
+        s_at = tuple(jnp.zeros(shape, jnp.float32)
+                     for _ in range(4 + N_MAT_COMPS))
+    if has_tri:
+        t_t, t_at = tri_sweep(ox, oy, oz, dx, dy, dz)
+    else:
+        t_t = jnp.full(shape, BIG, jnp.float32)
+        t_at = tuple(jnp.zeros(shape, jnp.float32)
+                     for _ in range(3 + N_MAT_COMPS))
+    tri_w = t_t < s_t
+    t = jnp.where(tri_w, t_t, s_t)
+    hit = t < BIG_CUT
+    t = jnp.where(hit, t, 0.0)       # miss: BIG*d overflows to inf -> NaN
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    nx = jnp.where(tri_w, t_at[0], (px - s_at[0]) * s_at[3])
+    ny = jnp.where(tri_w, t_at[1], (py - s_at[1]) * s_at[3])
+    nz = jnp.where(tri_w, t_at[2], (pz - s_at[2]) * s_at[3])
+    inv_dlen = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    sky_t = 0.5 * (dy * inv_dlen + 1.0)
+    skyr = (1.0 - sky_t) + sky_t * 0.5
+    skyg = (1.0 - sky_t) + sky_t * 0.7
+    skyb = (1.0 - sky_t) + sky_t * 1.0
+    if integrator == "normal":
+        out_ref[0] = jnp.where(hit, nx, skyr)
+        out_ref[1] = jnp.where(hit, ny, skyg)
+        out_ref[2] = jnp.where(hit, nz, skyb)
+        return
+    # LambertShade (render.h:70-87): att * max(dot(dir, n), 0) * sky * 0.2
+    # + emitted; the reference uses the UNNORMALIZED camera direction
+    m = [jnp.where(tri_w, t_at[3 + k], s_at[4 + k])
+         for k in range(N_MAT_COMPS)]
+    kind, texk = m[0], m[1]
+    c0r, c0g, c0b, c1r, c1g, c1b = m[3], m[4], m[5], m[6], m[7], m[8]
+    sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
+    odd_chk = (texk == float(_tex.CHECKER)) & (sines < 0.0)
+    texr = jnp.where(odd_chk, c1r, c0r)
+    texg = jnp.where(odd_chk, c1g, c0g)
+    texb = jnp.where(odd_chk, c1b, c0b)
+    is_met = kind == float(_mat.METAL)
+    is_die = kind == float(_mat.DIELECTRIC)
+    is_light = kind == float(_mat.DIFFUSE_LIGHT)
+    atr = jnp.where(is_die, 1.0, jnp.where(is_met, c0r, texr))
+    atg = jnp.where(is_die, 1.0, jnp.where(is_met, c0g, texg))
+    atb = jnp.where(is_die, 1.0, jnp.where(is_met, c0b, texb))
+    emr = jnp.where(is_light, texr, 0.0)
+    emg = jnp.where(is_light, texg, 0.0)
+    emb = jnp.where(is_light, texb, 0.0)
+    scale_d = 1.0 if lambert_unnorm else inv_dlen
+    tq = jnp.maximum((dx * nx + dy * ny + dz * nz) * scale_d, 0.0)
+    litr = atr * tq * skyr * 0.2 + emr
+    litg = atg * tq * skyg * 0.2 + emg
+    litb = atb * tq * skyb * 0.2 + emb
+    out_ref[0] = jnp.where(hit, litr, skyr)
+    out_ref[1] = jnp.where(hit, litg, skyg)
+    out_ref[2] = jnp.where(hit, litb, skyb)
 
 
 # ---------------------------------------------------------------------------
@@ -667,8 +735,9 @@ def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:
 def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
                     cfg: RenderConfig, tables: Optional[MegaTables] = None,
                     samples=None) -> Array:
-    """Fused path integrator — drop-in for integrators.trace_path on
-    supported scenes (forward only).  Returns radiance f32[N, 3].
+    """Fused integrator (cfg.integrator: path / lambert / normal) — drop-in
+    for integrators.integrate on supported scenes (forward only).  Returns
+    radiance f32[N, 3].
 
     samples: optional integrators.SampleStream for injected-sample parity.
     On non-TPU backends, where the Mosaic PRNG doesn't lower, the wrapper
@@ -684,8 +753,8 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
     o = jnp.stack([_pad_rays(rays.origin[:, k], rows) for k in range(3)])
     d = jnp.stack([_pad_rays(rays.direction[:, k], rows) for k in range(3)])
 
-    injected = samples is not None
-    if not injected and _interpret():
+    injected = samples is not None and cfg.integrator == "path"
+    if not injected and _interpret() and cfg.integrator == "path":
         samples = stream_from_key(key, n, cfg.max_depth)
         injected = True
 
@@ -703,7 +772,9 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
         back_culling=q.triangle_back_culling,
         die_ref_cosine=q.dielectric_reference_cosine,
         injected=injected, stream_tri=stream_tri,
-        n_tri_segs=tables.tri.shape[0] // SEG_T if stream_tri else 0)
+        n_tri_segs=tables.tri.shape[0] // SEG_T if stream_tri else 0,
+        integrator=cfg.integrator,
+        lambert_unnorm=q.lambert_unnormalized_dot)
 
     grid = (rows // TILE_ROWS,)
     full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),

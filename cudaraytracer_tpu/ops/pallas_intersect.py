@@ -680,9 +680,18 @@ def _sphere_bwd(t_min, t_max, cull, res, g):
     safe = jnp.maximum(idx, 0)
     c_w = center[safe]
     r_w = radius[safe]
-    # which root won: recompute t0 and compare
-    t0 = _sphere_t_of(origin, direction, c_w, r_w, True)
-    pick_first = jnp.abs(t0 - t) < 1e-3 * jnp.maximum(jnp.abs(t), 1.0)
+    # which root won: re-evaluate the kernel's EXACT selection rule (take t0
+    # iff it lies in the (t_min, t_max) window, sphere.h:38-45) instead of a
+    # tolerance match on t, which could misattribute gradients for grazing
+    # rays where t0 ~= t1
+    oc = origin - c_w
+    a = jnp.sum(direction * direction, axis=-1)
+    b = jnp.sum(oc * direction, axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - r_w * r_w
+    disc = b * b - a * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / a
+    pick_first = (disc > 0.0) & (t0 < t_max) & (t0 > t_min)
 
     def t_fn(o, d, c, r):
         return jnp.sum(_sphere_t_of(o, d, c, r, pick_first)

@@ -90,13 +90,36 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
             (best_t, best_gidx, best_lidx), t, valid,
             lidx, jnp.broadcast_to(gidx[None], t.shape))
 
+    member = jax.lax.axis_index(axis_name)
     if n_r:  # replicated rects: only tp member 0 contributes them
         valid, t, _, _, _, _ = _isect.rect_candidates(
             rays, scene_local.rects, t_min_f, t_max_f)
-        member = jax.lax.axis_index(axis_name)
         valid &= (member == 0)
         lidx = jnp.arange(n_r, dtype=jnp.int32)
         gidx = lidx + n_spheres_global + n_triangles_global
+        best_t, best_gidx, best_lidx = reduce_local(
+            (best_t, best_gidx, best_lidx), t, valid,
+            lidx, jnp.broadcast_to(gidx[None], t.shape))
+
+    # replicated runtime-TRS tables (small, like rects): member 0 only
+    n_ts = scene_local.n_t_spheres
+    n_tt = scene_local.n_t_triangles
+    base_t = n_spheres_global + n_triangles_global + n_r
+    if n_ts:
+        valid, t, _, _ = _isect.t_sphere_candidates(
+            rays, scene_local.t_spheres, t_min_f, t_max_f)
+        valid &= (member == 0)
+        lidx = jnp.arange(n_ts, dtype=jnp.int32)
+        gidx = lidx + base_t
+        best_t, best_gidx, best_lidx = reduce_local(
+            (best_t, best_gidx, best_lidx), t, valid,
+            lidx, jnp.broadcast_to(gidx[None], t.shape))
+    if n_tt:
+        valid, t, _, _, _, _ = _isect.t_triangle_candidates(
+            rays, scene_local.t_triangles, t_min_f, t_max_f, quirks)
+        valid &= (member == 0)
+        lidx = jnp.arange(n_tt, dtype=jnp.int32)
+        gidx = lidx + base_t + n_ts
         best_t, best_gidx, best_lidx = reduce_local(
             (best_t, best_gidx, best_lidx), t, valid,
             lidx, jnp.broadcast_to(gidx[None], t.shape))
@@ -133,14 +156,22 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
 def _local_typed_index(best_gidx: Array, best_lidx: Array, scene_local: Scene,
                        n_sph_g: int, n_tri_g: int) -> Array:
     """Map our winning candidate to the LOCAL combined index space that
-    finalize_hits expects ([0,S_local) spheres, [S_local, S+T) triangles, ...),
-    preserving the type implied by the global index."""
+    finalize_hits expects ([0,S_local) spheres, [S_local, S+T) triangles,
+    then rects, t_spheres, t_triangles), preserving the type implied by the
+    global index (rect/t-tables are replicated, so local == global there)."""
     n_s = scene_local.n_spheres
     n_t = scene_local.n_triangles
+    n_r = scene_local.n_rects
+    n_ts = scene_local.n_t_spheres
+    base_r = n_sph_g + n_tri_g
     is_sphere = best_gidx < n_sph_g
-    is_tri = (best_gidx >= n_sph_g) & (best_gidx < n_sph_g + n_tri_g)
-    is_rect = (best_gidx >= n_sph_g + n_tri_g) & (best_gidx != _IDX_MISS)
+    is_tri = (best_gidx >= n_sph_g) & (best_gidx < base_r)
+    is_rect = (best_gidx >= base_r) & (best_gidx < base_r + n_r)
+    is_ts = (best_gidx >= base_r + n_r) & (best_gidx < base_r + n_r + n_ts)
+    is_tt = (best_gidx >= base_r + n_r + n_ts) & (best_gidx != _IDX_MISS)
     idx = jnp.where(is_sphere, best_lidx, 0)
     idx = jnp.where(is_tri, best_lidx + n_s, idx)
     idx = jnp.where(is_rect, best_lidx + n_s + n_t, idx)
+    idx = jnp.where(is_ts, best_lidx + n_s + n_t + n_r, idx)
+    idx = jnp.where(is_tt, best_lidx + n_s + n_t + n_r + n_ts, idx)
     return jnp.where(best_gidx == _IDX_MISS, -1, idx)

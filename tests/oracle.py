@@ -109,6 +109,80 @@ class Triangle:
         return dict(t=t, p=o + t * d, normal=self.normal, u=u, v=v, mat=self.mat)
 
 
+def rotate(v, rotation_deg):
+    """vec3.h:200-217 Euler rotate (degrees, NEGATED-Z quirk), float64."""
+    v = np.asarray(v, np.float64)
+    rx, ry, rz = np.asarray(rotation_deg, np.float64) * math.pi / 180.0
+    rz = -rz   # vec3.h:206
+    sx, cx = math.sin(rx), math.cos(rx)
+    sy, cy = math.sin(ry), math.cos(ry)
+    sz, cz = math.sin(rz), math.cos(rz)
+    R = np.array([
+        [cy * cz, -cy * sz, sy],
+        [sx * sy * cz + cx * sz, -sx * sy * sz + cx * cz, -sx * cy],
+        [-cx * sy * cz + sx * sz, cx * sy * sz + sx * cz, cx * cy]])
+    return R @ v
+
+
+def transform_ray(o, d, position, rotation, scale):
+    """transform.h:11-14 TransformRay: ScaleRay (origin NOT scaled, direction
+    normalized) -> RotateRay -> TranslateRay.  Returns (o', unit d')."""
+    d2 = np.asarray(d, np.float64) / np.asarray(scale, np.float64)
+    d2 = d2 / np.linalg.norm(d2)
+    o2 = rotate(o, rotation)
+    d2 = rotate(d2, rotation)
+    return o2 - np.asarray(position, np.float64), d2
+
+
+class TransformedSphere:
+    """sphere.h through the full Hitable::hit chain (hitable.h:29-38):
+    origin-centered object-space sphere; rec.p stays object-space, rec.normal
+    (p/r) is rotated by the object rotation."""
+
+    def __init__(self, position, rotation, scale, radius, mat):
+        self.position = np.asarray(position, np.float64)
+        self.rotation = np.asarray(rotation, np.float64)
+        self.scale = np.asarray(scale, np.float64)
+        self.radius = float(radius)
+        self.mat = mat
+
+    def hit(self, o, d, t_min, t_max):
+        o2, d2 = transform_ray(o, d, self.position, self.rotation, self.scale)
+        b = np.dot(o2, d2)
+        c = np.dot(o2, o2) - self.radius ** 2
+        disc = b * b - np.dot(d2, d2) * c
+        if disc > 0:
+            for tmp in [(-b - math.sqrt(disc)) / np.dot(d2, d2),
+                        (-b + math.sqrt(disc)) / np.dot(d2, d2)]:
+                if t_min < tmp < t_max:
+                    p = o2 + tmp * d2
+                    return dict(t=tmp, p=p,
+                                normal=rotate(p / self.radius, self.rotation),
+                                u=0.0, v=0.0, mat=self.mat)
+        return None
+
+
+class TransformedTriangle:
+    """triangle.h through the Hitable::hit transform chain: object-space
+    vertices, quirks on the TRANSFORMED ray, normal rotated."""
+
+    def __init__(self, v0, v1, v2, normal, position, rotation, scale, mat,
+                 backface_only=True, no_t_clip=True):
+        self.inner = Triangle(v0, v1, v2, normal, mat,
+                              backface_only=backface_only,
+                              no_t_clip=no_t_clip)
+        self.position = np.asarray(position, np.float64)
+        self.rotation = np.asarray(rotation, np.float64)
+        self.scale = np.asarray(scale, np.float64)
+
+    def hit(self, o, d, t_min, t_max):
+        o2, d2 = transform_ray(o, d, self.position, self.rotation, self.scale)
+        rec = self.inner.hit(o2, d2, t_min, t_max)
+        if rec is not None:
+            rec["normal"] = rotate(rec["normal"], self.rotation)
+        return rec
+
+
 class HitList:
     """hitable_list.h:76-91 linear closest-hit scan."""
 

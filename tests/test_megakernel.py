@@ -221,3 +221,21 @@ def test_mega_tables_refit_flow():
     ref = np.asarray(integ.trace_path(scene2, rays, jax.random.key(11), cfg,
                                       samples=stream))
     np.testing.assert_allclose(np.asarray(r1), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_mega_lambert_and_normal_integrators():
+    """The megakernel also fuses the reference's ACTIVE LambertShade
+    (render.h:70-87) and shade_normal (render.h:90-103) — deterministic, so
+    exact parity with the wavefront integrators in both quirk profiles."""
+    sc = _mixed_scene()
+    scene, _ = sc
+    for integrator in ("lambert", "normal"):
+        for quirks in (Quirks.reference(), Quirks.fixed()):
+            cfg = _cfg(samples=1, integrator=integrator, quirks=quirks)
+            rays = _rays(sc, cfg, jax.random.key(2))
+            ref = np.asarray(integ.INTEGRATOR_FNS[integrator](
+                scene, rays, jax.random.key(1), cfg))
+            got = np.asarray(mk.trace_path_mega(scene, rays,
+                                                jax.random.key(1), cfg))
+            np.testing.assert_allclose(got, ref, atol=2e-5,
+                                       err_msg=integrator)

@@ -206,3 +206,27 @@ def test_multi_segment_tables():
         np.testing.assert_array_equal(hit, np.isfinite(ref_ts))
         np.testing.assert_allclose(np.asarray(tt)[hit],
                                    ref_ts[np.isfinite(ref_ts)], rtol=1e-4)
+
+
+def test_sphere_bwd_second_root_gradient():
+    """Gradient attribution when the SECOND quadratic root wins (ray origin
+    inside the sphere): the backward pass must re-evaluate the kernel's exact
+    root-selection rule, not a tolerance match on t.  Checked against central
+    finite differences."""
+    center = jnp.asarray([[0.0, 0.0, -2.0]])
+    radius = jnp.asarray([1.5])
+    origin = jnp.asarray([[0.2, -0.1, -2.3]])      # inside the sphere
+    direction = jnp.asarray([[0.3, 0.1, -1.0]])
+
+    def t_of(c):
+        t, _ = pk.sphere_best_hit(origin, direction, c, radius, 1e-3,
+                                  3.4e38)
+        return t[0]
+
+    g = jax.grad(t_of)(center)
+    eps = 1e-3
+    for k in range(3):
+        cp = center.at[0, k].add(eps)
+        cm = center.at[0, k].add(-eps)
+        fd = (t_of(cp) - t_of(cm)) / (2 * eps)
+        np.testing.assert_allclose(g[0, k], fd, rtol=5e-2, atol=1e-4)
