@@ -6,7 +6,9 @@ Reproduces kernel.cu:41-110 + render.h:191-237 end to end:
   'rendering') -> PNG images/<tag>/picture_<frame>.png -> output.csv with
   header `frame,rendering,update,build`.
 
-Pipelines (kernel.cu:93-97 menu, a flag here instead of comments):
+Pipelines (kernel.cu:93-97 menu, a flag here instead of comments; all
+pipelines produce the same quirk-gated images — pick by speed or by
+structural parity with the reference):
   bvh    — single BVH over the mesh, refit per frame (ACTIVE in the reference)
   list   — no acceleration structure (renderListAnimation)
   fused  — skin+refit+render in ONE jit call per frame (BVH path fused)
@@ -46,7 +48,11 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=8)     # kernel.cu:48
     ap.add_argument("--integrator", default="lambert",       # render.h:120 active
                     choices=["path", "lambert", "normal"])
-    ap.add_argument("--pipeline", default="bvh",
+    # default: the fused megakernel — same quirk-gated semantics as the
+    # reference-parity pipelines (tests pin all engines to the same images),
+    # ~20x faster on TPU; --pipeline bvh selects the reference's ACTIVE
+    # structure (BVH refit + traversal) for structural parity runs
+    ap.add_argument("--pipeline", default="mega",
                     choices=["bvh", "list", "fused", "pallas", "bonebvh",
                              "mega"])
     ap.add_argument("--begin-frame", type=int, default=0)   # kernel.cu:50

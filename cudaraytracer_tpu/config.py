@@ -97,6 +97,9 @@ class RenderConfig:
     # scene).  'mega': the fused Pallas megakernel (ops/megakernel.py) — the
     # whole bounce loop in one kernel, forward-only, spheres+triangles scenes;
     # unsupported scenes fall back to wavefront automatically.
+    # 'mega_diff': DIFFERENTIABLE hybrid — megakernel forward driven by an
+    # injected sample stream, wavefront backward replaying the same stream
+    # (exact gradients, ~13x faster forward; path integrator only).
     engine: str = "wavefront"
     # Mesh axis names to all-reduce scene-parameter GRADIENTS over, applied
     # PER BOUNCE inside the backward scan (an identity whose cotangent is
@@ -109,8 +112,9 @@ class RenderConfig:
     def __post_init__(self):
         if self.integrator not in INTEGRATORS:
             raise ValueError(f"integrator must be one of {INTEGRATORS}")
-        if self.engine not in ("wavefront", "mega"):
-            raise ValueError("engine must be 'wavefront' or 'mega'")
+        if self.engine not in ("wavefront", "mega", "mega_diff"):
+            raise ValueError(
+                "engine must be 'wavefront', 'mega', or 'mega_diff'")
 
     @property
     def aspect(self) -> float:

@@ -251,9 +251,12 @@ INTEGRATOR_FNS = {
 def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
               intersect_fn=None, aux=None,
               samples: Optional[SampleStream] = None) -> Array:
-    if cfg.engine == "mega":
+    if cfg.engine in ("mega", "mega_diff"):
         from . import megakernel as _mk   # local: pallas optional
         if _mk.megakernel_supported(scene):
+            if cfg.engine == "mega_diff" and cfg.integrator == "path":
+                return _mk.trace_path_mega_diff(scene, rays, key, cfg,
+                                                samples=samples)
             tables = aux if isinstance(aux, _mk.MegaTables) else None
             return _mk.trace_path_mega(scene, rays, key, cfg,
                                        tables=tables, samples=samples)

@@ -82,6 +82,7 @@ MAX_VMEM_PRIMS = 8192
 # VMEM scratch segment by in-kernel DMA; a per-SEGMENT AABB test (the
 # top-level structure) skips the DMA *and* the math for unreachable segments.
 SEG_T = 2048              # triangles per streamed segment (1 MB scratch)
+SUPER_T = 256             # middle cull level: one box per 16 chunks
 MAX_STREAM_PRIMS = 1 << 20
 
 # Sphere table lanes: geometry 0..4, material 5..13.
@@ -106,6 +107,7 @@ class MegaTables(NamedTuple):
     sph_box: Array   # f32[S_chunks_pad, 128] lanes 0..5 = lo.xyz, hi.xyz
     tri: Array       # f32[T_pad, 128]
     tri_box: Array   # f32[T_chunks_pad, 128]
+    tri_super: Array  # f32[T_supers_pad, 128] per-SUPER_T middle-level boxes
     tri_seg: Array   # f32[T_segs_pad, 128] per-SEG_T segment boxes (streaming)
 
 
@@ -168,7 +170,8 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
     """
     n_s, n_t = scene.n_spheres, scene.n_triangles
     stream_tri = n_t > MAX_VMEM_PRIMS
-    tri_mult = SEG_T if stream_tri else PRIM_CHUNK
+    # pad to a SUPER_T multiple so every superchunk owns a full run of chunks
+    tri_mult = SEG_T if stream_tri else SUPER_T
 
     def pack(cols: Array, mult: int) -> Array:
         # cols (N, k<=128) -> (N_pad, 128); pad rows repeat the last prim
@@ -219,21 +222,24 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
         lo = jnp.minimum(jnp.minimum(v0, v1), v2)
         hi = jnp.maximum(jnp.maximum(v0, v1), v2)
         tri_box = chunk_boxes(lo, hi, tri_mult)
+        tri_super = boxes_of(lo, hi, SUPER_T, tri_mult)
         tri_seg = (boxes_of(lo, hi, SEG_T, tri_mult) if stream_tri
                    else jnp.zeros((8, LANES), jnp.float32))
     else:
-        tri = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
-        tri_box = jnp.zeros((8, LANES), jnp.float32)
+        tri = jnp.zeros((SUPER_T, LANES), jnp.float32)
+        tri_box = jnp.zeros((SUPER_T // PRIM_CHUNK, LANES), jnp.float32)
+        tri_super = jnp.zeros((8, LANES), jnp.float32)
         tri_seg = jnp.zeros((8, LANES), jnp.float32)
 
-    return MegaTables(sph, sph_box, tri, tri_box, tri_seg)
+    return MegaTables(sph, sph_box, tri, tri_box, tri_super, tri_seg)
 
 
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
+def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
+                 o_ref, d_ref,
                  *rest, n_sph_chunks: int, n_tri_chunks: int, has_sph: bool,
                  has_tri: bool, max_depth: int, t_min: float, t_max: float,
                  ambient: float, backface_only: bool, no_t_clip: bool,
@@ -404,18 +410,36 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
             attrs = pick_attrs(wmask, take, reads, attrs)
             return jnp.where(take, tmin, best_t), attrs
 
-        if not stream_tri:
-            def body(j, carry):
-                best_t, _ = carry
-                base = j * PRIM_CHUNK
-                reachable = slab(tri_box_ref, j, ox, oy, oz, inv_dx, inv_dy,
-                                 inv_dz, best_t, lo_cut)
-                return jax.lax.cond(
-                    jnp.any(reachable),
-                    functools.partial(chunk_math, tri_ref, base, base),
-                    lambda c: c, carry)
+        chunks_per_super = SUPER_T // PRIM_CHUNK
 
-            return jax.lax.fori_loop(0, n_tri_chunks, body, (best_t0, attrs0))
+        def chunk_run(src_ref, chunk_global, base_local, carry):
+            best_t, _ = carry
+            reachable = slab(tri_box_ref, chunk_global, ox, oy, oz, inv_dx,
+                             inv_dy, inv_dz, best_t, lo_cut)
+            return jax.lax.cond(
+                jnp.any(reachable),
+                functools.partial(chunk_math, src_ref, base_local,
+                                  chunk_global * PRIM_CHUNK),
+                lambda c: c, carry)
+
+        if not stream_tri:
+            # two-level cull: one box per SUPER_T prims gates its 16 chunks
+            def super_body(u, carry):
+                best_t, _ = carry
+                sreach = slab(tri_super_ref, u, ox, oy, oz, inv_dx, inv_dy,
+                              inv_dz, best_t, lo_cut)
+
+                def run_super(carry):
+                    def body(j, carry):
+                        cg = u * chunks_per_super + j
+                        return chunk_run(tri_ref, cg, cg * PRIM_CHUNK, carry)
+                    return jax.lax.fori_loop(0, chunks_per_super, body, carry)
+
+                return jax.lax.cond(jnp.any(sreach), run_super, lambda c: c,
+                                    carry)
+
+            return jax.lax.fori_loop(0, n_tri_chunks // chunks_per_super,
+                                     super_body, (best_t0, attrs0))
 
         # Streaming: triangle table lives in HBM; per segment, a top-level
         # AABB test decides whether to DMA the segment into VMEM scratch at
@@ -433,20 +457,28 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
                     dma_sem)
                 dma.start()
                 dma.wait()
+                supers_per_seg = SEG_T // SUPER_T
 
-                def body(j, carry):
+                def super_body(u, carry):
                     best_t, _ = carry
-                    reachable = slab(tri_box_ref, s * chunks_per_seg + j,
-                                     ox, oy, oz, inv_dx, inv_dy, inv_dz,
-                                     best_t, lo_cut)
-                    return jax.lax.cond(
-                        jnp.any(reachable),
-                        functools.partial(chunk_math, tri_scratch,
-                                          j * PRIM_CHUNK,
-                                          s * SEG_T + j * PRIM_CHUNK),
-                        lambda c: c, carry)
+                    ug = s * supers_per_seg + u
+                    sreach = slab(tri_super_ref, ug, ox, oy, oz, inv_dx,
+                                  inv_dy, inv_dz, best_t, lo_cut)
 
-                return jax.lax.fori_loop(0, chunks_per_seg, body, carry)
+                    def run_super(carry):
+                        def body(j, carry):
+                            cl = u * chunks_per_super + j
+                            return chunk_run(
+                                tri_scratch, s * chunks_per_seg + cl,
+                                cl * PRIM_CHUNK, carry)
+                        return jax.lax.fori_loop(0, chunks_per_super, body,
+                                                 carry)
+
+                    return jax.lax.cond(jnp.any(sreach), run_super,
+                                        lambda c: c, carry)
+
+                return jax.lax.fori_loop(0, supers_per_seg, super_body,
+                                         carry)
 
             return jax.lax.cond(jnp.any(seg_reach), run_seg, lambda c: c,
                                 carry)
@@ -721,6 +753,50 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, o_ref, d_ref,
 # Host wrapper
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mega_diff(scene, rays, stream, cfg):
+    return trace_path_mega(scene, rays, jax.random.key(0), cfg,
+                           samples=stream)
+
+
+def _mega_diff_fwd(scene, rays, stream, cfg):
+    out = _mega_diff(scene, rays, stream, cfg)
+    return out, (scene, rays, stream)
+
+
+def _mega_diff_bwd(cfg, res, g):
+    from .integrators import trace_path   # local: avoid import cycle
+    scene, rays, stream = res
+    # backward through the WAVEFRONT integrator consuming the SAME stream:
+    # both engines compute the same function of (scene, rays, stream) (tests
+    # pin them to fp tolerance), so its VJP is the exact gradient.
+    _, vjp = jax.vjp(
+        lambda sc, ry: trace_path(sc, ry, jax.random.key(0), cfg,
+                                  samples=stream), scene, rays)
+    g_scene, g_rays = vjp(g)
+    return g_scene, g_rays, jax.tree.map(jnp.zeros_like, stream)
+
+
+_mega_diff.defvjp(_mega_diff_fwd, _mega_diff_bwd)
+
+
+def trace_path_mega_diff(scene: Scene, rays: Rays, key: jax.Array,
+                         cfg: RenderConfig, samples=None) -> Array:
+    """DIFFERENTIABLE fused path: megakernel forward + wavefront backward
+    sharing one injected sample stream (engine='mega_diff').
+
+    The stream is generated on-device from `key` (the wavefront integrator's
+    exact internal draws), fed to the megakernel forward, and replayed by the
+    custom VJP through ops/integrators.trace_path — whose checkpointed
+    backward scan (and per-bounce grad_sync_axes collectives, if set) then
+    produces exact gradients for scene parameters and rays.  Training steps
+    keep the wavefront backward cost but gain the ~13x fused forward."""
+    from .integrators import stream_from_key
+    stream = (samples if samples is not None else
+              stream_from_key(key, rays.origin.shape[0], cfg.max_depth))
+    return _mega_diff(scene, rays, stream, cfg)
+
+
 def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:
     """SampleStream arrays -> (4 * steps, rows, LANES) kernel input planes."""
     steps = ball.shape[0]
@@ -785,8 +861,9 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
                 else full(tables.tri.shape))
     in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
                 tri_spec, full(tables.tri_box.shape),
-                tile3(3), tile3(3)]
-    args = [tables.sph, tables.sph_box, tables.tri, tables.tri_box, o, d]
+                full(tables.tri_super.shape), tile3(3), tile3(3)]
+    args = [tables.sph, tables.sph_box, tables.tri, tables.tri_box,
+            tables.tri_super, o, d]
     if stream_tri:   # kernel consumes *rest as (tri_seg, [uni], seed)
         in_specs.append(full(tables.tri_seg.shape))
         args.append(tables.tri_seg)
