@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1.0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cpu-devices", type=int, default=8)
+    ap.add_argument("--engine", default="mega_diff",
+                    choices=["wavefront", "mega_diff"],
+                    help="mega_diff = fused megakernel forward + wavefront "
+                         "backward on one injected stream (exact grads)")
     ap.add_argument("--out", default="/tmp/fit")
     args = ap.parse_args(argv)
 
@@ -48,7 +52,8 @@ def main(argv=None):
     scene, cam = presets.three_spheres(aspect=args.width / args.height)
     cfg = crt.RenderConfig(width=args.width, height=args.height,
                            samples=args.samples, max_depth=4,
-                           integrator="path", gamma=False)
+                           integrator="path", gamma=False,
+                           engine=args.engine)
 
     target = render_image(scene, cam, jax.random.key(1234), cfg)
     os.makedirs(args.out, exist_ok=True)

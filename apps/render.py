@@ -29,7 +29,9 @@ def main(argv=None):
     ap.add_argument("--integrator", default="path",
                     choices=["path", "lambert", "normal"])
     ap.add_argument("--accel", default="auto",
-                    choices=["auto", "bruteforce", "bvh", "pallas"])
+                    choices=["auto", "bruteforce", "bvh", "pallas", "mega"])
+    ap.add_argument("--compact-after", type=int, default=0,
+                    help="mega engine: sort the wavefront after N bounces")
     ap.add_argument("--quirks", default="reference",
                     choices=["reference", "fixed"])
     ap.add_argument("--seed", type=int, default=0)
@@ -69,15 +71,26 @@ def main(argv=None):
 
     quirks = (crt.Quirks.reference() if args.quirks == "reference"
               else crt.Quirks.fixed())
-    cfg = crt.RenderConfig(width=args.width, height=args.height,
-                           samples=args.spp, max_depth=args.max_depth,
-                           integrator=args.integrator, quirks=quirks)
-
     accel = args.accel
     if accel == "auto":
-        accel = "bvh" if scene.n_triangles > 4096 else "pallas"
+        # megakernel handles every supported scene fastest; falls back to
+        # the wavefront engine automatically for rects / image textures
+        from cudaraytracer_tpu.ops.megakernel import megakernel_supported
+        accel = "mega" if megakernel_supported(scene) else "pallas"
+    cfg = crt.RenderConfig(width=args.width, height=args.height,
+                           samples=args.spp, max_depth=args.max_depth,
+                           integrator=args.integrator, quirks=quirks,
+                           engine="mega" if accel == "mega" else "wavefront",
+                           compact_after=args.compact_after)
+
     isect_fn, aux = None, None
-    if accel == "bvh" and scene.n_triangles:
+    if accel == "mega" and scene.n_triangles:
+        from cudaraytracer_tpu.ops.megakernel import build_mega_tables
+        from cudaraytracer_tpu.ops.pallas_intersect import morton_order
+        tr = scene.triangles
+        aux = build_mega_tables(scene, tri_order=morton_order(
+            np.asarray(tr.v0), np.asarray(tr.v1), np.asarray(tr.v2)))
+    elif accel == "bvh" and scene.n_triangles:
         aux = bvhmod.build_triangle_bvh(np.asarray(scene.triangles.v0),
                                         np.asarray(scene.triangles.v1),
                                         np.asarray(scene.triangles.v2))

@@ -101,6 +101,12 @@ class RenderConfig:
     # injected sample stream, wavefront backward replaying the same stream
     # (exact gradients, ~13x faster forward; path integrator only).
     engine: str = "wavefront"
+    # engine='mega' only: after this many bounces, SORT the wavefront (dead
+    # rays last, alive rays in Morton order of their scatter origin) and
+    # resume in a second fused kernel — dead tiles then early-out and alive
+    # tiles stay spatially coherent for the box culling.  0 = off.  Wins on
+    # scenes where many primaries miss (meshes over sky).
+    compact_after: int = 0
     # Mesh axis names to all-reduce scene-parameter GRADIENTS over, applied
     # PER BOUNCE inside the backward scan (an identity whose cotangent is
     # pmean'd).  Each bounce's contribution reduces while the next bounce's

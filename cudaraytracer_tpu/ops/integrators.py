@@ -258,6 +258,10 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                 return _mk.trace_path_mega_diff(scene, rays, key, cfg,
                                                 samples=samples)
             tables = aux if isinstance(aux, _mk.MegaTables) else None
+            if cfg.compact_after > 0 and cfg.integrator == "path":
+                return _mk.trace_path_mega_compact(
+                    scene, rays, key, cfg, tables=tables,
+                    primary_steps=cfg.compact_after, samples=samples)
             return _mk.trace_path_mega(scene, rays, key, cfg,
                                        tables=tables, samples=samples)
         if isinstance(aux, _mk.MegaTables):   # fall back to wavefront

@@ -42,9 +42,10 @@ Design notes (see also ops/pallas_intersect.py, whose sweep math this reuses):
   * Scope: spheres + triangles, all four materials, constant/checker
     textures, and all THREE integrators — the path tracer's full bounce loop,
     plus the single-intersect LambertShade (the reference's active
-    integrator, render.h:70-87) and shade_normal.  Scenes with rects,
-    runtime-TRS primitives, or image textures fall back to the wavefront
-    path (megakernel_supported()).  The megakernel is forward-only; the
+    integrator, render.h:70-87) and shade_normal.  Rects run in-kernel too
+    (unrolled per rect — the reference transform chain with precomputed
+    rotation rows).  Scenes with runtime-TRS primitives or image textures
+    fall back to the wavefront path (megakernel_supported()).  The megakernel is forward-only; the
     differentiable path remains ops/integrators.trace_path with the
     custom-VJP sweeps.
 
@@ -91,10 +92,13 @@ S_MAT = 5
 # Triangle table lanes: geometry 0..11 (v0, e1, e2, n), material 12..20.
 T_V0, T_E1, T_E2, T_N = 0, 3, 6, 9
 T_MAT = 12
-# Material lane block (offset from S_MAT / T_MAT):
+# Material lane block (offset from S_MAT / T_MAT / R_MAT):
 #   +0 kind, +1 tex kind, +2 aux (metal fuzz | dielectric ref_idx),
 #   +3..5 color0 (albedo / emit), +6..8 color1 (checker odd)
 N_MAT_COMPS = 9
+# Rect table lanes: normal sign, position, scale, row-major rotation matrix,
+# pre-rotated world normal, material block.
+R_SGN, R_POS, R_SCL, R_ROT, R_NRM, R_MAT = 0, 1, 4, 7, 16, 19
 
 
 class MegaTables(NamedTuple):
@@ -109,6 +113,7 @@ class MegaTables(NamedTuple):
     tri_box: Array   # f32[T_chunks_pad, 128]
     tri_super: Array  # f32[T_supers_pad, 128] per-SUPER_T middle-level boxes
     tri_seg: Array   # f32[T_segs_pad, 128] per-SEG_T segment boxes (streaming)
+    rect: Array      # f32[R_pad, 128] runtime rects (see R_* lane layout)
 
 
 def megakernel_supported(scene: Scene) -> bool:
@@ -117,7 +122,9 @@ def megakernel_supported(scene: Scene) -> bool:
     enough for VMEM residence.  Uses only STATIC shape information so it can
     gate the engine choice inside jit (a TextureBuilder with no images packs
     a (1,1,1,3) dummy image array)."""
-    if scene.n_rects or scene.n_t_spheres or scene.n_t_triangles:
+    if scene.n_t_spheres or scene.n_t_triangles:
+        return False
+    if scene.n_rects > 64:   # rects evaluate unrolled per bounce
         return False
     if scene.n_spheres > MAX_VMEM_PRIMS:
         return False
@@ -231,7 +238,21 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
         tri_super = jnp.zeros((8, LANES), jnp.float32)
         tri_seg = jnp.zeros((8, LANES), jnp.float32)
 
-    return MegaTables(sph, sph_box, tri, tri_box, tri_super, tri_seg)
+    if scene.n_rects:
+        from ..core import vec as _v3
+        rc = scene.rects
+        R = _v3.rotation_matrix_euler_deg(rc.trs.rotation)      # (n,3,3)
+        sgn = jnp.where(rc.flip, -1.0, 1.0).astype(jnp.float32)
+        # world normal = rotate((0,0,sgn)): out_i = R[i,2] * sgn
+        nrm = sgn[:, None] * R[:, :, 2]
+        cols = jnp.concatenate([
+            sgn[:, None], rc.trs.position, rc.trs.scale,
+            R.reshape(-1, 9), nrm, _mat_lanes(scene, rc.mat)], axis=1)
+        rect = pack(cols, 8)
+    else:
+        rect = jnp.zeros((8, LANES), jnp.float32)
+
+    return MegaTables(sph, sph_box, tri, tri_box, tri_super, tri_seg, rect)
 
 
 # ---------------------------------------------------------------------------
@@ -239,21 +260,25 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
 # ---------------------------------------------------------------------------
 
 def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
-                 o_ref, d_ref,
+                 rect_ref, o_ref, d_ref,
                  *rest, n_sph_chunks: int, n_tri_chunks: int, has_sph: bool,
-                 has_tri: bool, max_depth: int, t_min: float, t_max: float,
+                 has_tri: bool, n_rects: int = 0,
+                 max_depth: int = 8, t_min: float = 1e-3, t_max: float = 3.4e38,
                  ambient: float, backface_only: bool, no_t_clip: bool,
                  back_culling: bool, die_ref_cosine: bool, injected: bool,
                  stream_tri: bool = False, n_tri_segs: int = 0,
-                 integrator: str = "path", lambert_unnorm: bool = True):
+                 integrator: str = "path", lambert_unnorm: bool = True,
+                 resume: bool = False, dump_state: bool = False,
+                 step_lo: int = 0, n_steps: int = 0):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
+    st_ref = rest.pop(0) if resume else None    # (4,R,L): thr rgb + alive
     uni_ref = rest.pop(0) if injected else None
     seed_ref = rest.pop(0)
     out_ref = rest.pop(0)
     tri_scratch, dma_sem = rest if stream_tri else (None, None)
     if not injected and integrator == "path":   # lambert/normal draw nothing
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0] + step_lo, pl.program_id(0))
 
     shape = (TILE_ROWS, LANES)
     piota = jax.lax.broadcasted_iota(jnp.int32, (PRIM_CHUNK, 1, 1), 0)
@@ -485,6 +510,58 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
 
         return jax.lax.fori_loop(0, n_tri_segs, seg_body, (best_t0, attrs0))
 
+    def rect_sweep(ox, oy, oz, dx, dy, dz):
+        """rectangle.h:22-44 through the reference TransformRay chain
+        (ops/intersect.rect_candidates twin), unrolled over the (static,
+        small) rect count.  Returns native-over-|d| rescaled t plus carried
+        attrs: OBJECT-space hit point (the reference rec.p quirk — it is
+        also the scattered-ray origin and the checker evaluation point),
+        pre-rotated world normal, material block."""
+        raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        attrs = tuple(jnp.zeros(shape, jnp.float32)
+                      for _ in range(6 + N_MAT_COMPS))
+
+        def sc(r, k):
+            return box_scalar(rect_ref, r, k)
+
+        for r in range(n_rects):
+            sgn = sc(r, R_SGN)
+            # ScaleRay: direction / scale, normalized; origin untouched
+            dsx = dx / sc(r, R_SCL)
+            dsy = dy / sc(r, R_SCL + 1)
+            dsz = dz / sc(r, R_SCL + 2)
+            inv_dl = 1.0 / jnp.sqrt(dsx * dsx + dsy * dsy + dsz * dsz)
+            dsx, dsy, dsz = dsx * inv_dl, dsy * inv_dl, dsz * inv_dl
+            # RotateRay on origin and direction (row-matrix rotate)
+            m00, m01, m02 = sc(r, R_ROT), sc(r, R_ROT + 1), sc(r, R_ROT + 2)
+            m10, m11, m12 = sc(r, R_ROT + 3), sc(r, R_ROT + 4), sc(r, R_ROT + 5)
+            m20, m21, m22 = sc(r, R_ROT + 6), sc(r, R_ROT + 7), sc(r, R_ROT + 8)
+            drx = m00 * dsx + m01 * dsy + m02 * dsz
+            dry = m10 * dsx + m11 * dsy + m12 * dsz
+            drz = m20 * dsx + m21 * dsy + m22 * dsz
+            orx = m00 * ox + m01 * oy + m02 * oz - sc(r, R_POS)
+            ory = m10 * ox + m11 * oy + m12 * oz - sc(r, R_POS + 1)
+            orz = m20 * ox + m21 * oy + m22 * oz - sc(r, R_POS + 2)
+            t = -orz / drz
+            x = orx + t * drx
+            y = ory + t * dry
+            facing = drz * sgn
+            valid = (facing <= 0.0) & (t >= t_min) & (t <= t_max) \
+                & (x >= -0.5) & (x <= 0.5) & (y >= -0.5) & (y <= 0.5)
+            t_cmp = jnp.where(valid, t / raw_len, BIG)
+            take = t_cmp < best_t
+            best_t = jnp.where(take, t_cmp, best_t)
+            pz = orz + t * drz
+            new = (x, y, pz,
+                   sc(r, R_NRM) + 0.0 * x, sc(r, R_NRM + 1) + 0.0 * x,
+                   sc(r, R_NRM + 2) + 0.0 * x) + tuple(
+                       sc(r, R_MAT + k) + 0.0 * x for k in range(N_MAT_COMPS))
+            # p_obj = (x, y, ~0): the rect lives on its object z=0 plane
+            attrs = tuple(jnp.where(take, nv, av)
+                          for nv, av in zip(new, attrs))
+        return best_t, attrs
+
     def draw_samples(step):
         """(ballx, bally, ballz, prob) — in-kernel TPU PRNG (Box-Muller
         direction + cbrt radius, the core/rng.random_in_unit_sphere
@@ -531,6 +608,10 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
 
             tri_w = t_t < s_t
             t = jnp.where(tri_w, t_t, s_t)
+            if n_rects:
+                r_t, r_at = rect_sweep(ox, oy, oz, dx, dy, dz)
+                rect_w = r_t < t
+                t = jnp.where(rect_w, r_t, t)
             hit = t < BIG_CUT
 
             px = ox + t * dx
@@ -545,6 +626,17 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
             nz = jnp.where(tri_w, t_at[2], s_nz)
             m = [jnp.where(tri_w, t_at[3 + k], s_at[4 + k])
                  for k in range(N_MAT_COMPS)]
+            if n_rects:
+                # rect winners use the OBJECT-space hit point (reference
+                # rec.p quirk: also the scattered origin + checker point)
+                px = jnp.where(rect_w, r_at[0], px)
+                py = jnp.where(rect_w, r_at[1], py)
+                pz = jnp.where(rect_w, r_at[2], pz)
+                nx = jnp.where(rect_w, r_at[3], nx)
+                ny = jnp.where(rect_w, r_at[4], ny)
+                nz = jnp.where(rect_w, r_at[5], nz)
+                m = [jnp.where(rect_w, r_at[6 + k], m[k])
+                     for k in range(N_MAT_COMPS)]
             kind, texk, aux = m[0], m[1], m[2]
             c0r, c0g, c0b, c1r, c1g, c1b = m[3], m[4], m[5], m[6], m[7], m[8]
 
@@ -641,7 +733,7 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
             skyg = (1.0 - sky_t) + sky_t * 0.7
             skyb = (1.0 - sky_t) + sky_t * 1.0
 
-            can_rec = step < max_depth            # render.h:57 depth > 0
+            can_rec = step + step_lo < max_depth   # render.h:57 depth > 0
             continues = alive & hit & ok & can_rec
             absorbed = alive & hit & ~(ok & can_rec)
             missed = alive & ~hit
@@ -679,11 +771,29 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
     if integrator == "path":
         one = jnp.ones(shape, jnp.float32)
         zero = jnp.zeros(shape, jnp.float32)
-        carry = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero, one)
-        carry = jax.lax.fori_loop(0, max_depth + 1, bounce, carry)
+        if resume:
+            carry = (ox, oy, oz, dx, dy, dz,
+                     st_ref[0], st_ref[1], st_ref[2],
+                     zero, zero, zero, st_ref[3])
+        else:
+            carry = (ox, oy, oz, dx, dy, dz, one, one, one,
+                     zero, zero, zero, one)
+        steps = n_steps if n_steps else (max_depth + 1 - step_lo)
+        carry = jax.lax.fori_loop(0, steps, bounce, carry)
         out_ref[0] = carry[9]
         out_ref[1] = carry[10]
         out_ref[2] = carry[11]
+        if dump_state:                        # [rad | o | d | thr | alive]
+            out_ref[3] = carry[0]
+            out_ref[4] = carry[1]
+            out_ref[5] = carry[2]
+            out_ref[6] = carry[3]
+            out_ref[7] = carry[4]
+            out_ref[8] = carry[5]
+            out_ref[9] = carry[6]
+            out_ref[10] = carry[7]
+            out_ref[11] = carry[8]
+            out_ref[12] = carry[12]
         return
 
     # ---- single-intersect debug integrators (render.h:70-87 / :90-103) ----
@@ -701,6 +811,10 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
                      for _ in range(3 + N_MAT_COMPS))
     tri_w = t_t < s_t
     t = jnp.where(tri_w, t_t, s_t)
+    if n_rects:
+        r_t, r_at = rect_sweep(ox, oy, oz, dx, dy, dz)
+        rect_w = r_t < t
+        t = jnp.where(rect_w, r_t, t)
     hit = t < BIG_CUT
     t = jnp.where(hit, t, 0.0)       # miss: BIG*d overflows to inf -> NaN
     px = ox + t * dx
@@ -709,6 +823,13 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
     nx = jnp.where(tri_w, t_at[0], (px - s_at[0]) * s_at[3])
     ny = jnp.where(tri_w, t_at[1], (py - s_at[1]) * s_at[3])
     nz = jnp.where(tri_w, t_at[2], (pz - s_at[2]) * s_at[3])
+    if n_rects:
+        px = jnp.where(rect_w, r_at[0], px)
+        py = jnp.where(rect_w, r_at[1], py)
+        pz = jnp.where(rect_w, r_at[2], pz)
+        nx = jnp.where(rect_w, r_at[3], nx)
+        ny = jnp.where(rect_w, r_at[4], ny)
+        nz = jnp.where(rect_w, r_at[5], nz)
     inv_dlen = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
     sky_t = 0.5 * (dy * inv_dlen + 1.0)
     skyr = (1.0 - sky_t) + sky_t * 0.5
@@ -723,6 +844,8 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
     # + emitted; the reference uses the UNNORMALIZED camera direction
     m = [jnp.where(tri_w, t_at[3 + k], s_at[4 + k])
          for k in range(N_MAT_COMPS)]
+    if n_rects:
+        m = [jnp.where(rect_w, r_at[6 + k], m[k]) for k in range(N_MAT_COMPS)]
     kind, texk = m[0], m[1]
     c0r, c0g, c0b, c1r, c1g, c1b = m[3], m[4], m[5], m[6], m[7], m[8]
     sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
@@ -752,6 +875,88 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
 # ---------------------------------------------------------------------------
 # Host wrapper
 # ---------------------------------------------------------------------------
+
+def _morton_u32(x: Array, y: Array, z: Array) -> Array:
+    """30-bit Morton code of quantized coordinates (device-side jnp twin of
+    pallas_intersect.morton_order's host version)."""
+    def spread(v):
+        v = v & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    def q(a):
+        lo = jnp.min(a)
+        span = jnp.maximum(jnp.max(a) - lo, 1e-20)
+        return jnp.clip((a - lo) / span * 1023.0, 0, 1023).astype(jnp.uint32)
+
+    return (spread(q(x)) << 2) | (spread(q(y)) << 1) | spread(q(z))
+
+
+def trace_path_mega_compact(scene: Scene, rays: Rays, key: jax.Array,
+                            cfg: RenderConfig,
+                            tables: Optional[MegaTables] = None,
+                            primary_steps: int = 1, samples=None) -> Array:
+    """Two-phase fused path with WAVEFRONT COMPACTION between phases.
+
+    Phase A runs `primary_steps` bounces on the coherent camera rays and
+    dumps the surviving ray state; the rays are then SORTED — dead rays last,
+    alive rays by the Morton code of their scatter origin — and phase B
+    resumes the remaining bounces on the sorted wavefront.  Tiles that end up
+    fully dead cost one any() test per bounce (the kernel's tile-level
+    early-out), and alive tiles become spatially coherent again so the
+    chunk/super/segment box culling keeps working for secondary rays.  Wins
+    when many primaries miss (mesh scenes over sky); near-neutral when the
+    frame is fully covered.  Same math as trace_path_mega — sorting only
+    reorders lanes.
+    """
+    from .integrators import stream_from_key
+
+    if tables is None:
+        tables = build_mega_tables(scene)
+    n = rays.origin.shape[0]
+    rows = _ray_rows(n)
+    o = jnp.stack([_pad_rays(rays.origin[:, k], rows) for k in range(3)])
+    d = jnp.stack([_pad_rays(rays.direction[:, k], rows) for k in range(3)])
+
+    injected = samples is not None
+    if not injected and _interpret():
+        samples = stream_from_key(key, n, cfg.max_depth)
+        injected = True
+    planes_all = (_stream_planes(samples.ball, samples.prob, rows)
+                  if injected else None)
+    k1, k2 = jax.random.split(key)
+
+    st = _mega_call(scene, o, d, k1, cfg, tables,
+                    stream_planes=(planes_all[:4 * primary_steps]
+                                   if injected else None),
+                    dump_state=True, step_lo=0, n_steps=primary_steps)
+    flat = st.reshape(13, -1)
+    rad_a = flat[0:3]
+    o2, d2, thr, alive = flat[3:6], flat[6:9], flat[9:12], flat[12]
+    alive_b = alive > 0.0
+
+    code = _morton_u32(o2[0], o2[1], o2[2]).astype(jnp.int32) & 0x3FFFFFFF
+    sort_key = jnp.where(alive_b, code, jnp.int32(2 ** 31 - 2))  # dead last
+    order = jnp.argsort(sort_key)
+
+    o3 = o2[:, order].reshape(3, rows, LANES)
+    d3 = d2[:, order].reshape(3, rows, LANES)
+    state = jnp.concatenate([thr, alive[None]])[:, order].reshape(
+        4, rows, LANES)
+    planes_b = None
+    if injected:
+        pb = planes_all[4 * primary_steps:].reshape(-1, rows * LANES)
+        planes_b = pb[:, order].reshape(-1, rows, LANES)
+
+    rad_b_sorted = _mega_call(scene, o3, d3, k2, cfg, tables,
+                              stream_planes=planes_b, state=state,
+                              step_lo=primary_steps).reshape(3, -1)
+    rad_b = jnp.zeros_like(rad_b_sorted).at[:, order].set(rad_b_sorted)
+    return (rad_a + rad_b)[:, :n].T
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _mega_diff(scene, rays, stream, cfg):
@@ -808,6 +1013,79 @@ def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:
     return jnp.stack(planes)
 
 
+def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
+               state=None, dump_state=False, step_lo=0, n_steps=0):
+    """One pallas_call over padded (3, rows, LANES) ray planes.
+
+    state: optional (4, rows, LANES) [thr rgb | alive] to RESUME mid-path.
+    dump_state: emit (13, rows, LANES) [rad | o | d | thr | alive] instead of
+    the (3, ...) radiance — the compaction pipeline's phase-A output.
+    step_lo / n_steps: global bounce window (depth budget uses step_lo).
+    """
+    rows = o.shape[1]
+    injected = stream_planes is not None
+    stream_tri = scene.n_triangles > MAX_VMEM_PRIMS
+    q = cfg.quirks
+    kernel = functools.partial(
+        _mega_kernel,
+        n_sph_chunks=tables.sph.shape[0] // PRIM_CHUNK,
+        n_tri_chunks=tables.tri.shape[0] // PRIM_CHUNK,
+        has_sph=scene.n_spheres > 0, has_tri=scene.n_triangles > 0,
+        n_rects=scene.n_rects,
+        max_depth=cfg.max_depth, t_min=float(cfg.t_min),
+        t_max=float(cfg.t_max), ambient=float(q.ambient_on_absorb),
+        backface_only=q.triangle_backface_only,
+        no_t_clip=q.triangle_no_t_clip,
+        back_culling=q.triangle_back_culling,
+        die_ref_cosine=q.dielectric_reference_cosine,
+        injected=injected, stream_tri=stream_tri,
+        n_tri_segs=tables.tri.shape[0] // SEG_T if stream_tri else 0,
+        integrator=cfg.integrator,
+        lambert_unnorm=q.lambert_unnormalized_dot,
+        resume=state is not None, dump_state=dump_state,
+        step_lo=step_lo, n_steps=n_steps)
+
+    grid = (rows // TILE_ROWS,)
+    full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.VMEM)
+    tile3 = lambda k: pl.BlockSpec((k, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri
+                else full(tables.tri.shape))
+    in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
+                tri_spec, full(tables.tri_box.shape),
+                full(tables.tri_super.shape), full(tables.rect.shape),
+                tile3(3), tile3(3)]
+    args = [tables.sph, tables.sph_box, tables.tri, tables.tri_box,
+            tables.tri_super, tables.rect, o, d]
+    # kernel consumes *rest as (tri_seg, [state], [uni], seed)
+    if stream_tri:
+        in_specs.append(full(tables.tri_seg.shape))
+        args.append(tables.tri_seg)
+    if state is not None:
+        in_specs.append(tile3(4))
+        args.append(state)
+    if injected:
+        in_specs.append(tile3(stream_planes.shape[0]))
+        args.append(stream_planes)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    args.append(seed)
+    scratch = ([pltpu.VMEM((SEG_T, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA] if stream_tri else [])
+
+    n_out = 13 if dump_state else 3
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tile3(n_out),
+        out_shape=jax.ShapeDtypeStruct((n_out, rows, LANES), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(*args)
+
+
 def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
                     cfg: RenderConfig, tables: Optional[MegaTables] = None,
                     samples=None) -> Array:
@@ -833,57 +1111,8 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
     if not injected and _interpret() and cfg.integrator == "path":
         samples = stream_from_key(key, n, cfg.max_depth)
         injected = True
+    planes = (_stream_planes(samples.ball, samples.prob, rows)
+              if injected else None)
 
-    stream_tri = scene.n_triangles > MAX_VMEM_PRIMS
-    q = cfg.quirks
-    kernel = functools.partial(
-        _mega_kernel,
-        n_sph_chunks=tables.sph.shape[0] // PRIM_CHUNK,
-        n_tri_chunks=tables.tri.shape[0] // PRIM_CHUNK,
-        has_sph=scene.n_spheres > 0, has_tri=scene.n_triangles > 0,
-        max_depth=cfg.max_depth, t_min=float(cfg.t_min),
-        t_max=float(cfg.t_max), ambient=float(q.ambient_on_absorb),
-        backface_only=q.triangle_backface_only,
-        no_t_clip=q.triangle_no_t_clip,
-        back_culling=q.triangle_back_culling,
-        die_ref_cosine=q.dielectric_reference_cosine,
-        injected=injected, stream_tri=stream_tri,
-        n_tri_segs=tables.tri.shape[0] // SEG_T if stream_tri else 0,
-        integrator=cfg.integrator,
-        lambert_unnorm=q.lambert_unnormalized_dot)
-
-    grid = (rows // TILE_ROWS,)
-    full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
-                                    memory_space=pltpu.VMEM)
-    tile3 = lambda k: pl.BlockSpec((k, TILE_ROWS, LANES), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM)
-    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri
-                else full(tables.tri.shape))
-    in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
-                tri_spec, full(tables.tri_box.shape),
-                full(tables.tri_super.shape), tile3(3), tile3(3)]
-    args = [tables.sph, tables.sph_box, tables.tri, tables.tri_box,
-            tables.tri_super, o, d]
-    if stream_tri:   # kernel consumes *rest as (tri_seg, [uni], seed)
-        in_specs.append(full(tables.tri_seg.shape))
-        args.append(tables.tri_seg)
-    if injected:
-        planes = _stream_planes(samples.ball, samples.prob, rows)
-        in_specs.append(tile3(planes.shape[0]))
-        args.append(planes)
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
-    args.append(seed)
-    scratch = ([pltpu.VMEM((SEG_T, LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA] if stream_tri else [])
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=tile3(3),
-        out_shape=jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
-        scratch_shapes=scratch,
-        interpret=_interpret(),
-    )(*args)
+    out = _mega_call(scene, o, d, key, cfg, tables, stream_planes=planes)
     return out.reshape(3, -1)[:, :n].T

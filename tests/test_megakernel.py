@@ -128,14 +128,73 @@ def test_mega_engine_render_image_and_fallback():
                                                cfg_mega))
     np.testing.assert_allclose(img_m, img_w, atol=3e-4)
 
-    # light_box has a rect -> unsupported -> automatic wavefront fallback
-    scene2, cam2 = presets.light_box(aspect=2.0)
+    # image textures are unsupported in-kernel -> automatic wavefront
+    # fallback (identical output, same code path)
+    b = SceneBuilder()
+    tex = b.materials.textures.image(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    mat = b.materials.lambertian(tex_id=tex)
+    b.add_sphere((0, 0, -3), 1.0, mat)
+    scene2 = b.build()
     assert not mk.megakernel_supported(scene2)
+    cam2 = cam_mod.make_camera((0, 0, 1), (0, 0, -3), vfov=50, aspect=2.0,
+                               focus_dist=4.0)
     img2_w = np.asarray(render_ops.render_image(scene2, cam2,
                                                 jax.random.key(6), cfg_wave))
     img2_m = np.asarray(render_ops.render_image(scene2, cam2,
                                                 jax.random.key(6), cfg_mega))
     np.testing.assert_allclose(img2_m, img2_w, atol=1e-6)
+
+
+def test_mega_rect_scenes():
+    """Rects run in-kernel (unrolled reference TransformRay chain).  A
+    rect-heavy scene matches the wavefront engine on the injected stream for
+    every ray; light_box allows a couple of t_min-grazing outliers (the
+    scattered ray re-hits the huge floor sphere at t ~ 1e-3, where f32
+    summation order flips hit/miss in either engine)."""
+    b = SceneBuilder()
+    m = b.materials
+    light = m.diffuse_light(color=(3, 3, 3))
+    red = m.lambertian(color=(0.8, 0.2, 0.2))
+    b.add_sphere((0, -100.5, -3), 100.0,
+                 m.lambertian(m.textures.checker((.8, .8, .8), (.2, .2, .2))))
+    b.add_rect(light, flip=False, position=(0, 1.5, -3), rotation=(90, 0, 0),
+               scale=(2, 2, 1))
+    b.add_rect(red, flip=True, position=(0, 0.5, -5), scale=(3, 2, 1))
+    b.add_sphere((0.6, 0, -3), 0.4, m.metal((0.9, 0.8, 0.7), 0.1))
+    scene = b.build()
+    assert mk.megakernel_supported(scene)
+    cam = cam_mod.make_camera((0, 0.5, 1), (0, 0.4, -3), vfov=55, aspect=2.0,
+                              focus_dist=4.0)
+    cfg = _cfg()
+    rays = cam_mod.generate_pixel_rays(cam, cfg.width, cfg.height,
+                                       cfg.samples, jax.random.key(1))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(5), n, cfg.max_depth)
+    ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(5), cfg,
+                                      samples=stream))
+    got = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(5), cfg,
+                                        samples=stream))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-4)
+
+    # light_box across all three integrators
+    scene2, cam2 = presets.light_box(aspect=2.0)
+    assert mk.megakernel_supported(scene2)
+    for integrator in ("path", "lambert", "normal"):
+        cfg_i = _cfg(integrator=integrator)
+        rays2 = cam_mod.generate_pixel_rays(cam2, cfg_i.width, cfg_i.height,
+                                            cfg_i.samples, jax.random.key(2))
+        n2 = rays2.origin.shape[0]
+        stream2 = integ.stream_from_key(jax.random.key(8), n2,
+                                        cfg_i.max_depth)
+        kw = dict(samples=stream2) if integrator == "path" else {}
+        ref2 = np.asarray(integ.integrate(scene2, rays2, jax.random.key(8),
+                                          cfg_i, **kw))
+        got2 = np.asarray(mk.trace_path_mega(scene2, rays2, jax.random.key(8),
+                                             cfg_i, **kw))
+        d = np.abs(ref2 - got2).max(axis=1)
+        n_bad = int((d > 1e-3).sum())
+        assert n_bad <= max(2, n2 // 1000), (integrator, n_bad, d.max())
 
 
 def test_mega_streaming_large_mesh():
@@ -304,3 +363,28 @@ def test_mega_diff_fit_converges():
         l, a = step(a)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_mega_compaction_exact():
+    """Wavefront compaction (sort dead-last + Morton, resume in a second
+    fused kernel) only reorders lanes: results are bit-identical to the
+    single-kernel megakernel for any split point."""
+    sc = _mixed_scene()
+    scene, _ = sc
+    cfg = _cfg()
+    rays = _rays(sc, cfg, jax.random.key(3))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(9), n, cfg.max_depth)
+    ref = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(9), cfg,
+                                        samples=stream))
+    for ps in (1, 3):
+        got = np.asarray(mk.trace_path_mega_compact(
+            scene, rays, jax.random.key(9), cfg, primary_steps=ps,
+            samples=stream))
+        np.testing.assert_array_equal(got, ref, err_msg=f"split {ps}")
+    # and through the engine knob
+    import dataclasses
+    cfg_c = dataclasses.replace(cfg, engine="mega", compact_after=1)
+    got = np.asarray(integ.integrate(scene, rays, jax.random.key(9), cfg_c,
+                                     samples=stream))
+    np.testing.assert_array_equal(got, ref)
