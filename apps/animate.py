@@ -62,6 +62,11 @@ def main(argv=None):
     ap.add_argument("--no-png", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="skip frames whose PNG already exists in --out")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="per-frame retries on transient device failures "
+                         "(TPU worker crash); 0 disables elastic recovery")
+    ap.add_argument("--retry-backoff", type=float, default=20.0,
+                    help="seconds before the first retry (doubles each)")
     args = ap.parse_args(argv)
 
     import jax
@@ -178,15 +183,22 @@ def main(argv=None):
         s = scene_with_frame(scene, dm, frame)
         return render_image(s, camera, fkey, cfg, isect_pallas, None)
 
-    os.makedirs(args.out, exist_ok=True)
-    begin = args.begin_frame
-    if args.resume:
-        from cudaraytracer_tpu.utils.checkpoint import next_frame
-        begin = next_frame(args.out, args.begin_frame)
-        if begin > args.begin_frame:
-            print(f"resuming at frame {begin}")
-    for frame in range(begin, end_frame + 1):
-        fkey = jax.random.fold_in(key, frame)
+    # --- elastic recovery (utils/recovery.py): the TPU worker can crash
+    # under load and recovers in ~1 min.  Keep host snapshots of all device
+    # state; on a transient failure re-upload + retrace and retry the frame.
+    # (The reference aborts the whole run on any device error, kernel.cu:24.)
+    from cudaraytracer_tpu.utils.recovery import retry_transient
+    state_h = jax.tree.map(np.asarray, (scene0, dm, bvh))
+
+    def _restore(attempt, err):
+        nonlocal scene0, dm, bvh
+        print(f"transient device failure (retry {attempt}/{args.retries}): "
+              f"{err}\nre-uploading device state...", flush=True)
+        jax.clear_caches()
+        scene0, dm, bvh = jax.tree.map(jnp.asarray, state_h)
+
+    def do_frame(frame, fkey):
+        nonlocal bvh
         if args.pipeline in ("pallas", "mega"):
             sw.Reset(); sw.Start()
             scene_f = update_skin(scene0, jnp.int32(frame))
@@ -221,7 +233,20 @@ def main(argv=None):
             img = np.asarray(render_image(scene_f, camera, fkey, cfg))
             sw.Stop()
             render_t, update_t = sw.GetTime(), 0.0
+        return img, render_t, update_t
 
+    os.makedirs(args.out, exist_ok=True)
+    begin = args.begin_frame
+    if args.resume:
+        from cudaraytracer_tpu.utils.checkpoint import next_frame
+        begin = next_frame(args.out, args.begin_frame)
+        if begin > args.begin_frame:
+            print(f"resuming at frame {begin}")
+    for frame in range(begin, end_frame + 1):
+        fkey = jax.random.fold_in(key, frame)
+        img, render_t, update_t = retry_transient(
+            lambda: do_frame(frame, fkey), retries=args.retries,
+            backoff_s=args.retry_backoff, on_retry=_restore)
         log.log_frame(frame, render_t, update_t)
         if not args.no_png:
             write_png(os.path.join(args.out, f"picture_{frame}.png"), img)
