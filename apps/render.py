@@ -84,12 +84,17 @@ def main(argv=None):
                            compact_after=args.compact_after)
 
     isect_fn, aux = None, None
-    if accel == "mega" and scene.n_triangles:
-        from cudaraytracer_tpu.ops.megakernel import build_mega_tables
+    if accel == "mega" and (scene.n_triangles or scene.n_spheres):
+        from cudaraytracer_tpu.ops.megakernel import (build_mega_tables,
+                                                      mega_sphere_order)
         from cudaraytracer_tpu.ops.pallas_intersect import morton_order
         tr = scene.triangles
-        aux = build_mega_tables(scene, tri_order=morton_order(
-            np.asarray(tr.v0), np.asarray(tr.v1), np.asarray(tr.v2)))
+        tri_order = (morton_order(np.asarray(tr.v0), np.asarray(tr.v1),
+                                  np.asarray(tr.v2))
+                     if scene.n_triangles else None)
+        sph_order = (mega_sphere_order(scene.spheres.center)
+                     if scene.n_spheres else None)
+        aux = build_mega_tables(scene, tri_order, sph_order)
     elif accel == "bvh" and scene.n_triangles:
         aux = bvhmod.build_triangle_bvh(np.asarray(scene.triangles.v0),
                                         np.asarray(scene.triangles.v1),

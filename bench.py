@@ -66,6 +66,21 @@ def _mesh_scene(width: int, height: int):
     return scene, cam
 
 
+def _mega_tables(scene):
+    """Megakernel tables with Morton-ordered prims (compact chunk boxes so
+    the in-kernel per-chunk culling actually prunes)."""
+    from cudaraytracer_tpu.ops import megakernel as mk
+    from cudaraytracer_tpu.ops.pallas_intersect import morton_order
+    tri_order = sph_order = None
+    if scene.n_triangles:
+        tr = scene.triangles
+        tri_order = morton_order(np.asarray(tr.v0), np.asarray(tr.v1),
+                                 np.asarray(tr.v2))
+    if scene.n_spheres:
+        sph_order = mk.mega_sphere_order(scene.spheres.center)
+    return mk.build_mega_tables(scene, tri_order, sph_order)
+
+
 def _timed_render(scene, cam, cfg, isect_fn, n_iters: int, aux=None) -> float:
     """Seconds per frame; K renders inside ONE jitted scan + scalar fetch
     (on the tunnel TPU backend block_until_ready can return early)."""
@@ -152,9 +167,13 @@ def main() -> int:
     cfg = crt.RenderConfig(width=width, height=height, samples=spp,
                            max_depth=8, integrator="path", ray_chunk=chunk,
                            engine=engine)
-    isect_fn = pallas_intersector(cfg) if engine == "wavefront" else None
+    isect_fn, aux = None, None
+    if engine == "wavefront":
+        isect_fn = pallas_intersector(cfg)
+    else:
+        aux = _mega_tables(scene)
 
-    dt = _timed_render(scene, cam, cfg, isect_fn, n_iters)
+    dt = _timed_render(scene, cam, cfg, isect_fn, n_iters, aux)
     rays = width * height * spp
     value = rays / dt
 
@@ -167,13 +186,7 @@ def main() -> int:
         if engine == "wavefront":
             m_isect, m_aux = pallas_intersector(mcfg), None
         else:
-            # Morton-ordered tables: compact chunk boxes cull ~1.3x better
-            from cudaraytracer_tpu.ops import megakernel as mk
-            from cudaraytracer_tpu.ops.pallas_intersect import morton_order
-            tr = mscene.triangles
-            order = morton_order(np.asarray(tr.v0), np.asarray(tr.v1),
-                                 np.asarray(tr.v2))
-            m_isect, m_aux = None, mk.build_mega_tables(mscene, order)
+            m_isect, m_aux = None, _mega_tables(mscene)
         mdt = _timed_render(mscene, mcam, mcfg, m_isect, n_iters, m_aux)
         secondary["mesh_scene_sec"] = round(mdt, 4)
         secondary["mesh_scene_rays_per_sec"] = round(1280 * 720 * 8 / mdt, 1)

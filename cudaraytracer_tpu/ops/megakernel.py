@@ -135,6 +135,14 @@ def megakernel_supported(scene: Scene) -> bool:
     return True
 
 
+def mega_sphere_order(centers) -> np.ndarray:
+    """Host-side Morton permutation of sphere centers for build_mega_tables'
+    sph_order (spatially compact chunk boxes -> live per-chunk culling)."""
+    from .pallas_intersect import morton_order
+    c = np.asarray(centers)
+    return morton_order(c, c, c)
+
+
 def _pad_rows(x: Array, mult: int, repeat_last: bool) -> Array:
     n = x.shape[0]
     pad = -(-max(n, 1) // mult) * mult - n
@@ -167,13 +175,17 @@ def _mat_lanes(scene: Scene, mat_id: Array) -> Array:
     ], axis=1)
 
 
-def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
-                      ) -> MegaTables:
+def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
+                      sph_order: Optional[np.ndarray] = None) -> MegaTables:
     """Pack the scene into the megakernel's (prims, 128) lane tables.
 
-    tri_order: optional static Morton permutation (ops/pallas_intersect.
-    morton_order) making triangle chunks spatially compact for culling; must
-    be computed once from the bind pose so jit caches survive animation.
+    tri_order / sph_order: optional static Morton permutations
+    (ops/pallas_intersect.morton_order, mega_sphere_order) making each
+    chunk's AABB spatially compact so the slab culling can prune.  Without
+    an order the chunks inherit BUILDER order — for scatter-built scenes
+    (random_spheres) every 8-prim chunk then spans the whole scene and the
+    per-chunk cull never fires.  Must be host arrays computed once (from
+    the bind pose, for animated meshes) so jit caches survive updates.
     """
     n_s, n_t = scene.n_spheres, scene.n_triangles
     stream_tri = n_t > MAX_VMEM_PRIMS
@@ -203,15 +215,19 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None
 
     if n_s:
         sp = scene.spheres
+        center, radius, smat = sp.center, sp.radius, sp.mat
+        if sph_order is not None:
+            order = jnp.asarray(sph_order)
+            center, radius, smat = center[order], radius[order], smat[order]
         cols = jnp.concatenate([
-            sp.center,
-            (sp.radius * sp.radius)[:, None],
-            (1.0 / sp.radius)[:, None],
-            _mat_lanes(scene, sp.mat),
+            center,
+            (radius * radius)[:, None],
+            (1.0 / radius)[:, None],
+            _mat_lanes(scene, smat),
         ], axis=1)
         sph = pack(cols, PRIM_CHUNK)
-        sph_box = chunk_boxes(sp.center - sp.radius[:, None],
-                              sp.center + sp.radius[:, None])
+        sph_box = chunk_boxes(center - radius[:, None],
+                              center + radius[:, None])
     else:
         sph = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
         sph_box = jnp.zeros((8, LANES), jnp.float32)
@@ -327,7 +343,13 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
             return tuple(out)
         return jax.lax.cond(jnp.any(take), upd, lambda c: c, cur)
 
-    def sphere_sweep(ox, oy, oz, dx, dy, dz):
+    def sphere_sweep(ox, oy, oz, dx, dy, dz, alive_f=None):
+        """alive_f (f32 0/1 or None): dead lanes are excluded from the chunk
+        reachability vote — a dead ray's last direction can still cross
+        scene boxes, and without the mask one such lane forces the whole
+        tile through the chunk math at every remaining bounce.  The mask
+        stays f32 and is compared LOCALLY (a closed-over i1 vector would
+        become a lax.cond operand — unsupported Mosaic trunci)."""
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
         inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
@@ -344,6 +366,8 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
             base = j * PRIM_CHUNK
             reachable = slab(sph_box_ref, j, ox, oy, oz, inv_dx, inv_dy,
                              inv_dz, best_t, t_min)
+            if alive_f is not None:
+                reachable &= alive_f > 0.0
 
             def run(carry):
                 best_t, attrs = carry
@@ -377,11 +401,17 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
 
         return jax.lax.fori_loop(0, n_sph_chunks, body, (best_t, attrs))
 
-    def tri_sweep(ox, oy, oz, dx, dy, dz):
+    def tri_sweep(ox, oy, oz, dx, dy, dz, alive_f=None):
         inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
         o3x, o3y, o3z = ox[None], oy[None], oz[None]
         d3x, d3y, d3z = dx[None], dy[None], dz[None]
         lo_cut = -float(BIG) if no_t_clip else t_min
+
+        def gate(reachable):
+            # exclude dead lanes from the reachability vote (see
+            # sphere_sweep); applied at every cull level, f32 compared
+            # locally to stay off the Mosaic i1-operand path
+            return reachable if alive_f is None else reachable & (alive_f > 0.0)
 
         best_t0 = jnp.full(shape, BIG, jnp.float32)
         attrs0 = tuple(jnp.zeros(shape, jnp.float32)
@@ -439,8 +469,8 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
 
         def chunk_run(src_ref, chunk_global, base_local, carry):
             best_t, _ = carry
-            reachable = slab(tri_box_ref, chunk_global, ox, oy, oz, inv_dx,
-                             inv_dy, inv_dz, best_t, lo_cut)
+            reachable = gate(slab(tri_box_ref, chunk_global, ox, oy, oz,
+                                  inv_dx, inv_dy, inv_dz, best_t, lo_cut))
             return jax.lax.cond(
                 jnp.any(reachable),
                 functools.partial(chunk_math, src_ref, base_local,
@@ -451,8 +481,8 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
             # two-level cull: one box per SUPER_T prims gates its 16 chunks
             def super_body(u, carry):
                 best_t, _ = carry
-                sreach = slab(tri_super_ref, u, ox, oy, oz, inv_dx, inv_dy,
-                              inv_dz, best_t, lo_cut)
+                sreach = gate(slab(tri_super_ref, u, ox, oy, oz, inv_dx,
+                                   inv_dy, inv_dz, best_t, lo_cut))
 
                 def run_super(carry):
                     def body(j, carry):
@@ -473,8 +503,8 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
 
         def seg_body(s, carry):
             best_t, _ = carry
-            seg_reach = slab(tri_seg_ref, s, ox, oy, oz, inv_dx, inv_dy,
-                             inv_dz, best_t, lo_cut)
+            seg_reach = gate(slab(tri_seg_ref, s, ox, oy, oz, inv_dx, inv_dy,
+                                  inv_dz, best_t, lo_cut))
 
             def run_seg(carry):
                 dma = pltpu.make_async_copy(
@@ -487,8 +517,8 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
                 def super_body(u, carry):
                     best_t, _ = carry
                     ug = s * supers_per_seg + u
-                    sreach = slab(tri_super_ref, ug, ox, oy, oz, inv_dx,
-                                  inv_dy, inv_dz, best_t, lo_cut)
+                    sreach = gate(slab(tri_super_ref, ug, ox, oy, oz, inv_dx,
+                                       inv_dy, inv_dz, best_t, lo_cut))
 
                     def run_super(carry):
                         def body(j, carry):
@@ -594,13 +624,13 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
             alive = alive_f > 0.0
 
             if has_sph:
-                s_t, s_at = sphere_sweep(ox, oy, oz, dx, dy, dz)
+                s_t, s_at = sphere_sweep(ox, oy, oz, dx, dy, dz, alive_f)
             else:
                 s_t = jnp.full(shape, BIG, jnp.float32)
                 s_at = tuple(jnp.zeros(shape, jnp.float32)
                              for _ in range(4 + N_MAT_COMPS))
             if has_tri:
-                t_t, t_at = tri_sweep(ox, oy, oz, dx, dy, dz)
+                t_t, t_at = tri_sweep(ox, oy, oz, dx, dy, dz, alive_f)
             else:
                 t_t = jnp.full(shape, BIG, jnp.float32)
                 t_at = tuple(jnp.zeros(shape, jnp.float32)

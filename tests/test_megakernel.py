@@ -388,3 +388,27 @@ def test_mega_compaction_exact():
     got = np.asarray(integ.integrate(scene, rays, jax.random.key(9), cfg_c,
                                      samples=stream))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_mega_morton_ordered_tables_match():
+    """Morton-permuted sphere+triangle tables (the bench/app fast path) are
+    an internal layout choice only: same image as builder-order tables up to
+    closest-hit ties (first-wins flips to the permuted order on EXACT t
+    ties, which the mixed scene does not contain)."""
+    sc = _mixed_scene()
+    scene, _ = sc
+    cfg = _cfg()
+    rays = _rays(sc, cfg, jax.random.key(11))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(12), n, cfg.max_depth)
+    tr = scene.triangles
+    t_ord = morton_order(np.asarray(tr.v0), np.asarray(tr.v1),
+                         np.asarray(tr.v2))
+    s_ord = mk.mega_sphere_order(scene.spheres.center)
+    assert sorted(s_ord.tolist()) == list(range(scene.n_spheres))
+    ref = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(12), cfg,
+                                        samples=stream))
+    got = np.asarray(mk.trace_path_mega(
+        scene, rays, jax.random.key(12), cfg,
+        tables=mk.build_mega_tables(scene, t_ord, s_ord), samples=stream))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
