@@ -84,6 +84,11 @@ MAX_VMEM_PRIMS = 8192
 # top-level structure) skips the DMA *and* the math for unreachable segments.
 SEG_T = 2048              # triangles per streamed segment (1 MB scratch)
 SUPER_T = 256             # middle cull level: one box per 16 chunks
+# spheres switch to the two-level cull only above this count: at the
+# headline scale (~500) the super layer measured a ~2% net LOSS on v5e
+# (the chunk-slab floor is not the bottleneck there and SUPER_T padding
+# adds chunks); at thousands of spheres the slab floor dominates.
+SPH_SUPER_MIN = 1024
 MAX_STREAM_PRIMS = 1 << 20
 
 # Sphere table lanes: geometry 0..4, material 5..13.
@@ -109,6 +114,7 @@ class MegaTables(NamedTuple):
 
     sph: Array       # f32[S_pad, 128]
     sph_box: Array   # f32[S_chunks_pad, 128] lanes 0..5 = lo.xyz, hi.xyz
+    sph_super: Array  # f32[S_supers_pad, 128] per-SUPER_T middle-level boxes
     tri: Array       # f32[T_pad, 128]
     tri_box: Array   # f32[T_chunks_pad, 128]
     tri_super: Array  # f32[T_supers_pad, 128] per-SUPER_T middle-level boxes
@@ -213,6 +219,11 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
     def chunk_boxes(lo, hi, prim_mult=PRIM_CHUNK):
         return boxes_of(lo, hi, PRIM_CHUNK, prim_mult)
 
+    # spheres get the same two-level cull as VMEM-resident triangles once
+    # big enough (SPH_SUPER_MIN); pad to SUPER_T then (repeat-last rows keep
+    # chunk boxes tight and lose first-wins only on exact-t duplicates)
+    sph_two_level = n_s > SPH_SUPER_MIN
+    sph_mult = SUPER_T if sph_two_level else PRIM_CHUNK
     if n_s:
         sp = scene.spheres
         center, radius, smat = sp.center, sp.radius, sp.mat
@@ -225,12 +236,17 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
             (1.0 / radius)[:, None],
             _mat_lanes(scene, smat),
         ], axis=1)
-        sph = pack(cols, PRIM_CHUNK)
+        sph = pack(cols, sph_mult)
         sph_box = chunk_boxes(center - radius[:, None],
-                              center + radius[:, None])
+                              center + radius[:, None], sph_mult)
+        sph_super = (boxes_of(center - radius[:, None],
+                              center + radius[:, None], SUPER_T, sph_mult)
+                     if sph_two_level
+                     else jnp.zeros((8, LANES), jnp.float32))
     else:
         sph = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
         sph_box = jnp.zeros((8, LANES), jnp.float32)
+        sph_super = jnp.zeros((8, LANES), jnp.float32)
 
     if n_t:
         tr = scene.triangles
@@ -268,16 +284,18 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
     else:
         rect = jnp.zeros((8, LANES), jnp.float32)
 
-    return MegaTables(sph, sph_box, tri, tri_box, tri_super, tri_seg, rect)
+    return MegaTables(sph, sph_box, sph_super, tri, tri_box, tri_super,
+                      tri_seg, rect)
 
 
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
-                 rect_ref, o_ref, d_ref,
-                 *rest, n_sph_chunks: int, n_tri_chunks: int, has_sph: bool,
+def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
+                 tri_super_ref, rect_ref, o_ref, d_ref,
+                 *rest, n_sph_chunks: int, n_sph_supers: int = 0,
+                 n_tri_chunks: int, has_sph: bool,
                  has_tri: bool, n_rects: int = 0,
                  max_depth: int = 8, t_min: float = 1e-3, t_max: float = 3.4e38,
                  ambient: float, backface_only: bool, no_t_clip: bool,
@@ -399,7 +417,29 @@ def _mega_kernel(sph_ref, sph_box_ref, tri_ref, tri_box_ref, tri_super_ref,
             return jax.lax.cond(jnp.any(reachable), run, lambda c: c,
                                 (best_t, attrs))
 
-        return jax.lax.fori_loop(0, n_sph_chunks, body, (best_t, attrs))
+        if not n_sph_supers:
+            return jax.lax.fori_loop(0, n_sph_chunks, body, (best_t, attrs))
+
+        # two-level: one box per SUPER_T spheres gates its 16 chunks
+        chunks_per_super = SUPER_T // PRIM_CHUNK
+
+        def super_body(u, carry):
+            best_t, _ = carry
+            sreach = slab(sph_super_ref, u, ox, oy, oz, inv_dx, inv_dy,
+                          inv_dz, best_t, t_min)
+            if alive_f is not None:
+                sreach &= alive_f > 0.0
+
+            def run_super(carry):
+                def sbody(j, carry):
+                    return body(u * chunks_per_super + j, carry)
+                return jax.lax.fori_loop(0, chunks_per_super, sbody, carry)
+
+            return jax.lax.cond(jnp.any(sreach), run_super, lambda c: c,
+                                carry)
+
+        return jax.lax.fori_loop(0, n_sph_supers, super_body,
+                                 (best_t, attrs))
 
     def tri_sweep(ox, oy, oz, dx, dy, dz, alive_f=None):
         inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
@@ -1059,6 +1099,8 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     kernel = functools.partial(
         _mega_kernel,
         n_sph_chunks=tables.sph.shape[0] // PRIM_CHUNK,
+        n_sph_supers=(tables.sph.shape[0] // SUPER_T
+                      if scene.n_spheres > SPH_SUPER_MIN else 0),
         n_tri_chunks=tables.tri.shape[0] // PRIM_CHUNK,
         has_sph=scene.n_spheres > 0, has_tri=scene.n_triangles > 0,
         n_rects=scene.n_rects,
@@ -1083,11 +1125,12 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri
                 else full(tables.tri.shape))
     in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
+                full(tables.sph_super.shape),
                 tri_spec, full(tables.tri_box.shape),
                 full(tables.tri_super.shape), full(tables.rect.shape),
                 tile3(3), tile3(3)]
-    args = [tables.sph, tables.sph_box, tables.tri, tables.tri_box,
-            tables.tri_super, tables.rect, o, d]
+    args = [tables.sph, tables.sph_box, tables.sph_super, tables.tri,
+            tables.tri_box, tables.tri_super, tables.rect, o, d]
     # kernel consumes *rest as (tri_seg, [state], [uni], seed)
     if stream_tri:
         in_specs.append(full(tables.tri_seg.shape))

@@ -412,3 +412,38 @@ def test_mega_morton_ordered_tables_match():
         scene, rays, jax.random.key(12), cfg,
         tables=mk.build_mega_tables(scene, t_ord, s_ord), samples=stream))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_mega_sphere_two_level_cull():
+    """>SPH_SUPER_MIN spheres switch the sphere sweep to the two-level cull
+    (per-SUPER_T super boxes + repeat-last padding); results must match the
+    wavefront integrator on the injected stream like any other scene."""
+    rng = np.random.default_rng(3)
+    b = SceneBuilder()
+    m = b.materials
+    b.add_sphere((0, -1000, -3), 999.6, m.lambertian(color=(0.5, 0.5, 0.5)))
+    for i in range(mk.SPH_SUPER_MIN + 40):
+        pos = (float(rng.uniform(-6, 6)), float(rng.uniform(-0.3, 1.5)),
+               float(rng.uniform(-8, -2)))
+        mat = (m.lambertian(color=tuple(rng.uniform(0.1, 0.9, 3).tolist()))
+               if i % 3 else m.metal((0.8, 0.8, 0.8), 0.05))
+        b.add_sphere(pos, 0.25, mat)
+    scene = b.build()
+    assert (scene.n_spheres > mk.SPH_SUPER_MIN
+            and mk.megakernel_supported(scene))
+    cam = cam_mod.make_camera((0, 0.6, 2), (0, 0.3, -4), vfov=50, aspect=2.0,
+                              focus_dist=6.0)
+    cfg = _cfg(width=48, height=24, samples=1, max_depth=4)
+    rays = cam_mod.generate_pixel_rays(cam, cfg.width, cfg.height,
+                                       cfg.samples, jax.random.key(4))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(7), n, cfg.max_depth)
+    ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(7), cfg,
+                                      samples=stream))
+    s_ord = mk.mega_sphere_order(scene.spheres.center)
+    got = np.asarray(mk.trace_path_mega(
+        scene, rays, jax.random.key(7), cfg,
+        tables=mk.build_mega_tables(scene, sph_order=s_ord), samples=stream))
+    d = np.abs(ref - got).max(axis=1)
+    n_bad = int((d > 1e-3).sum())
+    assert n_bad <= max(2, n // 1000), (n_bad, float(d.max()))
