@@ -28,10 +28,13 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1.0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cpu-devices", type=int, default=8)
-    ap.add_argument("--engine", default="mega_diff",
+    ap.add_argument("--engine", default="wavefront",
                     choices=["wavefront", "mega_diff"],
                     help="mega_diff = fused megakernel forward + wavefront "
-                         "backward on one injected stream (exact grads)")
+                         "backward on one injected stream (exact grads; "
+                         "same grad-step cost as wavefront since the VJP "
+                         "replays the wavefront forward - it pays off when "
+                         "the loop also RENDERS, e.g. eval/preview frames)")
     ap.add_argument("--out", default="/tmp/fit")
     args = ap.parse_args(argv)
 
