@@ -107,6 +107,13 @@ class RenderConfig:
     # tiles stay spatially coherent for the box culling.  0 = off.  Wins on
     # scenes where many primaries miss (meshes over sky).
     compact_after: int = 0
+    # engine='mega' only: run the fused bounce loop in windows of this many
+    # bounces and stably PARTITION the wavefront alive-first between windows
+    # (two cumsums + gather — no sort; ops/megakernel.trace_path_mega_phased).
+    # Dead rays collapse into tail tiles that hit the kernel's tile-level
+    # early-out while alive rays keep their screen-swizzled coherence.
+    # 0 = off.  Takes precedence over compact_after.
+    compact_every: int = 0
     # Mesh axis names to all-reduce scene-parameter GRADIENTS over, applied
     # PER BOUNCE inside the backward scan (an identity whose cotangent is
     # pmean'd).  Each bounce's contribution reduces while the next bounce's

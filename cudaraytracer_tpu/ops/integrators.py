@@ -258,6 +258,10 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                 return _mk.trace_path_mega_diff(scene, rays, key, cfg,
                                                 samples=samples)
             tables = aux if isinstance(aux, _mk.MegaTables) else None
+            if cfg.compact_every > 0 and cfg.integrator == "path":
+                return _mk.trace_path_mega_phased(
+                    scene, rays, key, cfg, tables=tables,
+                    compact_every=cfg.compact_every, samples=samples)
             if cfg.compact_after > 0 and cfg.integrator == "path":
                 return _mk.trace_path_mega_compact(
                     scene, rays, key, cfg, tables=tables,

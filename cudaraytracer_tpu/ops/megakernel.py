@@ -303,14 +303,18 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                  stream_tri: bool = False, n_tri_segs: int = 0,
                  integrator: str = "path", lambert_unnorm: bool = True,
                  resume: bool = False, dump_state: bool = False,
-                 step_lo: int = 0, n_steps: int = 0):
+                 n_steps: int = 0):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
     st_ref = rest.pop(0) if resume else None    # (4,R,L): thr rgb + alive
     uni_ref = rest.pop(0) if injected else None
-    seed_ref = rest.pop(0)
+    seed_ref = rest.pop(0)                      # SMEM i32[2]: [seed, step_lo]
     out_ref = rest.pop(0)
     tri_scratch, dma_sem = rest if stream_tri else (None, None)
+    # step_lo (global bounce offset of this call's step 0) is a RUNTIME
+    # scalar so multi-phase drivers (trace_path_mega_phased) reuse ONE
+    # compiled kernel for every mid-phase instead of one per bounce window.
+    step_lo = seed_ref[1]
     if not injected and integrator == "path":   # lambert/normal draw nothing
         pltpu.prng_seed(seed_ref[0] + step_lo, pl.program_id(0))
 
@@ -803,7 +807,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             skyg = (1.0 - sky_t) + sky_t * 0.7
             skyb = (1.0 - sky_t) + sky_t * 1.0
 
-            can_rec = step + step_lo < max_depth   # render.h:57 depth > 0
+            can_rec = step + step_lo < max_depth  # render.h:57 depth > 0
             continues = alive & hit & ok & can_rec
             absorbed = alive & hit & ~(ok & can_rec)
             missed = alive & ~hit
@@ -848,8 +852,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         else:
             carry = (ox, oy, oz, dx, dy, dz, one, one, one,
                      zero, zero, zero, one)
-        steps = n_steps if n_steps else (max_depth + 1 - step_lo)
-        carry = jax.lax.fori_loop(0, steps, bounce, carry)
+        assert n_steps > 0, "caller (_mega_call) resolves the step count"
+        carry = jax.lax.fori_loop(0, n_steps, bounce, carry)
         out_ref[0] = carry[9]
         out_ref[1] = carry[10]
         out_ref[2] = carry[11]
@@ -1028,6 +1032,102 @@ def trace_path_mega_compact(scene: Scene, rays: Rays, key: jax.Array,
     return (rad_a + rad_b)[:, :n].T
 
 
+def _partition_alive_first(alive_f: Array) -> Array:
+    """Stable alive-first partition permutation (two cumsums + one scatter —
+    no sort).  Returns order: int32[N] such that x[order] places every alive
+    lane before every dead lane, each group in original order.
+
+    Versus the argsort in trace_path_mega_compact this is O(N) instead of a
+    multi-pass radix sort, and STABILITY means alive rays keep their original
+    screen-swizzled order — which is already spatially coherent, so no Morton
+    re-sort is needed."""
+    alive = alive_f > 0.0
+    alive_i = alive.astype(jnp.int32)
+    n_alive = jnp.sum(alive_i)
+    pos = jnp.where(alive, jnp.cumsum(alive_i) - 1,
+                    n_alive + jnp.cumsum(1 - alive_i) - 1)
+    n = alive_f.shape[0]
+    return jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+
+def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
+                           cfg: RenderConfig,
+                           tables: Optional[MegaTables] = None,
+                           compact_every: int = 1, samples=None) -> Array:
+    """Fused path with CHEAP stable-partition compaction every N bounces.
+
+    The single megakernel's per-bounce cost is FLAT on mixed tiles: one alive
+    lane among 4096 keeps the whole tile's union-of-work going every bounce
+    (the tile-level early-out only fires when ALL lanes die).  This driver
+    runs the fused bounce loop in windows of ``compact_every`` bounces and,
+    between windows, stably PARTITIONS the wavefront alive-first — dead rays
+    collapse into tail tiles that hit the early-out, and the live prefix
+    keeps its screen-swizzled spatial coherence (stable partition preserves
+    order, unlike trace_path_mega_compact's Morton argsort, whose sort cost
+    made it a net loss).  Compaction cost per window is two cumsums, one
+    scatter, and a 13-plane gather — O(N) bandwidth, no sort.
+
+    Same math as trace_path_mega: partitioning only reorders lanes, and a
+    chunk culled by the tile vote can improve no lane's hit, so results are
+    bit-identical for any ``compact_every`` under an injected stream.  With
+    the in-kernel PRNG, draws depend on (tile, lane) placement, so images
+    differ from the monolithic kernel by sample noise only.
+    """
+    from .integrators import stream_from_key
+
+    if tables is None:
+        tables = build_mega_tables(scene)
+    n = rays.origin.shape[0]
+    rows = _ray_rows(n)
+    rl = rows * LANES
+
+    injected = samples is not None
+    if not injected and _interpret():
+        samples = stream_from_key(key, n, cfg.max_depth)
+        injected = True
+    planes_all = (_stream_planes(samples.ball, samples.prob, rows)
+                  .reshape(-1, rl) if injected else None)
+
+    total = cfg.max_depth + 1
+    idx = jnp.arange(rl, dtype=jnp.int32)    # current slot -> original slot
+    rad = jnp.zeros((3, rl), jnp.float32)
+    o_cur = jnp.stack([_pad_rays(rays.origin[:, k], rows)
+                       for k in range(3)]).reshape(3, rl)
+    d_cur = jnp.stack([_pad_rays(rays.direction[:, k], rows)
+                       for k in range(3)]).reshape(3, rl)
+    state = None                             # (4, rl): thr rgb + alive
+    step_lo, phase = 0, 0
+    while step_lo < total:
+        n_steps = min(compact_every, total - step_lo)
+        last = step_lo + n_steps >= total
+        sp = None
+        if injected:
+            # planes for the CURRENT arrangement = original planes at idx
+            sp = (planes_all[4 * step_lo:4 * (step_lo + n_steps)][:, idx]
+                  .reshape(-1, rows, LANES))
+        out = _mega_call(scene, o_cur.reshape(3, rows, LANES),
+                         d_cur.reshape(3, rows, LANES),
+                         jax.random.fold_in(key, phase), cfg, tables,
+                         stream_planes=sp,
+                         state=(None if state is None
+                                else state.reshape(4, rows, LANES)),
+                         dump_state=not last, step_lo=step_lo,
+                         n_steps=n_steps)
+        flat = out.reshape(-1, rl)
+        rad = rad.at[:, idx].add(flat[0:3])
+        if last:
+            break
+        order = _partition_alive_first(flat[12])
+        o_cur = flat[3:6][:, order]
+        d_cur = flat[6:9][:, order]
+        state = jnp.concatenate([flat[9:12], flat[12:13]])[:, order]
+        idx = idx[order]
+        step_lo += n_steps
+        phase += 1
+    return rad[:, :n].T
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _mega_diff(scene, rays, stream, cfg):
     return trace_path_mega(scene, rays, jax.random.key(0), cfg,
@@ -1115,7 +1215,7 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         integrator=cfg.integrator,
         lambert_unnorm=q.lambert_unnormalized_dot,
         resume=state is not None, dump_state=dump_state,
-        step_lo=step_lo, n_steps=n_steps)
+        n_steps=n_steps if n_steps else (cfg.max_depth + 1 - step_lo))
 
     grid = (rows // TILE_ROWS,)
     full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
@@ -1142,8 +1242,8 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         in_specs.append(tile3(stream_planes.shape[0]))
         args.append(stream_planes)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
-    args.append(seed)
+    seed = jax.random.randint(key, (1,), 0, 2 ** 30 - 1, dtype=jnp.int32)
+    args.append(jnp.concatenate([seed, jnp.full((1,), step_lo, jnp.int32)]))
     scratch = ([pltpu.VMEM((SEG_T, LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA] if stream_tri else [])
 

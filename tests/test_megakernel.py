@@ -390,6 +390,35 @@ def test_mega_compaction_exact():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_mega_phased_partition_exact():
+    """Stable-partition compaction (trace_path_mega_phased) only reorders
+    lanes: bit-identical to the single-kernel megakernel for any window size,
+    and the partition permutation is a true alive-first stable permutation."""
+    sc = _mixed_scene()
+    scene, _ = sc
+    cfg = _cfg()
+    rays = _rays(sc, cfg, jax.random.key(3))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(9), n, cfg.max_depth)
+    ref = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(9), cfg,
+                                        samples=stream))
+    for ce in (1, 3):
+        got = np.asarray(mk.trace_path_mega_phased(
+            scene, rays, jax.random.key(9), cfg, compact_every=ce,
+            samples=stream))
+        np.testing.assert_array_equal(got, ref, err_msg=f"window {ce}")
+    # engine knob
+    import dataclasses
+    cfg_c = dataclasses.replace(cfg, engine="mega", compact_every=2)
+    got = np.asarray(integ.integrate(scene, rays, jax.random.key(9), cfg_c,
+                                     samples=stream))
+    np.testing.assert_array_equal(got, ref)
+    # the permutation itself: alive lanes first, both groups in stable order
+    alive = np.asarray([1., 0., 0., 1., 1., 0., 1., 0.], np.float32)
+    order = np.asarray(mk._partition_alive_first(jnp.asarray(alive)))
+    assert order.tolist() == [0, 3, 4, 6, 1, 2, 5, 7]
+
+
 def test_mega_morton_ordered_tables_match():
     """Morton-permuted sphere+triangle tables (the bench/app fast path) are
     an internal layout choice only: same image as builder-order tables up to
