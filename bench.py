@@ -190,6 +190,22 @@ def main() -> int:
         mdt = _timed_render(mscene, mcam, mcfg, m_isect, n_iters, m_aux)
         secondary["mesh_scene_sec"] = round(mdt, 4)
         secondary["mesh_scene_rays_per_sec"] = round(1280 * 720 * 8 / mdt, 1)
+        # Same workload under Quirks.fixed() — the PHYSICAL mesh-path metric.
+        # Under Quirks.reference() mesh path tracing is (faithfully)
+        # degenerate: triangle.h:92-94 never clips t, so bounce rays re-hit
+        # their own triangle at t~0 and behind-the-ray boxes can never be
+        # culled (the reference never renders this config — its path tracer
+        # is commented out at render.h:119, and its active BVH pipeline
+        # prunes behind-boxes via the AABB t-window, aabb.h:30-43).  The
+        # fixed profile excludes self-hits, so rays move, die, and the
+        # in-kernel forward-window culling prunes — the honest measure of
+        # mesh path-tracing speed.
+        fcfg = dataclasses.replace(mcfg, quirks=crt.Quirks.fixed())
+        f_isect = pallas_intersector(fcfg) if engine == "wavefront" else None
+        fdt = _timed_render(mscene, mcam, fcfg, f_isect, n_iters, m_aux)
+        secondary["mesh_scene_fixed_sec"] = round(fdt, 4)
+        secondary["mesh_scene_fixed_rays_per_sec"] = round(
+            1280 * 720 * 8 / fdt, 1)
 
     if os.environ.get("BENCH_WAVEFRONT", "0") == "1":
         import dataclasses

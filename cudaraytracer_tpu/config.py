@@ -114,6 +114,15 @@ class RenderConfig:
     # early-out while alive rays keep their screen-swizzled coherence.
     # 0 = off.  Takes precedence over compact_after.
     compact_every: int = 0
+    # engine='mega' only: visit the megakernel's top-level triangle boxes
+    # (SUPER_T supers in VMEM, SEG_T segments when streaming) in this many
+    # front-to-back DISTANCE SHELLS around each ray tile's origin centroid
+    # instead of table order.  Nearby geometry then tightens best_t in the
+    # first shell and far boxes fail the slab test's `near < best_t` for
+    # every lane — skipping their math and, when streaming, their DMA.
+    # Pure visit reordering: results are unchanged (up to exact-t ties of
+    # duplicated prims).  0 = off.
+    mega_f2b_shells: int = 0
     # Mesh axis names to all-reduce scene-parameter GRADIENTS over, applied
     # PER BOUNCE inside the backward scan (an identity whose cotangent is
     # pmean'd).  Each bounce's contribution reduces while the next bounce's

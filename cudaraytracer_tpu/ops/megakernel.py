@@ -303,7 +303,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                  stream_tri: bool = False, n_tri_segs: int = 0,
                  integrator: str = "path", lambert_unnorm: bool = True,
                  resume: bool = False, dump_state: bool = False,
-                 n_steps: int = 0):
+                 n_steps: int = 0, f2b: int = 0):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
     st_ref = rest.pop(0) if resume else None    # (4,R,L): thr rgb + alive
@@ -451,6 +451,64 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         d3x, d3y, d3z = dx[None], dy[None], dz[None]
         lo_cut = -float(BIG) if no_t_clip else t_min
 
+        # -------- front-to-back shell ordering (f2b > 0) --------
+        # Visiting supers/segments in fixed table order leaves best_t loose
+        # until the winner's chunk happens to come up, so the `near < best_t`
+        # term of the slab test can't prune.  With f2b = B shells, the
+        # top-level boxes are visited in B passes ordered by squared distance
+        # from the tile's alive-ray origin CENTROID: nearby geometry (where
+        # scattered rays actually hit) tightens best_t in the first shell and
+        # far shells then fail `near < best_t` for every lane, skipping their
+        # math (and, when streaming, their DMA).  Visit ORDER is the only
+        # thing that changes — each box is still visited exactly once (the
+        # shell index is a deterministic function of the box) and the merge
+        # is order-independent up to exact-t ties between duplicated prims,
+        # so results are unchanged (test-pinned).
+        if f2b:
+            if alive_f is None:
+                inv_w = 1.0 / float(shape[0] * shape[1])
+                mx = jnp.sum(ox) * inv_w
+                my = jnp.sum(oy) * inv_w
+                mz = jnp.sum(oz) * inv_w
+            else:
+                inv_w = 1.0 / jnp.maximum(jnp.sum(alive_f), 1.0)
+                mx = jnp.sum(ox * alive_f) * inv_w
+                my = jnp.sum(oy * alive_f) * inv_w
+                mz = jnp.sum(oz * alive_f) * inv_w
+
+        def box_dist2(box_ref, j):
+            qx = jnp.clip(mx, box_scalar(box_ref, j, 0),
+                          box_scalar(box_ref, j, 3))
+            qy = jnp.clip(my, box_scalar(box_ref, j, 1),
+                          box_scalar(box_ref, j, 4))
+            qz = jnp.clip(mz, box_scalar(box_ref, j, 2),
+                          box_scalar(box_ref, j, 5))
+            return ((qx - mx) * (qx - mx) + (qy - my) * (qy - my)
+                    + (qz - mz) * (qz - mz))
+
+        def shelled(n_items, box_ref, visit, carry0):
+            """Run visit(j, carry) for j in 0..n_items-1, in f2b distance-
+            shell passes (approximate front-to-back) instead of index order.
+            """
+            def dscan(j, c):
+                dj = box_dist2(box_ref, j)
+                return jnp.minimum(c[0], dj), jnp.maximum(c[1], dj)
+            dmin, dmax = jax.lax.fori_loop(
+                0, n_items, dscan,
+                (jnp.float32(3.4e38), jnp.float32(0.0)))
+            scale = float(f2b) / jnp.maximum(dmax - dmin, 1e-30)
+            carry = carry0
+            for s in range(f2b):
+                def body(j, carry, s=s):
+                    dj = box_dist2(box_ref, j)
+                    sidx = jnp.minimum(jnp.floor((dj - dmin) * scale),
+                                       float(f2b - 1))
+                    return jax.lax.cond(sidx == float(s),
+                                        functools.partial(visit, j),
+                                        lambda c: c, carry)
+                carry = jax.lax.fori_loop(0, n_items, body, carry)
+            return carry
+
         def gate(reachable):
             # exclude dead lanes from the reachability vote (see
             # sphere_sweep); applied at every cull level, f32 compared
@@ -537,8 +595,12 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                 return jax.lax.cond(jnp.any(sreach), run_super, lambda c: c,
                                     carry)
 
-            return jax.lax.fori_loop(0, n_tri_chunks // chunks_per_super,
-                                     super_body, (best_t0, attrs0))
+            n_supers = n_tri_chunks // chunks_per_super
+            if f2b:
+                return shelled(n_supers, tri_super_ref, super_body,
+                               (best_t0, attrs0))
+            return jax.lax.fori_loop(0, n_supers, super_body,
+                                     (best_t0, attrs0))
 
         # Streaming: triangle table lives in HBM; per segment, a top-level
         # AABB test decides whether to DMA the segment into VMEM scratch at
@@ -582,6 +644,9 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             return jax.lax.cond(jnp.any(seg_reach), run_seg, lambda c: c,
                                 carry)
 
+        if f2b:
+            return shelled(n_tri_segs, tri_seg_ref, seg_body,
+                           (best_t0, attrs0))
         return jax.lax.fori_loop(0, n_tri_segs, seg_body, (best_t0, attrs0))
 
     def rect_sweep(ox, oy, oz, dx, dy, dz):
@@ -1215,7 +1280,8 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         integrator=cfg.integrator,
         lambert_unnorm=q.lambert_unnormalized_dot,
         resume=state is not None, dump_state=dump_state,
-        n_steps=n_steps if n_steps else (cfg.max_depth + 1 - step_lo))
+        n_steps=n_steps if n_steps else (cfg.max_depth + 1 - step_lo),
+        f2b=cfg.mega_f2b_shells)
 
     grid = (rows // TILE_ROWS,)
     full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),

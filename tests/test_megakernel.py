@@ -246,6 +246,13 @@ def test_mega_streaming_large_mesh():
                                         tables=tables, samples=stream))
     assert ref.mean() > 0.01      # rays actually hit the terrain
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-4)
+    # front-to-back SEGMENT shells reorder the streamed visits only
+    import dataclasses
+    f2b = np.asarray(mk.trace_path_mega(
+        scene, rays, jax.random.key(5),
+        dataclasses.replace(cfg, mega_f2b_shells=4), tables=tables,
+        samples=stream))
+    np.testing.assert_array_equal(f2b, got)
 
 
 def test_mega_tables_refit_flow():
@@ -476,3 +483,76 @@ def test_mega_sphere_two_level_cull():
     d = np.abs(ref - got).max(axis=1)
     n_bad = int((d > 1e-3).sum())
     assert n_bad <= max(2, n // 1000), (n_bad, float(d.max()))
+
+
+def test_mesh_path_reference_quirk_self_hit_degeneracy():
+    """Quirks.reference() mesh PATH tracing is (faithfully) degenerate.
+
+    triangle.h:92-94 never tests Moller-Trumbore t against t_min/t_max, so a
+    scattered ray whose origin lies ON a triangle re-hits that same triangle
+    at t ~ 0 (its u,v are interior and backface_only passes since
+    dot(n + ball, n) > 0): the path gets stuck on the surface, never reaches
+    the sky, and terminates at the depth-exhaustion ambient floor
+    (render.h:61).  The reference never renders this configuration — its path
+    tracer is commented out (render.h:119) and its ACTIVE BVH pipeline prunes
+    behind-the-ray boxes via the AABB t-window (aabb.h:30-43 clamps to
+    [t_min, t_max]; bvh.h:165) — but the list-pipeline semantics we reproduce
+    admit it.  Under Quirks.fixed() the triangle t-window excludes the
+    self-hit and the bounce escapes to the sky.  Both engines must agree per
+    profile: the quirk is reproduced, never silently fixed."""
+    b = SceneBuilder()
+    red = b.materials.lambertian(color=(0.6, 0.6, 0.6))
+    # big triangle at z=-2, normal (0,0,-1) pointing AWAY from the camera so
+    # the backface_only quirk lets primary rays (d ~ -z) hit it
+    b.add_triangle((-50, -50, -2), (50, -50, -2), (0, 50, -2), red,
+                   normal=(0, 0, -1))
+    scene = b.build()
+    cam = cam_mod.make_camera((0, 0, 0), (0, 0, -2), vfov=45, aspect=2.0,
+                              focus_dist=2.0)
+    means = {}
+    for name, quirks in (("reference", Quirks.reference()),
+                         ("fixed", Quirks.fixed())):
+        cfg = _cfg(width=16, height=8, samples=2, max_depth=8, quirks=quirks)
+        rays = cam_mod.generate_pixel_rays(cam, cfg.width, cfg.height,
+                                           cfg.samples, jax.random.key(2))
+        n = rays.origin.shape[0]
+        stream = integ.stream_from_key(jax.random.key(5), n, cfg.max_depth)
+        ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(5),
+                                          cfg, samples=stream))
+        got = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(5),
+                                            cfg, samples=stream))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+        means[name] = float(ref.mean())
+    # reference: stuck paths -> ambient * albedo^8 ~ 1.7e-3 radiance
+    assert means["reference"] < 0.01, means
+    # fixed: first bounce escapes to the sky -> bright
+    assert means["fixed"] > 0.1, means
+
+
+def test_mega_f2b_shells_exact():
+    """cfg.mega_f2b_shells only REORDERS top-level box visits (front-to-back
+    distance shells around the tile's origin centroid) — each box is still
+    visited exactly once, and the closest-hit merge is order-independent, so
+    results must be bit-identical to the in-order sweep for any shell count,
+    under both quirk profiles."""
+    import dataclasses
+    sc = _mixed_scene()
+    scene, _ = sc
+    order = morton_order(np.asarray(scene.triangles.v0),
+                         np.asarray(scene.triangles.v1),
+                         np.asarray(scene.triangles.v2))
+    tables = mk.build_mega_tables(scene, tri_order=order)
+    for quirks in (Quirks.reference(), Quirks.fixed()):
+        cfg0 = _cfg(quirks=quirks)
+        rays = _rays(sc, cfg0, jax.random.key(3))
+        n = rays.origin.shape[0]
+        stream = integ.stream_from_key(jax.random.key(9), n, cfg0.max_depth)
+        ref = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(9),
+                                            cfg0, tables=tables,
+                                            samples=stream))
+        for shells in (2, 4):
+            cfg = dataclasses.replace(cfg0, mega_f2b_shells=shells)
+            got = np.asarray(mk.trace_path_mega(
+                scene, rays, jax.random.key(9), cfg, tables=tables,
+                samples=stream))
+            np.testing.assert_array_equal(got, ref)
