@@ -114,6 +114,13 @@ class RenderConfig:
     # early-out while alive rays keep their screen-swizzled coherence.
     # 0 = off.  Takes precedence over compact_after.
     compact_every: int = 0
+    # With compact_every > 0: between windows, additionally SORT the alive
+    # prefix by (coarse origin cell, direction octant, fine origin Morton)
+    # instead of the stable alive-first partition.  Scattered bounce rays
+    # then regroup into tiles sharing a spatial patch AND a direction cone,
+    # collapsing each tile's union-of-work — the lever for LARGE streamed
+    # scenes where per-segment lane utilization is otherwise ~0.2%.
+    compact_octants: bool = False
     # engine='mega' only: visit the megakernel's top-level triangle boxes
     # (SUPER_T supers in VMEM, SEG_T segments when streaming) in this many
     # front-to-back DISTANCE SHELLS around each ray tile's origin centroid

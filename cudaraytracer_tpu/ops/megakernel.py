@@ -1119,7 +1119,8 @@ def _partition_alive_first(alive_f: Array) -> Array:
 def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
                            cfg: RenderConfig,
                            tables: Optional[MegaTables] = None,
-                           compact_every: int = 1, samples=None) -> Array:
+                           compact_every: int = 1, samples=None,
+                           octants: Optional[bool] = None) -> Array:
     """Fused path with CHEAP stable-partition compaction every N bounces.
 
     The single megakernel's per-bounce cost is FLAT on mixed tiles: one alive
@@ -1133,14 +1134,26 @@ def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
     made it a net loss).  Compaction cost per window is two cumsums, one
     scatter, and a 13-plane gather — O(N) bandwidth, no sort.
 
-    Same math as trace_path_mega: partitioning only reorders lanes, and a
-    chunk culled by the tile vote can improve no lane's hit, so results are
+    octants=True (cfg.compact_octants) additionally sorts the alive prefix
+    by (coarse origin cell, DIRECTION OCTANT, fine origin Morton): scattered
+    bounce rays regroup into tiles that share a spatial patch AND a
+    direction cone, so each tile's union of reachable boxes collapses from
+    "every box in some lane's direction" to the few boxes along one cone.
+    This targets LARGE streamed scenes, where measured per-segment lane
+    utilization of the monolithic kernel is ~0.2% — for small scenes the
+    sort + 14-plane round-trip dominates (see ROUND2_NOTES; both compaction
+    modes measured net losses on VMEM-resident workloads).
+
+    Same math as trace_path_mega: reordering only moves lanes, and a chunk
+    culled by the tile vote can improve no lane's hit, so results are
     bit-identical for any ``compact_every`` under an injected stream.  With
     the in-kernel PRNG, draws depend on (tile, lane) placement, so images
     differ from the monolithic kernel by sample noise only.
     """
     from .integrators import stream_from_key
 
+    if octants is None:
+        octants = cfg.compact_octants
     if tables is None:
         tables = build_mega_tables(scene)
     n = rays.origin.shape[0]
@@ -1156,7 +1169,10 @@ def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
 
     total = cfg.max_depth + 1
     idx = jnp.arange(rl, dtype=jnp.int32)    # current slot -> original slot
-    rad = jnp.zeros((3, rl), jnp.float32)
+    rad = jnp.zeros((3, rl), jnp.float32)    # CURRENT arrangement (rides the
+    # permutations as a 15th..17th gathered plane; one scatter at the end —
+    # arbitrary-permutation scatters are near-serial on TPU, so pay one, not
+    # one per phase)
     o_cur = jnp.stack([_pad_rays(rays.origin[:, k], rows)
                        for k in range(3)]).reshape(3, rl)
     d_cur = jnp.stack([_pad_rays(rays.direction[:, k], rows)
@@ -1180,16 +1196,33 @@ def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
                          dump_state=not last, step_lo=step_lo,
                          n_steps=n_steps)
         flat = out.reshape(-1, rl)
-        rad = rad.at[:, idx].add(flat[0:3])
+        rad = rad + flat[0:3]
         if last:
             break
-        order = _partition_alive_first(flat[12])
+        if octants:
+            # (coarse origin cell | direction octant | fine origin Morton):
+            # alive rays regroup by patch AND direction cone; dead rays last
+            o2, d2 = flat[3:6], flat[6:9]
+            alive = flat[12] > 0.0
+            code = (_morton_u32(o2[0], o2[1], o2[2]).astype(jnp.int32)
+                    & 0x3FFFFFFF)
+            oct_ = (((d2[0] < 0).astype(jnp.int32) << 2)
+                    | ((d2[1] < 0).astype(jnp.int32) << 1)
+                    | (d2[2] < 0).astype(jnp.int32))
+            skey = (((code >> 18) << 18) | (oct_ << 15)
+                    | ((code >> 3) & 0x7FFF))
+            order = jnp.argsort(
+                jnp.where(alive, skey, jnp.int32(2 ** 31 - 2)))
+        else:
+            order = _partition_alive_first(flat[12])
         o_cur = flat[3:6][:, order]
         d_cur = flat[6:9][:, order]
         state = jnp.concatenate([flat[9:12], flat[12:13]])[:, order]
+        rad = rad[:, order]
         idx = idx[order]
         step_lo += n_steps
         phase += 1
+    rad = jnp.zeros_like(rad).at[:, idx].set(rad)
     return rad[:, :n].T
 
 

@@ -420,6 +420,11 @@ def test_mega_phased_partition_exact():
     got = np.asarray(integ.integrate(scene, rays, jax.random.key(9), cfg_c,
                                      samples=stream))
     np.testing.assert_array_equal(got, ref)
+    # octant sort (cfg.compact_octants): still a pure lane reorder
+    cfg_o = dataclasses.replace(cfg_c, compact_octants=True)
+    got = np.asarray(integ.integrate(scene, rays, jax.random.key(9), cfg_o,
+                                     samples=stream))
+    np.testing.assert_array_equal(got, ref)
     # the permutation itself: alive lanes first, both groups in stable order
     alive = np.asarray([1., 0., 0., 1., 1., 0., 1., 0.], np.float32)
     order = np.asarray(mk._partition_alive_first(jnp.asarray(alive)))
