@@ -62,13 +62,15 @@ def main() -> int:
                           f"path{cfg.max_depth} three_spheres",
               "render_strong_scaling": {}, "fit_step": {}}
     if args.platform == "cpu":
+        report["host_cores"] = os.cpu_count()
         report["note"] = (
-            "virtual CPU mesh: all devices share the host's cores, so "
-            "efficiency is bounded by core oversubscription and the "
-            "overlapped fit cannot beat post-hoc (no interconnect to hide "
-            "collectives behind); track RATIOS across rounds for "
-            "regressions, and rerun with --platform tpu on a real slice "
-            "for true scaling numbers")
+            f"virtual CPU mesh on a {os.cpu_count()}-core host: dp1 already "
+            "multithreads XLA:CPU over all cores, so strong-scaling "
+            "efficiency is structurally capped near cores/devices (NOT an "
+            "ICI-scaling statement), and the overlapped fit cannot beat "
+            "post-hoc (no interconnect to hide collectives behind); track "
+            "RATIOS across rounds for collective/sharding regressions, and "
+            "rerun with --platform tpu on a real slice for true numbers")
 
     # ---- strong scaling of the sharded forward render over dp ----
     dps = [d for d in (1, 2, 4, 8) if d <= args.devices]

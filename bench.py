@@ -21,7 +21,8 @@ Secondary metrics ride in the same JSON line under "secondary":
 
 Env knobs: BENCH_ENGINE (mega|wavefront), BENCH_SPP, BENCH_WIDTH/HEIGHT,
 BENCH_CHUNK, BENCH_SCENE (random_spheres|three_spheres|mesh), BENCH_ITERS,
-BENCH_MESH=0 to skip the mesh secondary, BENCH_BWD=1, BENCH_WAVEFRONT=1,
+BENCH_MESH=0 to skip the mesh secondary, BENCH_BIG=1 (124k-tri streamed
+field + auto octant compaction), BENCH_BWD=1, BENCH_WAVEFRONT=1,
 BENCH_UPDATE_BASELINE=1.
 """
 
@@ -66,6 +67,30 @@ def _mesh_scene(width: int, height: int):
     return scene, cam
 
 
+def _big_field_scene():
+    """25 replicated bunnies (124k tris) — the HBM-streaming path-8 workload
+    (ROUND2_NOTES 'Phased compaction REVISITED')."""
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.core.camera import make_camera
+    from cudaraytracer_tpu.utils.obj_loader import face_normals, load_obj
+
+    pts, faces = load_obj("/root/reference/CudaTest/objects/small_bunny.obj")
+    pts *= 10.0
+    ext = pts.max(0) - pts.min(0)
+    b = crt.SceneBuilder()
+    mat = b.materials.lambertian(color=(0.65, 0.05, 0.05))
+    nrm = face_normals(pts, faces)
+    for i in range(5):
+        for j in range(5):
+            off = np.array([(i - 2) * 1.15 * ext[0], 0.0,
+                            -j * 1.3 * ext[2]], np.float32)
+            b.add_mesh(pts + off, faces, mat, normals=nrm,
+                       reverse_winding=True)
+    cam = make_camera((0, 2.2, 3.2), (0.0, 0.35, float(-2.0 * 1.3 * ext[2])),
+                      (0, 1, 0), 50.0, 1280 / 720, 0.0, 10.0)
+    return b.build(), cam
+
+
 def _mega_tables(scene):
     """Megakernel tables with Morton-ordered prims (compact chunk boxes so
     the in-kernel per-chunk culling actually prunes)."""
@@ -88,8 +113,12 @@ def _timed_render(scene, cam, cfg, isect_fn, n_iters: int, aux=None) -> float:
     import jax.numpy as jnp
     from cudaraytracer_tpu.ops.render import render_image
 
+    # scene/aux flow as ARGUMENTS, not closure constants: baked-in literals
+    # ship with the HLO upload through this environment's remote-compile
+    # tunnel, which rejects large bodies (HTTP 413 at ~0.5 GB — hit by a
+    # 1M-triangle table set).
     @jax.jit
-    def bench_n(key):
+    def bench_n(scene, aux, key):
         def body(acc, i):
             img = render_image(scene, cam, jax.random.fold_in(key, i), cfg,
                                isect_fn, aux)
@@ -97,9 +126,9 @@ def _timed_render(scene, cam, cfg, isect_fn, n_iters: int, aux=None) -> float:
         tot, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_iters))
         return tot
 
-    float(bench_n(jax.random.key(0)))  # warmup/compile
+    float(bench_n(scene, aux, jax.random.key(0)))  # warmup/compile
     t0 = time.perf_counter()
-    s = float(bench_n(jax.random.key(123)))
+    s = float(bench_n(scene, aux, jax.random.key(123)))
     dt = (time.perf_counter() - t0) / n_iters
     assert s == s, "NaN render"
     return dt
@@ -206,6 +235,18 @@ def main() -> int:
         secondary["mesh_scene_fixed_sec"] = round(fdt, 4)
         secondary["mesh_scene_fixed_rays_per_sec"] = round(
             1280 * 720 * 8 / fdt, 1)
+
+    if os.environ.get("BENCH_BIG", "0") == "1":
+        # 25-bunny 124k-tri streamed field, path-8 fixed quirks: exercises
+        # HBM streaming + the auto octant compaction (opt-in: ~2 min).
+        import dataclasses
+        bscene, bcam = _big_field_scene()
+        bcfg = dataclasses.replace(cfg, width=1280, height=720, samples=8,
+                                   quirks=crt.Quirks.fixed(), engine="mega")
+        baux = _mega_tables(bscene)
+        bdt = _timed_render(bscene, bcam, bcfg, None, n_iters, baux)
+        secondary["big_field_sec"] = round(bdt, 4)
+        secondary["big_field_tris"] = int(bscene.n_triangles)
 
     if os.environ.get("BENCH_WAVEFRONT", "0") == "1":
         import dataclasses

@@ -121,6 +121,12 @@ class RenderConfig:
     # collapsing each tile's union-of-work — the lever for LARGE streamed
     # scenes where per-segment lane utilization is otherwise ~0.2%.
     compact_octants: bool = False
+    # Let integrate() choose compaction automatically: scenes with >= 64k
+    # triangles (deep into HBM streaming) get compact_every=2 + octant sort
+    # (measured 1.67x at 124k tris); smaller scenes run the monolithic
+    # kernel (compaction measured a loss there).  Explicit compact_every /
+    # compact_after settings override.  Set False to always run monolithic.
+    compact_auto: bool = True
     # engine='mega' only: visit the megakernel's top-level triangle boxes
     # (SUPER_T supers in VMEM, SEG_T segments when streaming) in this many
     # front-to-back DISTANCE SHELLS around each ray tile's origin centroid

@@ -258,10 +258,21 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                 return _mk.trace_path_mega_diff(scene, rays, key, cfg,
                                                 samples=samples)
             tables = aux if isinstance(aux, _mk.MegaTables) else None
-            if cfg.compact_every > 0 and cfg.integrator == "path":
+            compact_every = cfg.compact_every
+            octants = None
+            if (cfg.compact_auto and not compact_every
+                    and not cfg.compact_after
+                    and scene.n_triangles >= _mk.AUTO_COMPACT_TRIS
+                    and cfg.integrator == "path"):
+                # Large HBM-streamed scenes: inter-phase octant compaction is
+                # a measured 1.67x at 124k tris (ROUND2_NOTES); VMEM-resident
+                # scenes skip it (measured loss).
+                compact_every, octants = 2, True
+            if compact_every > 0 and cfg.integrator == "path":
                 return _mk.trace_path_mega_phased(
                     scene, rays, key, cfg, tables=tables,
-                    compact_every=cfg.compact_every, samples=samples)
+                    compact_every=compact_every, samples=samples,
+                    octants=octants)
             if cfg.compact_after > 0 and cfg.integrator == "path":
                 return _mk.trace_path_mega_compact(
                     scene, rays, key, cfg, tables=tables,

@@ -90,6 +90,10 @@ SUPER_T = 256             # middle cull level: one box per 16 chunks
 # adds chunks); at thousands of spheres the slab floor dominates.
 SPH_SUPER_MIN = 1024
 MAX_STREAM_PRIMS = 1 << 20
+# Scenes at least this many triangles (HBM-streamed, far above the VMEM
+# ceiling) default to inter-phase octant compaction in integrate() when
+# cfg.compact_auto: measured 1.67x at 124k tris, a loss below ~VMEM scale.
+AUTO_COMPACT_TRIS = 1 << 16
 
 # Sphere table lanes: geometry 0..4, material 5..13.
 S_CX, S_CY, S_CZ, S_R2, S_INVR = 0, 1, 2, 3, 4
@@ -310,7 +314,11 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     uni_ref = rest.pop(0) if injected else None
     seed_ref = rest.pop(0)                      # SMEM i32[2]: [seed, step_lo]
     out_ref = rest.pop(0)
-    tri_scratch, dma_sem = rest if stream_tri else (None, None)
+    # streaming scratch: triangle segment + its CHUNK BOXES (the full chunk-
+    # box table is 512 B per 8 prims — 33 MB at the 1M-tri ceiling, far over
+    # VMEM — so boxes ride the same per-segment DMA pattern as the data)
+    (tri_scratch, box_scratch, dma_sem, box_sem) = (
+        rest if stream_tri else (None, None, None, None))
     # step_lo (global bounce offset of this call's step 0) is a RUNTIME
     # scalar so multi-phase drivers (trace_path_mega_phased) reuse ONE
     # compiled kernel for every mid-phase instead of one per bounce window.
@@ -569,9 +577,15 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
 
         chunks_per_super = SUPER_T // PRIM_CHUNK
 
-        def chunk_run(src_ref, chunk_global, base_local, carry):
+        def chunk_run(src_ref, chunk_global, base_local, carry,
+                      box_ref=None, box_row=None):
+            """box_ref/box_row: where this chunk's AABB lives (defaults to
+            the VMEM-resident table at the global chunk index; the streaming
+            path passes the per-segment box scratch with a LOCAL row)."""
+            if box_ref is None:
+                box_ref, box_row = tri_box_ref, chunk_global
             best_t, _ = carry
-            reachable = gate(slab(tri_box_ref, chunk_global, ox, oy, oz,
+            reachable = gate(slab(box_ref, box_row, ox, oy, oz,
                                   inv_dx, inv_dy, inv_dz, best_t, lo_cut))
             return jax.lax.cond(
                 jnp.any(reachable),
@@ -616,8 +630,14 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                 dma = pltpu.make_async_copy(
                     tri_ref.at[pl.ds(s * SEG_T, SEG_T), :], tri_scratch,
                     dma_sem)
+                dmb = pltpu.make_async_copy(
+                    tri_box_ref.at[pl.ds(s * chunks_per_seg,
+                                         chunks_per_seg), :],
+                    box_scratch, box_sem)
                 dma.start()
+                dmb.start()
                 dma.wait()
+                dmb.wait()
                 supers_per_seg = SEG_T // SUPER_T
 
                 def super_body(u, carry):
@@ -631,7 +651,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                             cl = u * chunks_per_super + j
                             return chunk_run(
                                 tri_scratch, s * chunks_per_seg + cl,
-                                cl * PRIM_CHUNK, carry)
+                                cl * PRIM_CHUNK, carry,
+                                box_ref=box_scratch, box_row=cl)
                         return jax.lax.fori_loop(0, chunks_per_super, body,
                                                  carry)
 
@@ -1321,11 +1342,16 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
                                     memory_space=pltpu.VMEM)
     tile3 = lambda k: pl.BlockSpec((k, TILE_ROWS, LANES), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)
+    # streaming: triangle data AND chunk boxes stay in HBM (chunk boxes are
+    # 512 B / 8 prims — 33 MB at the 1M-tri ceiling) and ride per-segment
+    # DMAs; only seg/super boxes are VMEM-resident.
     tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri
                 else full(tables.tri.shape))
+    tri_box_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri
+                    else full(tables.tri_box.shape))
     in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
                 full(tables.sph_super.shape),
-                tri_spec, full(tables.tri_box.shape),
+                tri_spec, tri_box_spec,
                 full(tables.tri_super.shape), full(tables.rect.shape),
                 tile3(3), tile3(3)]
     args = [tables.sph, tables.sph_box, tables.sph_super, tables.tri,
@@ -1344,7 +1370,9 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     seed = jax.random.randint(key, (1,), 0, 2 ** 30 - 1, dtype=jnp.int32)
     args.append(jnp.concatenate([seed, jnp.full((1,), step_lo, jnp.int32)]))
     scratch = ([pltpu.VMEM((SEG_T, LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA] if stream_tri else [])
+                pltpu.VMEM((SEG_T // PRIM_CHUNK, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+               if stream_tri else [])
 
     n_out = 13 if dump_state else 3
     return pl.pallas_call(

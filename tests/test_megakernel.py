@@ -253,6 +253,19 @@ def test_mega_streaming_large_mesh():
         dataclasses.replace(cfg, mega_f2b_shells=4), tables=tables,
         samples=stream))
     np.testing.assert_array_equal(f2b, got)
+    # cfg.compact_auto: integrate() switches big streamed scenes to phased
+    # octant compaction — a pure lane reorder, still exact (threshold
+    # lowered so this 10k-tri scene qualifies)
+    auto_saved = mk.AUTO_COMPACT_TRIS
+    mk.AUTO_COMPACT_TRIS = 1 << 10
+    try:
+        auto = np.asarray(integ.integrate(
+            scene, rays, jax.random.key(5),
+            dataclasses.replace(cfg, engine="mega"), aux=tables,
+            samples=stream))
+    finally:
+        mk.AUTO_COMPACT_TRIS = auto_saved
+    np.testing.assert_array_equal(auto, got)
 
 
 def test_mega_tables_refit_flow():
