@@ -207,3 +207,47 @@ def test_megakernel_inside_shard_map():
     img_m = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
                                             cfg_m, mesh))
     np.testing.assert_allclose(img_m, img_w, atol=3e-4)
+
+
+def test_megakernel_streaming_inside_shard_map():
+    """HBM-streamed triangle tables (> MAX_VMEM_PRIMS -> in-kernel segment
+    DMA, incl. the per-segment chunk-box DMA) must work under shard_map the
+    same as on a single device: sharded mega == sharded wavefront on the
+    same keys/streams."""
+    from cudaraytracer_tpu.models.scene import SceneBuilder
+    from cudaraytracer_tpu.ops import megakernel as mk
+    from cudaraytracer_tpu.core.camera import make_camera
+
+    n = 65   # 65x65 quads = 8450 tris > MAX_VMEM_PRIMS (8192)
+    xs = np.linspace(-5, 5, n + 1)
+    zs = np.linspace(-10, 0, n + 1)
+    X, Z = np.meshgrid(xs, zs)
+    Y = 0.3 * np.sin(X * 1.3) * np.cos(Z * 1.1)
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(0.7, 0.5, 0.3))
+    P = np.stack([X, Y, Z], axis=-1).astype(np.float32)
+    v0 = P[:-1, :-1].reshape(-1, 3)
+    v1 = P[:-1, 1:].reshape(-1, 3)
+    v2 = P[1:, :-1].reshape(-1, 3)
+    v3 = P[1:, 1:].reshape(-1, 3)
+    tris = np.concatenate([np.stack([v0, v1, v3], 1),
+                           np.stack([v0, v3, v2], 1)])
+    nrm = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    nrm[nrm[:, 1] > 0] *= -1.0
+    for t, nn in zip(tris, nrm):
+        b.add_triangle(t[0], t[1], t[2], mat, normal=nn)
+    scene = b.build()
+    assert scene.n_triangles > mk.MAX_VMEM_PRIMS
+    cam = make_camera((0, 4.0, 2.0), (0, 0, -5), (0, 1, 0), 55.0, 2.0,
+                      0.0, 8.0)
+    mesh = make_mesh(8, tp=1)
+    cfg_w = _cfg(width=32, height=16, integrator="path", samples=1,
+                 max_depth=3)
+    cfg_m = _cfg(width=32, height=16, integrator="path", samples=1,
+                 max_depth=3, engine="mega")
+    img_w = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
+                                            cfg_w, mesh))
+    img_m = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
+                                            cfg_m, mesh))
+    np.testing.assert_allclose(img_m, img_w, atol=3e-4)
