@@ -136,6 +136,18 @@ class RenderConfig:
     # Pure visit reordering: results are unchanged (up to exact-t ties of
     # duplicated prims).  0 = off.
     mega_f2b_shells: int = 0
+    # engine='mega', HBM-streamed scenes (> 8k triangles) only: run the
+    # triangle sweep on the MXU — per sublane row, ONE
+    # (4T, 10) @ (10, 128) matmul computes every Moller-Trumbore
+    # determinant of a 256-triangle super against the row's 128 rays
+    # (docs/experiments/mxu_determinants.py measured 1.85x the VPU sweep
+    # in isolation).  MEASURED NEGATIVE end-to-end: trading away chunk-level
+    # best-t pruning inside visited supers costs more than the matmul rate
+    # buys — ~2.8x SLOWER than the VPU sweep on the 124k-tri path-8 field
+    # (docs/ROUND2_NOTES.md "MXU sweep INTEGRATED").  Kept as a working,
+    # tested example of in-kernel MXU determinant evaluation; leave False
+    # for production.  Requires tables from build_mega_tables(..., mxu=True).
+    mega_mxu: bool = False
     # Mesh axis names to all-reduce scene-parameter GRADIENTS over, applied
     # PER BOUNCE inside the backward scan (an identity whose cotangent is
     # pmean'd).  Each bounce's contribution reduces while the next bounce's

@@ -109,6 +109,22 @@ N_MAT_COMPS = 9
 # pre-rotated world normal, material block.
 R_SGN, R_POS, R_SCL, R_ROT, R_NRM, R_MAT = 0, 1, 4, 7, 16, 19
 
+# --- MXU triangle sweep (cfg.mega_mxu, streamed scenes) ---
+# Every Moller-Trumbore quantity is bilinear in 10 per-ray features
+# Phi = [d, o, c = d x o, 1] (lanes 0..9 of the feature planes), so one
+# (N_Q*SUPER_T, 10) @ (10, 128) matmul per sublane row computes all
+# candidates of a super against the row's rays on the MXU (measured 1.85x
+# the VPU sweep incl. epilogue — docs/experiments/mxu_determinants.py).
+# tri_coef row layout: per super u, N_Q blocks of SUPER_T rows
+# [a | t_num | u_num | v_num | d.n], lanes 0..9 = coefficients:
+#   a     = -d.n2            (n2 = e1 x e2)
+#   t_num =  o.n2 - v0.n2
+#   u_num =  d.(v0 x e2) - c.e2
+#   v_num = -d.(v0 x e1) + c.e1
+#   d.n   =  d.n_stored      (backface quirk; sliced off under fixed quirks)
+N_FEAT = 10
+N_Q = 5
+
 
 class MegaTables(NamedTuple):
     """Device-side packed tables; built per frame inside jit (cheap gathers),
@@ -124,6 +140,8 @@ class MegaTables(NamedTuple):
     tri_super: Array  # f32[T_supers_pad, 128] per-SUPER_T middle-level boxes
     tri_seg: Array   # f32[T_segs_pad, 128] per-SEG_T segment boxes (streaming)
     rect: Array      # f32[R_pad, 128] runtime rects (see R_* lane layout)
+    tri_coef: Array  # f32[N_Q * T_pad, 128] MXU determinant coefficients
+    #                  (built only with mxu=True; (8,128) zeros otherwise)
 
 
 def megakernel_supported(scene: Scene) -> bool:
@@ -186,7 +204,8 @@ def _mat_lanes(scene: Scene, mat_id: Array) -> Array:
 
 
 def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
-                      sph_order: Optional[np.ndarray] = None) -> MegaTables:
+                      sph_order: Optional[np.ndarray] = None,
+                      mxu: bool = False) -> MegaTables:
     """Pack the scene into the megakernel's (prims, 128) lane tables.
 
     tri_order / sph_order: optional static Morton permutations
@@ -196,6 +215,9 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
     (random_spheres) every 8-prim chunk then spans the whole scene and the
     per-chunk cull never fires.  Must be host arrays computed once (from
     the bind pose, for animated meshes) so jit caches survive updates.
+
+    mxu: also build the tri_coef determinant-coefficient table consumed by
+    cfg.mega_mxu (HBM-streamed triangle scenes; N_Q * 512 B per triangle).
     """
     n_s, n_t = scene.n_spheres, scene.n_triangles
     stream_tri = n_t > MAX_VMEM_PRIMS
@@ -268,11 +290,37 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
         tri_super = boxes_of(lo, hi, SUPER_T, tri_mult)
         tri_seg = (boxes_of(lo, hi, SEG_T, tri_mult) if stream_tri
                    else jnp.zeros((8, LANES), jnp.float32))
+        if mxu:
+            e1, e2 = v1 - v0, v2 - v0
+            n2 = jnp.cross(e1, e2)
+            z1 = jnp.zeros((v0.shape[0], 1), jnp.float32)
+            z3 = jnp.zeros_like(v0)
+            # lanes: [d(0..2) | o(3..5) | c = d x o (6..8) | const(9)]
+            q_a = jnp.concatenate([-n2, z3, z3, z1], axis=1)
+            q_t = jnp.concatenate(
+                [z3, n2, z3, -jnp.sum(v0 * n2, axis=1, keepdims=True)],
+                axis=1)
+            q_u = jnp.concatenate([jnp.cross(v0, e2), z3, -e2, z1], axis=1)
+            q_v = jnp.concatenate([-jnp.cross(v0, e1), z3, e1, z1], axis=1)
+            q_n = jnp.concatenate([nrm, z3, z3, z1], axis=1)
+            coefs = jnp.stack([_pad_rows(q, tri_mult, repeat_last=True)
+                               for q in (q_a, q_t, q_u, q_v, q_n)], axis=1)
+            n_pad = coefs.shape[0]
+            # per-SUPER_T blocks, quantity-major within each super
+            coefs = (coefs.reshape(n_pad // SUPER_T, SUPER_T, N_Q,
+                                   N_FEAT).transpose(0, 2, 1, 3)
+                     .reshape(n_pad * N_Q, N_FEAT))
+            tri_coef = jnp.concatenate(
+                [coefs, jnp.zeros((coefs.shape[0], LANES - N_FEAT),
+                                  jnp.float32)], axis=1)
+        else:
+            tri_coef = jnp.zeros((8, LANES), jnp.float32)
     else:
         tri = jnp.zeros((SUPER_T, LANES), jnp.float32)
         tri_box = jnp.zeros((SUPER_T // PRIM_CHUNK, LANES), jnp.float32)
         tri_super = jnp.zeros((8, LANES), jnp.float32)
         tri_seg = jnp.zeros((8, LANES), jnp.float32)
+        tri_coef = jnp.zeros((8, LANES), jnp.float32)
 
     if scene.n_rects:
         from ..core import vec as _v3
@@ -289,7 +337,7 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
         rect = jnp.zeros((8, LANES), jnp.float32)
 
     return MegaTables(sph, sph_box, sph_super, tri, tri_box, tri_super,
-                      tri_seg, rect)
+                      tri_seg, rect, tri_coef)
 
 
 # ---------------------------------------------------------------------------
@@ -307,18 +355,28 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                  stream_tri: bool = False, n_tri_segs: int = 0,
                  integrator: str = "path", lambert_unnorm: bool = True,
                  resume: bool = False, dump_state: bool = False,
-                 n_steps: int = 0, f2b: int = 0):
+                 n_steps: int = 0, f2b: int = 0, mxu: bool = False):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
+    tri_coef_ref = rest.pop(0) if mxu else None   # HBM (N_Q*T_pad, 128)
     st_ref = rest.pop(0) if resume else None    # (4,R,L): thr rgb + alive
     uni_ref = rest.pop(0) if injected else None
     seed_ref = rest.pop(0)                      # SMEM i32[2]: [seed, step_lo]
     out_ref = rest.pop(0)
     # streaming scratch: triangle segment + its CHUNK BOXES (the full chunk-
     # box table is 512 B per 8 prims — 33 MB at the 1M-tri ceiling, far over
-    # VMEM — so boxes ride the same per-segment DMA pattern as the data)
-    (tri_scratch, box_scratch, dma_sem, box_sem) = (
-        rest if stream_tri else (None, None, None, None))
+    # VMEM — so boxes ride the same per-segment DMA pattern as the data).
+    # MXU mode swaps the chunk boxes for the determinant-coefficient block
+    # (no chunk culling there) and adds feature + sweep-state scratch.
+    box_scratch = box_sem = coef_scratch = coef_sem = None
+    feat_scratch = sweep_scratch = None
+    if mxu:
+        (tri_scratch, coef_scratch, dma_sem, coef_sem, feat_scratch,
+         sweep_scratch) = rest
+    elif stream_tri:
+        (tri_scratch, box_scratch, dma_sem, box_sem) = rest
+    else:
+        tri_scratch = dma_sem = None
     # step_lo (global bounce offset of this call's step 0) is a RUNTIME
     # scalar so multi-phase drivers (trace_path_mega_phased) reuse ONE
     # compiled kernel for every mid-phase instead of one per bounce window.
@@ -669,6 +727,151 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             return shelled(n_tri_segs, tri_seg_ref, seg_body,
                            (best_t0, attrs0))
         return jax.lax.fori_loop(0, n_tri_segs, seg_body, (best_t0, attrs0))
+
+    def tri_sweep_mxu(ox, oy, oz, dx, dy, dz, alive_f=None):
+        """Streamed triangle sweep on the MXU (cfg.mega_mxu): per sublane
+        row, ONE (n_q*SUPER_T, N_FEAT) @ (N_FEAT, 128) matmul computes every
+        Moller-Trumbore quantity of a 256-triangle super against the row's
+        128 rays; the validity epilogue + winner merge run on the VPU and
+        hide under the MXU passes (measured 1.85x the VPU sweep in
+        isolation — docs/experiments/mxu_determinants.py).  Segment/super
+        slab culling is kept; CHUNK culling is not (the matmul covers the
+        whole super).  MEASURED NEGATIVE end-to-end: losing per-chunk
+        best-t pruning inside visited supers costs ~2.8x on the 124k-tri
+        path-8 field (docs/ROUND2_NOTES.md "MXU sweep INTEGRATED") — kept
+        as a tested, working example of MXU determinant evaluation, off by
+        default.
+
+        Numerics: a/t/u/v come from matmul-accumulated bilinear forms
+        (t_num = o.n2 - v0.n2 rather than (o - v0).n2), so results agree
+        with the VPU path to f32 rounding, not bit-exactly; cancellation
+        grows with |o| (fine for scene-scale origins, tested)."""
+        inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        lo_cut = -float(BIG) if no_t_clip else t_min
+        n_q = N_Q if backface_only else N_Q - 1   # dn block sliced off
+        supers_per_seg = SEG_T // SUPER_T
+        piota_t = jax.lax.broadcasted_iota(jnp.int32, (SUPER_T, 1), 0)
+
+        # feature planes Phi = [d | o | c = d x o | 1]
+        feats = (dx, dy, dz, ox, oy, oz,
+                 dy * oz - dz * oy, dz * ox - dx * oz, dx * oy - dy * ox,
+                 jnp.ones(shape, jnp.float32))
+        for f, pf in enumerate(feats):
+            feat_scratch[pl.ds(f * TILE_ROWS, TILE_ROWS), :] = pf
+        # sweep state planes: 0 = best_t, 1..3 = normal, 4..12 = material
+        sweep_scratch[pl.ds(0, TILE_ROWS), :] = jnp.full(shape, BIG,
+                                                         jnp.float32)
+        for p in range(1, 13):
+            sweep_scratch[pl.ds(p * TILE_ROWS, TILE_ROWS), :] = jnp.zeros(
+                shape, jnp.float32)
+
+        def gate(reachable):
+            return (reachable if alive_f is None
+                    else reachable & (alive_f > 0.0))
+
+        def super_mxu(s, u, carry):
+            def row(r, carry):
+                phi = jnp.concatenate(
+                    [feat_scratch[pl.ds(f * TILE_ROWS + r, 1), :]
+                     for f in range(N_FEAT)], axis=0)          # (N_FEAT,128)
+                blk = coef_scratch[pl.ds(u * (N_Q * SUPER_T),
+                                         n_q * SUPER_T), 0:N_FEAT]
+                prod = jnp.dot(blk, phi,
+                               preferred_element_type=jnp.float32)
+                a = prod[0:SUPER_T]
+                tn = prod[SUPER_T:2 * SUPER_T]
+                un = prod[2 * SUPER_T:3 * SUPER_T]
+                vn = prod[3 * SUPER_T:4 * SUPER_T]
+                f_ = 1.0 / a
+                uu = un * f_
+                vv = vn * f_
+                tt = tn * f_
+                valid = (jnp.abs(a) >= TRI_EPSILON) & (uu >= 0.0) \
+                    & (uu <= 1.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                if back_culling:       # triangle.h:74
+                    valid &= a >= TRI_EPSILON
+                if backface_only:      # triangle.h:61 (dn matmul block)
+                    valid &= prod[4 * SUPER_T:5 * SUPER_T] >= 0.0
+                if no_t_clip:          # triangle.h:92-94
+                    valid &= tt < t_max
+                else:
+                    valid &= (tt > t_min) & (tt < t_max)
+                t3 = jnp.where(valid, tt, BIG)                 # (T, 128)
+                idx_base = s * SEG_T + u * SUPER_T
+                tmin = jnp.min(t3, axis=0, keepdims=True)      # (1, 128)
+                idxc = jnp.where(t3 <= tmin, piota_t + idx_base, IDX_BIG)
+                imin = jnp.min(idxc, axis=0, keepdims=True)
+                wf = jnp.where((piota_t + idx_base) == imin, 1.0, 0.0)
+                best_row = sweep_scratch[pl.ds(r, 1), :]
+                take = tmin < best_row
+                tf = jnp.where(take, 1.0, 0.0)
+                sweep_scratch[pl.ds(r, 1), :] = jnp.where(take, tmin,
+                                                          best_row)
+                tri_base = u * SUPER_T
+
+                def upd(cur):
+                    out = []
+                    for k, c in enumerate(cur):
+                        lane = (T_N + k) if k < 3 else (T_MAT + (k - 3))
+                        val = tri_scratch[pl.ds(tri_base, SUPER_T),
+                                          lane:lane + 1]       # (T, 1)
+                        w = jnp.sum(val * wf, axis=0, keepdims=True)
+                        out.append(w * tf + c * (1.0 - tf))
+                    return tuple(out)
+
+                cur = tuple(sweep_scratch[pl.ds((1 + k) * TILE_ROWS + r,
+                                                1), :]
+                            for k in range(12))
+                new = jax.lax.cond(jnp.any(take), upd, lambda c: c, cur)
+                for k in range(12):
+                    sweep_scratch[pl.ds((1 + k) * TILE_ROWS + r, 1), :] \
+                        = new[k]
+                return carry
+
+            return jax.lax.fori_loop(0, TILE_ROWS, row, carry)
+
+        def seg_body(s, carry):
+            best_t = sweep_scratch[pl.ds(0, TILE_ROWS), :]
+            seg_reach = gate(slab(tri_seg_ref, s, ox, oy, oz, inv_dx,
+                                  inv_dy, inv_dz, best_t, lo_cut))
+
+            def run_seg(carry):
+                dma = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(s * SEG_T, SEG_T), :], tri_scratch,
+                    dma_sem)
+                dmc = pltpu.make_async_copy(
+                    tri_coef_ref.at[pl.ds(s * (N_Q * SEG_T),
+                                          N_Q * SEG_T), :],
+                    coef_scratch, coef_sem)
+                dma.start()
+                dmc.start()
+                dma.wait()
+                dmc.wait()
+
+                def super_body(u, carry):
+                    best_t = sweep_scratch[pl.ds(0, TILE_ROWS), :]
+                    ug = s * supers_per_seg + u
+                    sreach = gate(slab(tri_super_ref, ug, ox, oy, oz,
+                                       inv_dx, inv_dy, inv_dz, best_t,
+                                       lo_cut))
+                    return jax.lax.cond(jnp.any(sreach),
+                                        functools.partial(super_mxu, s, u),
+                                        lambda c: c, carry)
+
+                return jax.lax.fori_loop(0, supers_per_seg, super_body,
+                                         carry)
+
+            return jax.lax.cond(jnp.any(seg_reach), run_seg, lambda c: c,
+                                carry)
+
+        jax.lax.fori_loop(0, n_tri_segs, seg_body, jnp.float32(0.0))
+        best_t = sweep_scratch[pl.ds(0, TILE_ROWS), :]
+        attrs = tuple(sweep_scratch[pl.ds((1 + k) * TILE_ROWS, TILE_ROWS), :]
+                      for k in range(12))
+        return best_t, attrs
+
+    if mxu:
+        tri_sweep = tri_sweep_mxu  # noqa: F811 — static dispatch
 
     def rect_sweep(ox, oy, oz, dx, dy, dz):
         """rectangle.h:22-44 through the reference TransformRay chain
@@ -1075,7 +1278,8 @@ def trace_path_mega_compact(scene: Scene, rays: Rays, key: jax.Array,
     from .integrators import stream_from_key
 
     if tables is None:
-        tables = build_mega_tables(scene)
+        tables = build_mega_tables(
+            scene, mxu=cfg.mega_mxu and scene.n_triangles > MAX_VMEM_PRIMS)
     n = rays.origin.shape[0]
     rows = _ray_rows(n)
     o = jnp.stack([_pad_rays(rays.origin[:, k], rows) for k in range(3)])
@@ -1176,7 +1380,8 @@ def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
     if octants is None:
         octants = cfg.compact_octants
     if tables is None:
-        tables = build_mega_tables(scene)
+        tables = build_mega_tables(
+            scene, mxu=cfg.mega_mxu and scene.n_triangles > MAX_VMEM_PRIMS)
     n = rays.origin.shape[0]
     rows = _ray_rows(n)
     rl = rows * LANES
@@ -1314,6 +1519,11 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     rows = o.shape[1]
     injected = stream_planes is not None
     stream_tri = scene.n_triangles > MAX_VMEM_PRIMS
+    mxu = bool(cfg.mega_mxu) and stream_tri
+    if mxu and tables.tri_coef.shape[0] != N_Q * tables.tri.shape[0]:
+        raise ValueError(
+            "cfg.mega_mxu requires coefficient tables: rebuild with "
+            "build_mega_tables(scene, ..., mxu=True)")
     q = cfg.quirks
     kernel = functools.partial(
         _mega_kernel,
@@ -1335,7 +1545,7 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         lambert_unnorm=q.lambert_unnormalized_dot,
         resume=state is not None, dump_state=dump_state,
         n_steps=n_steps if n_steps else (cfg.max_depth + 1 - step_lo),
-        f2b=cfg.mega_f2b_shells)
+        f2b=0 if mxu else cfg.mega_f2b_shells, mxu=mxu)
 
     grid = (rows // TILE_ROWS,)
     full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
@@ -1345,9 +1555,9 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     # streaming: triangle data AND chunk boxes stay in HBM (chunk boxes are
     # 512 B / 8 prims — 33 MB at the 1M-tri ceiling) and ride per-segment
     # DMAs; only seg/super boxes are VMEM-resident.
-    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri
+    tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_tri
                 else full(tables.tri.shape))
-    tri_box_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri
+    tri_box_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_tri
                     else full(tables.tri_box.shape))
     in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
                 full(tables.sph_super.shape),
@@ -1356,10 +1566,13 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
                 tile3(3), tile3(3)]
     args = [tables.sph, tables.sph_box, tables.sph_super, tables.tri,
             tables.tri_box, tables.tri_super, tables.rect, o, d]
-    # kernel consumes *rest as (tri_seg, [state], [uni], seed)
+    # kernel consumes *rest as (tri_seg, [tri_coef], [state], [uni], seed)
     if stream_tri:
         in_specs.append(full(tables.tri_seg.shape))
         args.append(tables.tri_seg)
+    if mxu:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(tables.tri_coef)
     if state is not None:
         in_specs.append(tile3(4))
         args.append(state)
@@ -1369,10 +1582,18 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     seed = jax.random.randint(key, (1,), 0, 2 ** 30 - 1, dtype=jnp.int32)
     args.append(jnp.concatenate([seed, jnp.full((1,), step_lo, jnp.int32)]))
-    scratch = ([pltpu.VMEM((SEG_T, LANES), jnp.float32),
-                pltpu.VMEM((SEG_T // PRIM_CHUNK, LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
-               if stream_tri else [])
+    if mxu:
+        scratch = [pltpu.VMEM((SEG_T, LANES), jnp.float32),
+                   pltpu.VMEM((N_Q * SEG_T, LANES), jnp.float32),
+                   pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+                   pltpu.VMEM((N_FEAT * TILE_ROWS, LANES), jnp.float32),
+                   pltpu.VMEM((13 * TILE_ROWS, LANES), jnp.float32)]
+    elif stream_tri:
+        scratch = [pltpu.VMEM((SEG_T, LANES), jnp.float32),
+                   pltpu.VMEM((SEG_T // PRIM_CHUNK, LANES), jnp.float32),
+                   pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+    else:
+        scratch = []
 
     n_out = 13 if dump_state else 3
     return pl.pallas_call(
@@ -1401,7 +1622,8 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
     from .integrators import stream_from_key   # local: avoid import cycle
 
     if tables is None:
-        tables = build_mega_tables(scene)
+        tables = build_mega_tables(
+            scene, mxu=cfg.mega_mxu and scene.n_triangles > MAX_VMEM_PRIMS)
     n = rays.origin.shape[0]
     rows = _ray_rows(n)
     o = jnp.stack([_pad_rays(rays.origin[:, k], rows) for k in range(3)])

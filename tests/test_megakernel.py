@@ -268,6 +268,82 @@ def test_mega_streaming_large_mesh():
     np.testing.assert_array_equal(auto, got)
 
 
+def test_mega_streaming_mxu():
+    """cfg.mega_mxu: the streamed triangle sweep runs as per-sublane-row
+    (n_q*SUPER_T, 10) @ (10, 128) MXU matmuls.  a/t/u/v come from matmul-
+    accumulated bilinear forms instead of the VPU's fused chain, so results
+    match the wavefront integrator to f32-rounding tolerance (not
+    bit-exactly) under BOTH quirk profiles — reference quirks additionally
+    exercise the d.n backface block and the no-t-clip window."""
+    from cudaraytracer_tpu.core.rays import make_rays
+    import dataclasses
+
+    n = 72   # 72x72 quads = 10368 tris > MAX_VMEM_PRIMS
+    xs = np.linspace(-5, 5, n + 1)
+    zs = np.linspace(-10, 0, n + 1)
+    X, Z = np.meshgrid(xs, zs)
+    Y = 0.3 * np.sin(X * 1.3) * np.cos(Z * 1.1)
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(0.7, 0.5, 0.3))
+    P = np.stack([X, Y, Z], axis=-1).astype(np.float32)
+    v0 = P[:-1, :-1].reshape(-1, 3)
+    v1 = P[:-1, 1:].reshape(-1, 3)
+    v2 = P[1:, :-1].reshape(-1, 3)
+    v3 = P[1:, 1:].reshape(-1, 3)
+    tris = np.concatenate([np.stack([v0, v1, v3], 1),
+                           np.stack([v0, v3, v2], 1)])
+    nrm = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    nrm[nrm[:, 1] > 0] *= -1.0
+    for t, nn in zip(tris, nrm):
+        b.add_triangle(t[0], t[1], t[2], mat, normal=nn)
+    b.add_sphere((0, 2.0, -5), 0.8, b.materials.metal((0.9, 0.9, 0.9), 0.1))
+    scene = b.build()
+    assert scene.n_triangles > mk.MAX_VMEM_PRIMS
+
+    rng = np.random.default_rng(1)
+    nr = 512
+    o = np.tile(np.array([[0, 4.0, 2.0]], np.float32), (nr, 1))
+    d = np.stack([rng.uniform(-0.6, 0.6, nr), -np.ones(nr),
+                  rng.uniform(-1.6, -0.4, nr)], 1).astype(np.float32)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+    order = morton_order(np.asarray(scene.triangles.v0),
+                         np.asarray(scene.triangles.v1),
+                         np.asarray(scene.triangles.v2))
+    tables = mk.build_mega_tables(scene, tri_order=order, mxu=True)
+    assert tables.tri_coef.shape[0] == mk.N_Q * tables.tri.shape[0]
+    for quirks in (Quirks.fixed(), Quirks.reference()):
+        cfg = _cfg(width=16, height=32, samples=1, max_depth=4,
+                   quirks=quirks, mega_mxu=True)
+        stream = integ.stream_from_key(jax.random.key(5), nr, cfg.max_depth)
+        ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(5),
+                                          cfg, samples=stream))
+        got = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(5),
+                                            cfg, tables=tables,
+                                            samples=stream))
+        assert ref.mean() > 0.01
+        # matmul rounding can flip a grazing winner: allow rare outliers
+        dmax = np.abs(got - ref).max(axis=1)
+        n_bad = int((dmax > 1e-3).sum())
+        assert n_bad <= max(2, nr // 500), (str(quirks), n_bad,
+                                            float(dmax.max()))
+        # phased compaction composes with the MXU sweep (pure lane reorder)
+        cfg_c = dataclasses.replace(cfg, engine="mega", compact_every=2)
+        phased = np.asarray(integ.integrate(scene, rays, jax.random.key(5),
+                                            cfg_c, aux=tables,
+                                            samples=stream))
+        np.testing.assert_array_equal(phased, got)
+    # missing coefficient tables is a loud error, not silent garbage
+    plain = mk.build_mega_tables(scene, tri_order=order)
+    cfg = _cfg(width=16, height=32, samples=1, max_depth=2, mega_mxu=True)
+    try:
+        mk.trace_path_mega(scene, rays, jax.random.key(0), cfg,
+                           tables=plain)
+        assert False, "expected ValueError for coef-less tables"
+    except ValueError as e:
+        assert "mxu=True" in str(e)
+
+
 def test_mega_tables_refit_flow():
     """Rebuilding tables from updated vertices (animation) changes results
     without recompilation — tables are traced operands."""
