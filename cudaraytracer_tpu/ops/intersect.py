@@ -514,7 +514,9 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
     if n_r:
         valid, rt, ru, rv, rp, rn = rect_candidates(rays, scene.rects, t_min, t_max)
         ri = jnp.clip(idx - n_s - n_t, 0, n_r - 1)
-        is_r = hit & (best_idx >= n_s + n_t)
+        # upper bound matters: t_sphere/t_triangle winners (idx >= base)
+        # must not inherit the clipped last rect's u/v/p
+        is_r = hit & (best_idx >= n_s + n_t) & (best_idx < n_s + n_t + n_r)
         rows = jnp.arange(n)
         normal = jnp.where(is_r[..., None], rn[rows, ri], normal)
         u = jnp.where(is_r, ru[rows, ri], u)
@@ -534,6 +536,13 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         normal = jnp.where(is_ts[..., None], tsn[rows, si], normal)
         # reference rec.p stays in object space (hitable.h never maps back)
         p = jnp.where(is_ts[..., None], tsp[rows, si], p)
+        # same defined uv as static spheres (get_sphere_uv on the unit normal;
+        # the reference leaves sphere u,v uninitialized)
+        tsn_w = tsn[rows, si]
+        ts_phi = jnp.arctan2(tsn_w[..., 2], tsn_w[..., 0])
+        ts_theta = jnp.arcsin(jnp.clip(tsn_w[..., 2], -1.0, 1.0))
+        u = jnp.where(is_ts, 1.0 - (ts_phi + jnp.pi) / (2.0 * jnp.pi), u)
+        vv = jnp.where(is_ts, (ts_theta + jnp.pi / 2.0) / jnp.pi, vv)
         mat = jnp.where(is_ts, scene.t_spheres.mat[si], mat)
     if n_tt:
         _, ttt, ttu, ttv, ttp, ttn = t_triangle_candidates(

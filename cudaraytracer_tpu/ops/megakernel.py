@@ -166,7 +166,6 @@ def megakernel_supported(scene: Scene) -> bool:
 def mega_sphere_order(centers) -> np.ndarray:
     """Host-side Morton permutation of sphere centers for build_mega_tables'
     sph_order (spatially compact chunk boxes -> live per-chunk culling)."""
-    from .pallas_intersect import morton_order
     c = np.asarray(centers)
     return morton_order(c, c, c)
 
@@ -933,7 +932,9 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             u4 = uni_ref[pl.ds(step * 4, 4)]
             return u4[0], u4[1], u4[2], u4[3]
         bits = pltpu.prng_random_bits((6,) + shape)
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        # prng_random_bits returns SIGNED int32; >> is an arithmetic shift,
+        # so mask to the low 24 bits AFTER shifting to get u in [0, 1).
+        u = ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (1.0 / 16777216.0)
         r1 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-12)))
         ang1 = (2.0 * np.pi) * u[1]
         g0 = r1 * jnp.cos(ang1)
@@ -1277,6 +1278,11 @@ def trace_path_mega_compact(scene: Scene, rays: Rays, key: jax.Array,
     """
     from .integrators import stream_from_key
 
+    if not 0 < primary_steps <= cfg.max_depth:
+        raise ValueError(
+            f"compact_after/primary_steps must be in [1, max_depth] "
+            f"(= [1, {cfg.max_depth}]); got {primary_steps} — phase B needs "
+            "at least one remaining bounce step")
     if tables is None:
         tables = build_mega_tables(
             scene, mxu=cfg.mega_mxu and scene.n_triangles > MAX_VMEM_PRIMS)

@@ -82,6 +82,10 @@ def make_fit_step(scene_template: Scene, camera: Camera, cfg: RenderConfig,
     n_total = dp * tp
     pixel_index = jnp.asarray(
         pad_to_multiple(np.arange(n_pix, dtype=np.int32), n_total, fill=0))
+    # grad_sync_axes is honored only by the path integrator's bounce scan;
+    # lambert/normal would silently skip the all-reduce entirely, so fall
+    # back to the post-hoc pmean for them.
+    overlap_grads = overlap_grads and cfg.integrator == "path"
     lcfg = (dataclasses.replace(cfg, grad_sync_axes=("dp", "tp"))
             if overlap_grads else cfg)
 

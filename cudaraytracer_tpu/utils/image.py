@@ -63,39 +63,48 @@ def frame_path(frame_index: int, folder: str = "images/moveTest") -> str:
 
 
 def _unfilter(raw: np.ndarray, h: int, bpp: int, stride: int) -> np.ndarray:
-    """Reverse PNG scanline filters 0-4 (incl. Paeth) -> uint8[h, stride]."""
+    """Reverse PNG scanline filters 0-4 (incl. Paeth) -> uint8[h, stride].
+
+    None/Up are whole-row numpy ops; Sub is a modular cumsum over pixel
+    columns (uint8 accumulate wraps — exactly the & 0xFF recurrence); only
+    the genuinely sequential Average/Paeth rows fall back to a tight
+    python-int loop (lists, not per-element numpy indexing — ~10-20x faster
+    per row, and libpng-encoded photos are mostly Sub/Up/Paeth)."""
     out = np.zeros((h, stride), np.uint8)
     raw = raw.reshape(h, stride + 1)
+    zero = np.zeros(stride, np.uint8)
     for y in range(h):
         ftype = int(raw[y, 0])
-        line = raw[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        line = raw[y, 1:]
+        prev = out[y - 1] if y else zero
         if ftype == 0:                       # None
-            cur = line
-        elif ftype == 1:                     # Sub
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif ftype == 2:                     # Up
-            cur = (line + prev) & 0xFF
-        elif ftype == 3:                     # Average
-            cur = line.copy()
+            out[y] = line
+        elif ftype == 1:                     # Sub: cumsum over pixels wraps
+            out[y] = np.cumsum(line.reshape(-1, bpp), axis=0,
+                               dtype=np.uint8).reshape(-1)
+        elif ftype == 2:                     # Up (uint8 add wraps)
+            out[y] = line + prev
+        elif ftype == 3:                     # Average (left-dependent)
+            cur = line.tolist()
+            pv = prev.tolist()
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:                     # Paeth
-            cur = line.copy()
+                cur[x] = (cur[x] + ((a + pv[x]) >> 1)) & 0xFF
+            out[y] = cur
+        elif ftype == 4:                     # Paeth (left-dependent)
+            cur = line.tolist()
+            pv = prev.tolist()
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                c = pv[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
+                cur[x] = (cur[x] + (a if (pa <= pb and pa <= pc)
+                                    else (b if pb <= pc else c))) & 0xFF
+            out[y] = cur
         else:
             raise ValueError(f"unknown PNG filter {ftype} on row {y}")
-        out[y] = cur.astype(np.uint8)
     return out
 
 

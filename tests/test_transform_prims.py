@@ -139,3 +139,33 @@ def test_transformed_render_smoke():
                          integrator="path", engine="mega")
     img_m = np.asarray(render_image(scene, cam, jax.random.key(0), cfg_m))
     np.testing.assert_allclose(img_m, img, atol=1e-6)
+
+
+def test_trs_sphere_uv_not_clobbered_by_rects():
+    """Regression: finalize_hits' rect block lacked an upper index bound, so
+    a winning t_sphere (index >= n_s+n_t+n_r) also matched ``is_r`` and
+    inherited the last rect's u/v (and object-space p) — garbage uv for any
+    textured/emissive TRS sphere in a scene that also contains rects."""
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(1, 1, 1))
+    # rect far off to the side (never hit by the ray below)
+    b.add_rect(mat, position=(50, 0, -3), scale=(9, 9, 1))
+    b.add_sphere((0, 0, -3), 1.0, mat, rotation=(0, 0, 45))
+    scene = b.build()
+    assert scene.n_rects == 1 and scene.n_t_spheres == 1
+
+    hits = isect.intersect_scene(scene, _rays([[0, 0, 0]], [[0, 0, -1.0]]))
+    assert bool(hits.hit[0])
+    np.testing.assert_allclose(hits.t[0], 2.0, rtol=1e-5)
+    np.testing.assert_allclose(hits.normal[0], [0, 0, 1], atol=1e-5)
+    # get_sphere_uv of normal (0,0,1): u = 1 - (pi/2 + pi)/(2pi), v = 1
+    np.testing.assert_allclose(hits.u[0], 0.25, atol=1e-5)
+    np.testing.assert_allclose(hits.v[0], 1.0, atol=1e-5)
+    # static sphere at the same geometry agrees (uv defined identically)
+    b2 = SceneBuilder()
+    mat2 = b2.materials.lambertian(color=(1, 1, 1))
+    b2.add_sphere((0, 0, -3), 1.0, mat2)
+    hits2 = isect.intersect_scene(b2.build(),
+                                  _rays([[0, 0, 0]], [[0, 0, -1.0]]))
+    np.testing.assert_allclose(hits.u[0], hits2.u[0], atol=1e-5)
+    np.testing.assert_allclose(hits.v[0], hits2.v[0], atol=1e-5)
