@@ -484,6 +484,13 @@ def test_mega_compaction_exact():
     got = np.asarray(integ.integrate(scene, rays, jax.random.key(9), cfg_c,
                                      samples=stream))
     np.testing.assert_array_equal(got, ref)
+    # out-of-range split is a clear config error (phase B needs >= 1 step),
+    # not a trace-time assert
+    import pytest
+    with pytest.raises(ValueError, match="compact_after"):
+        mk.trace_path_mega_compact(scene, rays, jax.random.key(9), cfg,
+                                   primary_steps=cfg.max_depth + 1,
+                                   samples=stream)
 
 
 def test_mega_phased_partition_exact():
