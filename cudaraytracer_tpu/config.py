@@ -162,6 +162,12 @@ class RenderConfig:
         if self.engine not in ("wavefront", "mega", "mega_diff"):
             raise ValueError(
                 "engine must be 'wavefront', 'mega', or 'mega_diff'")
+        if self.samples < 1 or self.width < 1 or self.height < 1:
+            raise ValueError(
+                f"width/height/samples must be >= 1; got {self.width}x"
+                f"{self.height} samples={self.samples}")
+        if self.max_depth < 0:
+            raise ValueError(f"max_depth must be >= 0; got {self.max_depth}")
 
     @property
     def aspect(self) -> float:

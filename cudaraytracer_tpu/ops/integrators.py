@@ -253,32 +253,18 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
               samples: Optional[SampleStream] = None) -> Array:
     if cfg.engine in ("mega", "mega_diff"):
         from . import megakernel as _mk   # local: pallas optional
-        if _mk.megakernel_supported(scene):
-            if cfg.engine == "mega_diff" and cfg.integrator == "path":
-                return _mk.trace_path_mega_diff(scene, rays, key, cfg,
-                                                samples=samples)
+        # mega_diff only has a differentiable pairing for the path
+        # integrator; lambert/normal fall through to the (differentiable)
+        # wavefront integrators rather than the forward-only fused kernel.
+        use_mega = _mk.megakernel_supported(scene) and not (
+            cfg.engine == "mega_diff" and cfg.integrator != "path")
+        if use_mega:
             tables = aux if isinstance(aux, _mk.MegaTables) else None
-            compact_every = cfg.compact_every
-            octants = None
-            if (cfg.compact_auto and not compact_every
-                    and not cfg.compact_after
-                    and scene.n_triangles >= _mk.AUTO_COMPACT_TRIS
-                    and cfg.integrator == "path"):
-                # Large HBM-streamed scenes: inter-phase octant compaction is
-                # a measured 1.67x at 124k tris (ROUND2_NOTES); VMEM-resident
-                # scenes skip it (measured loss).
-                compact_every, octants = 2, True
-            if compact_every > 0 and cfg.integrator == "path":
-                return _mk.trace_path_mega_phased(
-                    scene, rays, key, cfg, tables=tables,
-                    compact_every=compact_every, samples=samples,
-                    octants=octants)
-            if cfg.compact_after > 0 and cfg.integrator == "path":
-                return _mk.trace_path_mega_compact(
-                    scene, rays, key, cfg, tables=tables,
-                    primary_steps=cfg.compact_after, samples=samples)
-            return _mk.trace_path_mega(scene, rays, key, cfg,
-                                       tables=tables, samples=samples)
+            if cfg.engine == "mega_diff":
+                return _mk.trace_path_mega_diff(scene, rays, key, cfg,
+                                                samples=samples,
+                                                tables=tables)
+            return _mk.select_mega(scene, rays, key, cfg, tables, samples)
         if isinstance(aux, _mk.MegaTables):   # fall back to wavefront
             aux = None
     if cfg.integrator == "path":

@@ -1458,35 +1458,65 @@ def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
     return rad[:, :n].T
 
 
+def select_mega(scene, rays, key, cfg, tables=None, samples=None) -> Array:
+    """Route a path-integrator mega render to the right fused driver:
+    monolithic, compact_after split, explicit compact_every phasing, or
+    compact_auto (large HBM-streamed scenes get inter-phase octant
+    compaction — a measured 1.67x at 124k tris, ROUND2_NOTES; VMEM-resident
+    scenes skip it, measured loss).  lambert/normal always run monolithic
+    (the compaction drivers resume mid-path state, which only the path
+    integrator carries)."""
+    is_path = cfg.integrator == "path"
+    compact_every = cfg.compact_every
+    octants = None   # None -> trace_path_mega_phased uses cfg.compact_octants
+    if (cfg.compact_auto and not compact_every and not cfg.compact_after
+            and scene.n_triangles >= AUTO_COMPACT_TRIS and is_path):
+        compact_every, octants = 2, True
+    if compact_every > 0 and is_path:
+        return trace_path_mega_phased(scene, rays, key, cfg, tables=tables,
+                                      compact_every=compact_every,
+                                      samples=samples, octants=octants)
+    if cfg.compact_after > 0 and is_path:
+        return trace_path_mega_compact(scene, rays, key, cfg, tables=tables,
+                                       primary_steps=cfg.compact_after,
+                                       samples=samples)
+    return trace_path_mega(scene, rays, key, cfg, tables=tables,
+                           samples=samples)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _mega_diff(scene, rays, stream, cfg):
-    return trace_path_mega(scene, rays, jax.random.key(0), cfg,
-                           samples=stream)
+def _mega_diff(scene, rays, stream, cfg, tables):
+    return select_mega(scene, rays, jax.random.key(0), cfg, tables=tables,
+                       samples=stream)
 
 
-def _mega_diff_fwd(scene, rays, stream, cfg):
-    out = _mega_diff(scene, rays, stream, cfg)
-    return out, (scene, rays, stream)
+def _mega_diff_fwd(scene, rays, stream, cfg, tables):
+    out = _mega_diff(scene, rays, stream, cfg, tables)
+    return out, (scene, rays, stream, tables)
 
 
 def _mega_diff_bwd(cfg, res, g):
     from .integrators import trace_path   # local: avoid import cycle
-    scene, rays, stream = res
+    scene, rays, stream, tables = res
     # backward through the WAVEFRONT integrator consuming the SAME stream:
     # both engines compute the same function of (scene, rays, stream) (tests
-    # pin them to fp tolerance), so its VJP is the exact gradient.
+    # pin them to fp tolerance), so its VJP is the exact gradient.  tables
+    # are a (redundant) packing of scene, so their cotangent is zero — the
+    # full scene gradient already flows through the wavefront VJP.
     _, vjp = jax.vjp(
         lambda sc, ry: trace_path(sc, ry, jax.random.key(0), cfg,
                                   samples=stream), scene, rays)
     g_scene, g_rays = vjp(g)
-    return g_scene, g_rays, jax.tree.map(jnp.zeros_like, stream)
+    return (g_scene, g_rays, jax.tree.map(jnp.zeros_like, stream),
+            jax.tree.map(jnp.zeros_like, tables))
 
 
 _mega_diff.defvjp(_mega_diff_fwd, _mega_diff_bwd)
 
 
 def trace_path_mega_diff(scene: Scene, rays: Rays, key: jax.Array,
-                         cfg: RenderConfig, samples=None) -> Array:
+                         cfg: RenderConfig, samples=None,
+                         tables: Optional[MegaTables] = None) -> Array:
     """DIFFERENTIABLE fused path: megakernel forward + wavefront backward
     sharing one injected sample stream (engine='mega_diff').
 
@@ -1495,11 +1525,16 @@ def trace_path_mega_diff(scene: Scene, rays: Rays, key: jax.Array,
     custom VJP through ops/integrators.trace_path — whose checkpointed
     backward scan (and per-bounce grad_sync_axes collectives, if set) then
     produces exact gradients for scene parameters and rays.  Training steps
-    keep the wavefront backward cost but gain the ~13x fused forward."""
+    keep the wavefront backward cost but gain the ~13x fused forward.
+
+    tables: optional prebuilt MegaTables (e.g. Morton-ordered) for the fused
+    forward — pass tables REBUILT from the current scene each step when
+    fitting geometry (build_mega_tables with static orders; stale tables
+    would freeze the forward's geometry while gradients move the scene)."""
     from .integrators import stream_from_key
     stream = (samples if samples is not None else
               stream_from_key(key, rays.origin.shape[0], cfg.max_depth))
-    return _mega_diff(scene, rays, stream, cfg)
+    return _mega_diff(scene, rays, stream, cfg, tables)
 
 
 def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:

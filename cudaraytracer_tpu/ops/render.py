@@ -145,5 +145,8 @@ def render_pixels(scene: Scene, camera: _cam.Camera, key: jax.Array,
     if cfg.gamma:
         # render.h:124-126 sqrt gamma (radiance clamped at 0 first so the
         # 'normal' debug integrator can't produce NaN; clip follows anyway).
-        out = jnp.sqrt(jnp.maximum(out, 0.0))
+        # Double-where keeps d(sqrt)/du finite at exactly-zero pixels (fully
+        # absorbed paths under Quirks.fixed()) for the differentiable path.
+        pos = out > 0.0
+        out = jnp.where(pos, jnp.sqrt(jnp.where(pos, out, 1.0)), 0.0)
     return jnp.clip(out, 0.0, 1.0)             # render.h:128 clip()

@@ -657,3 +657,66 @@ def test_mega_f2b_shells_exact():
                 scene, rays, jax.random.key(9), cfg, tables=tables,
                 samples=stream))
             np.testing.assert_array_equal(got, ref)
+
+
+def test_mega_diff_nonpath_falls_back_differentiably():
+    """engine='mega_diff' + integrator='lambert' must route to the
+    differentiable wavefront lambert_shade (the fused lambert kernel is
+    forward-only): value matches engine='wavefront' and gradients flow.
+
+    The scene is a triangle whose stored normal points WITH the view rays
+    so the backface-only quirk hits AND LambertShade's t = dot(d, n) > 0
+    (sphere hits give t = 0 — front-facing normals — so their albedo
+    gradient is legitimately zero and would not exercise this)."""
+    import dataclasses
+    from cudaraytracer_tpu.core.camera import make_camera
+
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(0.6, 0.3, 0.2))
+    b.add_triangle((-2, -2, -3), (2, -2, -3), (0, 2.5, -3), mat,
+                   normal=(0, 0, -1))
+    scene = b.build()
+    assert mk.megakernel_supported(scene)   # must exercise the mega branch
+    cam = make_camera((0, 0, 1), (0, 0, -3), (0, 1, 0), 60.0, 2.0, 0.0, 4.0)
+    cfg_w = _cfg(samples=1, max_depth=4, integrator="lambert")
+    cfg_d = dataclasses.replace(cfg_w, engine="mega_diff")
+    rays = cam_mod.generate_pixel_rays(cam, cfg_w.width, cfg_w.height,
+                                       cfg_w.samples, jax.random.key(0))
+    key = jax.random.key(4)
+
+    def loss(albedo, cfg):
+        s = scene._replace(textures=scene.textures._replace(color0=albedo))
+        return jnp.mean(integ.integrate(s, rays, key, cfg))
+
+    v_w, g_w = jax.value_and_grad(loss)(scene.textures.color0, cfg_w)
+    v_d, g_d = jax.value_and_grad(loss)(scene.textures.color0, cfg_d)
+    np.testing.assert_allclose(float(v_d), float(v_w), rtol=1e-6)
+    assert np.abs(np.asarray(g_d)).max() > 0
+    np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_w), rtol=1e-5)
+
+
+def test_mega_diff_honors_prebuilt_tables():
+    """Prebuilt MegaTables passed as aux reach the mega_diff forward (they
+    were silently dropped before); value and gradients are unchanged
+    (tables are just a packing of the same scene)."""
+    scene, cam = presets.three_spheres(aspect=2.0)
+    cfg = _cfg(samples=1, max_depth=4)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, engine="mega_diff")
+    rays = cam_mod.generate_pixel_rays(cam, cfg.width, cfg.height,
+                                       cfg.samples, jax.random.key(0))
+    key = jax.random.key(4)
+    order = mk.mega_sphere_order(scene.spheres.center)
+
+    def loss(centers, aux):
+        s = scene._replace(spheres=scene.spheres._replace(center=centers))
+        t = (mk.build_mega_tables(s, sph_order=order)
+             if aux else None)
+        return jnp.mean(integ.integrate(s, rays, key, cfg, aux=t))
+
+    v0, g0 = jax.value_and_grad(loss)(scene.spheres.center, False)
+    v1, g1 = jax.value_and_grad(loss)(scene.spheres.center, True)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    assert np.abs(np.asarray(g0)).max() > 0
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4,
+                               atol=1e-6)

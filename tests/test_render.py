@@ -79,3 +79,42 @@ def test_png_roundtrip(tmp_path):
 
 def test_frame_path():
     assert img.frame_path(7) == os.path.join("images/moveTest", "picture_7.png")
+
+
+def test_gamma_gradient_finite_at_zero_pixels():
+    """Regression: d(sqrt)/du at u=0 is inf; the gamma pass must be
+    double-where guarded so fully-absorbed (exactly black) pixels give
+    finite gradients through the differentiable render path."""
+    from cudaraytracer_tpu.config import Quirks
+    from cudaraytracer_tpu.core.camera import make_camera
+    from cudaraytracer_tpu.models.scene import SceneBuilder
+    from cudaraytracer_tpu.ops.render import render_pixels
+
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(0.0, 0.0, 0.0))   # absorbs all
+    b.add_sphere((0, 0, -3), 100.0, mat)                   # fills the view
+    scene = b.build()
+    cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 40.0, 1.0, 0.0, 3.0)
+    cfg = RenderConfig(width=8, height=8, samples=1, max_depth=4,
+                       integrator="path", quirks=Quirks.fixed())
+    assert cfg.gamma
+
+    def loss(albedo):
+        s = scene._replace(textures=scene.textures._replace(color0=albedo))
+        return jnp.mean(render_pixels(s, cam, jax.random.key(0), cfg))
+
+    val = float(loss(scene.textures.color0))
+    assert val == 0.0                      # the scenario really is all-black
+    g = np.asarray(jax.grad(loss)(scene.textures.color0))
+    assert np.isfinite(g).all()
+
+
+def test_render_config_validation():
+    import pytest
+    for kw in (dict(samples=0), dict(width=0), dict(height=-1),
+               dict(max_depth=-1)):
+        base = dict(width=8, height=8, samples=1, max_depth=2,
+                    integrator="path")
+        base.update(kw)
+        with pytest.raises(ValueError):
+            RenderConfig(**base)
