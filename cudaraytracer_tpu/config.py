@@ -89,6 +89,9 @@ class RenderConfig:
     t_min: float = 1e-3          # render.h:53 world->hit(r, 0.001, FLT_MAX, ...)
     t_max: float = 3.4028235e38  # FLT_MAX
     gamma: bool = True           # render.h:124-126 sqrt gamma
+    # render.h:128 clip to [0,1].  Internal knob: sample-parallel sharding
+    # disables it per member so partial means stay linear for the pmean.
+    clip: bool = True
     quirks: Quirks = dataclasses.field(default_factory=Quirks.reference)
     # Rays are processed in chunks of this many pixels*samples to bound memory.
     ray_chunk: int = 1 << 18

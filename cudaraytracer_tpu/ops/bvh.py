@@ -106,6 +106,12 @@ def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray,
     """
     prim_min = np.asarray(prim_min, np.float32)
     prim_max = np.asarray(prim_max, np.float32)
+    if leaf_size > 2:
+        # FlatBVH leaves store (and traversal tests) exactly two primitive
+        # slots (prim0/prim1, bvh.h:95-109 parity); a wider leaf would
+        # silently drop its middle primitives.
+        raise ValueError(f"leaf_size must be 1 or 2, got {leaf_size} — "
+                         "FlatBVH leaves hold at most two primitives")
 
     if axis_mode == "random" and backend == "auto":
         backend = "python"

@@ -405,7 +405,11 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                       jnp.maximum(ty0, ty1)),
                           jnp.maximum(tz0, tz1))
-        return (far >= near) & (far >= lo_cut) & (near < best_t)
+        # negated form: a ray with d_axis = 0 (inv = inf) whose origin sits
+        # exactly on a box plane yields 0 * inf = NaN; NaN comparisons are
+        # False, so this shape keeps NaN lanes conservatively REACHABLE
+        # instead of silently culling a chunk that may hold the winner.
+        return ~((far < near) | (far < lo_cut) | (near >= best_t))
 
     def merge(best_t, t3, base):
         """Chunk reduce: (tmin, exclusive winner mask, take mask)."""

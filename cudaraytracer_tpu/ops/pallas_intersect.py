@@ -137,8 +137,11 @@ def _sphere_kernel(sph_ref, box_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
                                       jnp.maximum(ty0, ty1)),
                           jnp.maximum(tz0, tz1))
         # sphere tests DO respect [t_min, t_max] (no negative-t quirk), so the
-        # cull window matches exactly
-        reachable = (far >= near) & (far >= t_min) & (near < best_t)
+        # cull window matches exactly.  Negated form: axis-parallel rays
+        # (inv_d = inf) starting exactly on an unpadded box plane give
+        # 0 * inf = NaN in near/far; NaN comparisons are False, so this shape
+        # makes NaN lanes conservatively REACHABLE instead of silently culled.
+        reachable = ~((far < near) | (far < t_min) | (near >= best_t))
         any_hit = jnp.any(reachable)
 
         def run_chunk(carry):
@@ -439,7 +442,9 @@ def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
         far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                       jnp.maximum(ty0, ty1)),
                           jnp.maximum(tz0, tz1))
-        reachable = (far >= near) & (far >= cull_lo) & (near < best_t)
+        # negated form: NaN (0 * inf on unpadded box planes) lanes stay
+        # conservatively reachable — see the sphere kernel's comment
+        reachable = ~((far < near) | (far < cull_lo) | (near >= best_t))
         any_hit = jnp.any(reachable)
 
         def run_chunk(carry):
@@ -709,13 +714,21 @@ def _sphere_bwd(t_min, t_max, cull, res, g):
 sphere_best_hit.defvjp(_sphere_fwd, _sphere_bwd)
 
 
-def _tri_t_of(origin, direction, v0, v1, v2):
+def _tri_t_of(origin, direction, v0, v1, v2, mask):
+    """Differentiable t for a KNOWN winning triangle per ray.
+
+    mask: lanes that actually hit.  Miss lanes pair with an arbitrary
+    (index-0) triangle whose determinant `a` may be exactly 0 — the
+    double-where keeps 1/a finite there, since inf * (zero cotangent) = NaN
+    would otherwise poison the whole scatter-add (hit lanes have
+    |a| >= TRI_EPSILON by construction)."""
     e1 = v1 - v0
     e2 = v2 - v0
     q = jnp.cross(origin - v0, e1)
     h = jnp.cross(direction, e2)
     a = jnp.sum(e1 * h, axis=-1)
-    return jnp.sum(e2 * q, axis=-1) / a
+    a_safe = jnp.where(mask, a, 1.0)
+    return jnp.where(mask, jnp.sum(e2 * q, axis=-1) / a_safe, 0.0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -738,7 +751,8 @@ def _tri_bwd(t_min, t_max, quirks, res, g):
     safe = jnp.maximum(idx, 0)
 
     def t_fn(o, d, a0, a1, a2):
-        return jnp.sum(_tri_t_of(o, d, a0, a1, a2) * jnp.where(hit, g_t, 0.0))
+        return jnp.sum(_tri_t_of(o, d, a0, a1, a2, hit)
+                       * jnp.where(hit, g_t, 0.0))
 
     g_o, g_d, g0, g1, g2 = jax.grad(t_fn, argnums=(0, 1, 2, 3, 4))(
         origin, direction, v0[safe], v1[safe], v2[safe])

@@ -149,4 +149,6 @@ def render_pixels(scene: Scene, camera: _cam.Camera, key: jax.Array,
         # absorbed paths under Quirks.fixed()) for the differentiable path.
         pos = out > 0.0
         out = jnp.where(pos, jnp.sqrt(jnp.where(pos, out, 1.0)), 0.0)
+    if not cfg.clip:        # sample-sharding: members return linear radiance
+        return out
     return jnp.clip(out, 0.0, 1.0)             # render.h:128 clip()

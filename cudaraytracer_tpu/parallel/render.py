@@ -25,6 +25,17 @@ from .mesh import pad_to_multiple
 Array = jnp.ndarray
 
 
+def _pad_rows_traced(x: Array, mult: int) -> Array:
+    """pad_to_multiple's replicate-row-0 padding in traceable jnp ops
+    (np.asarray on a tracer raises under jit; shapes are static anyway)."""
+    n = x.shape[0]
+    rem = (-n) % mult
+    if rem == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.broadcast_to(x[:1], (rem,) + x.shape[1:])])
+
+
 def shard_scene(scene: Scene, tp: int):
     """Pad sphere/triangle tables to a 'tp' multiple.  Returns the padded
     scene + true global counts (padding rows are masked by global index)."""
@@ -34,12 +45,20 @@ def shard_scene(scene: Scene, tp: int):
     sph = scene.spheres
     tri = scene.triangles
     if n_s:
-        sph = Spheres(*(jnp.asarray(pad_to_multiple(np.asarray(x), tp))
-                        for x in sph))
+        sph = Spheres(*(_pad_rows_traced(x, tp) for x in sph))
     if n_t:
-        tri = Triangles(*(jnp.asarray(pad_to_multiple(np.asarray(x), tp))
-                          for x in tri))
+        tri = Triangles(*(_pad_rows_traced(x, tp) for x in tri))
     return scene._replace(spheres=sph, triangles=tri), n_s, n_t
+
+
+def _strip_big_tables(padded_scene: Scene) -> Scene:
+    """The replicated 'rest of the scene' operand must not carry a full copy
+    of the (tp-sharded) sphere/triangle tables to every device — at the
+    1M-triangle scale that replication alone defeats the HBM savings tp
+    sharding exists for.  local() re-installs the real shards."""
+    return padded_scene._replace(
+        spheres=Spheres(*(x[:0] for x in padded_scene.spheres)),
+        triangles=Triangles(*(x[:0] for x in padded_scene.triangles)))
 
 
 def render_image_sharded(scene: Scene, camera: Camera, key: jax.Array,
@@ -71,7 +90,8 @@ def render_image_sharded(scene: Scene, camera: Camera, key: jax.Array,
         return render_pixels(scene_local, camera, lkey, cfg, pixel_slice,
                              intersect_fn if tp > 1 else None, None)
 
-    scene_spec = jax.tree.map(lambda _: P(), padded_scene)
+    rest = _strip_big_tables(padded_scene)
+    scene_spec = jax.tree.map(lambda _: P(), rest)
     sph_spec = jax.tree.map(lambda _: P("tp"), padded_scene.spheres)
     tri_spec = jax.tree.map(lambda _: P("tp"), padded_scene.triangles)
 
@@ -80,8 +100,7 @@ def render_image_sharded(scene: Scene, camera: Camera, key: jax.Array,
         in_specs=(P("dp"), sph_spec, tri_spec, scene_spec),
         out_specs=P("dp"),
         check_vma=False)
-    out = fn(pixel_index, padded_scene.spheres, padded_scene.triangles,
-             padded_scene)
+    out = fn(pixel_index, padded_scene.spheres, padded_scene.triangles, rest)
     return out[:n_pix].reshape(cfg.height, cfg.width, 3)
 
 
@@ -98,7 +117,10 @@ def render_image_sample_sharded(scene: Scene, camera: Camera, key: jax.Array,
     import dataclasses
     dp = mesh.shape["dp"]
     tp = mesh.shape["tp"]
-    cfg_lin = dataclasses.replace(cfg, gamma=False)
+    # members must return UNCLIPPED linear radiance: clip-then-average loses
+    # energy wherever a member's partial mean exceeds 1 (bright emitters);
+    # gamma AND clip are applied once, after the pmean.
+    cfg_lin = dataclasses.replace(cfg, gamma=False, clip=False)
     padded_scene, n_s_g, n_t_g = shard_scene(scene, tp)
     quirks = cfg.quirks
 
@@ -119,13 +141,14 @@ def render_image_sample_sharded(scene: Scene, camera: Camera, key: jax.Array,
                              intersect_fn if tp > 1 else None, None)
         return jax.lax.pmean(cols, "dp")
 
+    rest = _strip_big_tables(padded_scene)
     sph_spec = jax.tree.map(lambda _: P("tp"), padded_scene.spheres)
     tri_spec = jax.tree.map(lambda _: P("tp"), padded_scene.triangles)
-    scene_spec = jax.tree.map(lambda _: P(), padded_scene)
+    scene_spec = jax.tree.map(lambda _: P(), rest)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(sph_spec, tri_spec, scene_spec),
                    out_specs=P(), check_vma=False)
-    out = fn(padded_scene.spheres, padded_scene.triangles, padded_scene)
+    out = fn(padded_scene.spheres, padded_scene.triangles, rest)
     if cfg.gamma:
         out = jnp.sqrt(jnp.maximum(out, 0.0))
     out = jnp.clip(out, 0.0, 1.0)

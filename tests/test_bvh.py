@@ -174,3 +174,14 @@ def test_single_triangle_bvh():
                                  1e-3, 3.4e38, Quirks.reference())
     assert int(bp[0]) == 0
     np.testing.assert_allclose(bt[0], 3.0, rtol=1e-5)
+
+
+def test_build_bvh_rejects_wide_leaves():
+    """FlatBVH leaves hold at most 2 primitives; wider must be a loud error
+    (middle primitives would silently vanish from traversal)."""
+    import pytest
+    rng = np.random.default_rng(0)
+    lo = rng.uniform(-1, 0, (16, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.1, 0.5, (16, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="leaf_size"):
+        bvhmod.build_bvh(lo, hi, leaf_size=4)

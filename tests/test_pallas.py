@@ -230,3 +230,30 @@ def test_sphere_bwd_second_root_gradient():
         cm = center.at[0, k].add(-eps)
         fd = (t_of(cp) - t_of(cm)) / (2 * eps)
         np.testing.assert_allclose(g[0, k], fd, rtol=5e-2, atol=1e-4)
+
+
+def test_triangle_bwd_no_nan_from_miss_rays():
+    """Regression: a ray that misses everything pairs with triangle 0 in the
+    backward (safe index); if it is parallel to that triangle the unguarded
+    1/a produced NaN that poisoned ALL gradients via the scatter-add."""
+    from cudaraytracer_tpu.ops.pallas_intersect import triangle_best_hit
+    from cudaraytracer_tpu.config import Quirks
+
+    v0 = jnp.asarray([[-1.0, 0.0, -3.0], [2.0, 0.0, -5.0]])
+    v1 = jnp.asarray([[1.0, 0.0, -3.0], [3.0, 0.0, -5.0]])
+    v2 = jnp.asarray([[0.0, 1.5, -3.0], [2.5, 1.5, -5.0]])
+    nrm = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    # ray 0 hits triangle 0; ray 1 runs parallel to both planes (a == 0)
+    o = jnp.asarray([[0.0, 0.5, 0.0], [10.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+
+    def loss(vs):
+        a0, a1, a2 = vs
+        t, idx = triangle_best_hit(o, d, a0, a1, a2, nrm, 1e-3, 1e9,
+                                   Quirks.fixed())
+        return jnp.sum(jnp.where(idx >= 0, t, 0.0))
+
+    g0, g1, g2 = jax.grad(loss)((v0, v1, v2))
+    for g in (g0, g1, g2):
+        assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g0)).max() > 0   # hit ray's grads still flow
