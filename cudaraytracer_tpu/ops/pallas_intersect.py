@@ -82,6 +82,71 @@ def _merge_chunk(best_t, best_i, t, base, prim_iota):
     return jnp.where(take, tmin, best_t), jnp.where(take, imin, best_i)
 
 
+def _sphere_chunk_t(sph_ref, base, ox, oy, oz, dx, dy, dz, a, inv_a,
+                    t_min, t_max):
+    """One PRIM_CHUNK of sphere quadratics -> (P, R, L) candidate t (BIG on
+    miss): nearest in-range root first (sphere.h:31-49).  Shared by the
+    culled and plain kernels so the twins cannot diverge."""
+    cx = sph_ref[0, pl.ds(base, PRIM_CHUNK), :][:, :, None]   # (P, 1, 1)
+    cy = sph_ref[1, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+    cz = sph_ref[2, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+    r2 = sph_ref[3, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+    ocx = ox - cx                                             # (P, R, L)
+    ocy = oy - cy
+    ocz = oz - cz
+    b = ocx * dx + ocy * dy + ocz * dz
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+    disc = b * b - a * c
+    hit = disc > 0.0
+    sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
+    t0 = (-b - sq) * inv_a
+    t1 = (-b + sq) * inv_a
+    ok0 = hit & (t0 < t_max) & (t0 > t_min)
+    ok1 = hit & (t1 < t_max) & (t1 > t_min)
+    return jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
+
+
+def _tri_chunk_t(tri_ref, base, ox, oy, oz, dx, dy, dz, *, t_min, t_max,
+                 backface_only, no_t_clip, back_culling):
+    """One PRIM_CHUNK of Moller-Trumbore tests incl. every quirk gate ->
+    (P, R, L) candidate t (BIG on miss).  Shared by the plain and culled
+    kernels so a quirk-semantics change cannot silently diverge between
+    them (their 'bit-identical' contract)."""
+    def comp(k):
+        return tri_ref[k, pl.ds(base, PRIM_CHUNK), :][:, :, None]  # (P,1,1)
+
+    v0x, v0y, v0z = comp(0), comp(1), comp(2)
+    e1x, e1y, e1z = comp(3), comp(4), comp(5)
+    e2x, e2y, e2z = comp(6), comp(7), comp(8)
+    # h = d x e2 -> (P, R, L)
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / a
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
+        & (v >= 0.0) & (u + v <= 1.0)
+    if back_culling:    # triangle.h:74 (quirk-gated; scenes pass false)
+        valid &= a >= TRI_EPSILON
+    if backface_only:   # triangle.h:61
+        nx, ny, nz = comp(9), comp(10), comp(11)
+        valid &= (dx * nx + dy * ny + dz * nz) >= 0.0
+    if no_t_clip:       # triangle.h:92-94 + hitable_list.h:84
+        valid &= t < t_max
+    else:
+        valid &= (t > t_min) & (t < t_max)
+    return jnp.where(valid, t, BIG)
+
+
 # ---------------------------------------------------------------------------
 # Spheres
 # ---------------------------------------------------------------------------
@@ -146,23 +211,8 @@ def _sphere_kernel(sph_ref, box_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
 
         def run_chunk(carry):
             best_t, best_i = carry
-            cx = sph_ref[0, pl.ds(base, PRIM_CHUNK), :][:, :, None]   # (P,1,1)
-            cy = sph_ref[1, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-            cz = sph_ref[2, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-            r2 = sph_ref[3, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-            ocx = ox - cx                                             # (P,R,L)
-            ocy = oy - cy
-            ocz = oz - cz
-            b = ocx * dx + ocy * dy + ocz * dz
-            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-            disc = b * b - a * c
-            hit = disc > 0.0
-            sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
-            t0 = (-b - sq) * inv_a
-            t1 = (-b + sq) * inv_a
-            ok0 = hit & (t0 < t_max) & (t0 > t_min)
-            ok1 = hit & (t1 < t_max) & (t1 > t_min)
-            t = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
+            t = _sphere_chunk_t(sph_ref, base, ox, oy, oz, dx, dy, dz,
+                                a, inv_a, t_min, t_max)
             return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
 
         return jax.lax.cond(any_hit, run_chunk, lambda cr: cr,
@@ -203,23 +253,8 @@ def _sphere_kernel_plain(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     def body(j, carry):
         best_t, best_i = carry
         base = j * PRIM_CHUNK
-        cx = sph_ref[0, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-        cy = sph_ref[1, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-        cz = sph_ref[2, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-        r2 = sph_ref[3, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-        ocx = ox - cx
-        ocy = oy - cy
-        ocz = oz - cz
-        b = ocx * dx + ocy * dy + ocz * dz
-        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        disc = b * b - a * c
-        hit = disc > 0.0
-        sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
-        t0 = (-b - sq) * inv_a
-        t1 = (-b + sq) * inv_a
-        ok0 = hit & (t0 < t_max) & (t0 > t_min)
-        ok1 = hit & (t1 < t_max) & (t1 > t_min)
-        t = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
+        t = _sphere_chunk_t(sph_ref, base, ox, oy, oz, dx, dy, dz,
+                            a, inv_a, t_min, t_max)
         return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
 
     best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
@@ -337,42 +372,10 @@ def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
     def body(j, carry):
         best_t, best_i = carry
         base = j * PRIM_CHUNK
-
-        def comp(k):
-            return tri_ref[k, pl.ds(base, PRIM_CHUNK), :][:, :, None]  # (P,1,1)
-
-        v0x, v0y, v0z = comp(0), comp(1), comp(2)
-        e1x, e1y, e1z = comp(3), comp(4), comp(5)
-        e2x, e2y, e2z = comp(6), comp(7), comp(8)
-
-        # h = d x e2 -> (P,R,L)
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        f = 1.0 / a
-        sx = ox - v0x
-        sy = oy - v0y
-        sz = oz - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (dx * qx + dy * qy + dz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-
-        valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
-            & (v >= 0.0) & (u + v <= 1.0)
-        if back_culling:    # triangle.h:74 (quirk-gated; scenes pass false)
-            valid &= a >= TRI_EPSILON
-        if backface_only:   # triangle.h:61
-            nx, ny, nz = comp(9), comp(10), comp(11)
-            valid &= (dx * nx + dy * ny + dz * nz) >= 0.0
-        if no_t_clip:       # triangle.h:92-94 + hitable_list.h:84
-            valid &= t < t_max
-        else:
-            valid &= (t > t_min) & (t < t_max)
-        t = jnp.where(valid, t, BIG)
+        t = _tri_chunk_t(tri_ref, base, ox, oy, oz, dx, dy, dz,
+                         t_min=t_min, t_max=t_max,
+                         backface_only=backface_only, no_t_clip=no_t_clip,
+                         back_culling=back_culling)
         return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
 
     best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
@@ -449,39 +452,10 @@ def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
 
         def run_chunk(carry):
             best_t, best_i = carry
-
-            def comp(k):
-                return tri_ref[k, pl.ds(base, PRIM_CHUNK), :][:, :, None]
-
-            v0x, v0y, v0z = comp(0), comp(1), comp(2)
-            e1x, e1y, e1z = comp(3), comp(4), comp(5)
-            e2x, e2y, e2z = comp(6), comp(7), comp(8)
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a
-            sx = ox - v0x
-            sy = oy - v0y
-            sz = oz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
-                & (v >= 0.0) & (u + v <= 1.0)
-            if back_culling:   # triangle.h:74
-                valid &= a >= TRI_EPSILON
-            if backface_only:
-                nx, ny, nz = comp(9), comp(10), comp(11)
-                valid &= (dx * nx + dy * ny + dz * nz) >= 0.0
-            if no_t_clip:
-                valid &= t < t_max
-            else:
-                valid &= (t > t_min) & (t < t_max)
-            t = jnp.where(valid, t, BIG)
+            t = _tri_chunk_t(tri_ref, base, ox, oy, oz, dx, dy, dz,
+                             t_min=t_min, t_max=t_max,
+                             backface_only=backface_only,
+                             no_t_clip=no_t_clip, back_culling=back_culling)
             return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
 
         return jax.lax.cond(any_hit, run_chunk, lambda c: c,
