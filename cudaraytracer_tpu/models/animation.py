@@ -60,13 +60,39 @@ def evaluate(track: KeyframeTrack, frame, slerp: bool = False) -> TRS:
     denom = jnp.where(f1 > f0, f1 - f0, 1.0)
     t = jnp.clip((frame - f0) / denom, 0.0, 1.0)   # animationData.h:79
 
-    interp = v3.slerp if slerp else (lambda a, b, tt: v3.lerp(tt, a, b))
     if slerp:
-        pos = v3.slerp(track.position[i0], track.position[i1], t)
-        rot = v3.slerp(track.rotation[i0], track.rotation[i1], t)
-        scl = v3.slerp(track.scale[i0], track.scale[i1], t)
+        pos = _slerp_guarded(track.position[i0], track.position[i1], t)
+        rot = _slerp_guarded(track.rotation[i0], track.rotation[i1], t)
+        scl = _slerp_guarded(track.scale[i0], track.scale[i1], t)
     else:
         pos = v3.lerp(t, track.position[i0], track.position[i1])
         rot = v3.lerp(t, track.rotation[i0], track.rotation[i1])
         scl = v3.lerp(t, track.scale[i0], track.scale[i1])
     return TRS(pos, rot, scl)
+
+
+def _slerp_guarded(a: Array, b: Array, t) -> Array:
+    """v3.slerp (vec3.h:219-232) wherever it is defined, falling back to
+    lerp where it is degenerate: identical keys (sin theta = 0 — every held
+    pose) or a (near-)zero key like the default (0,0,0) rotation.  The raw
+    reference formula divides by both, which would NaN the whole track;
+    double-where keeps values AND gradients finite."""
+    t = jnp.asarray(t, jnp.float32)
+    sa = jnp.sum(a * a, axis=-1)
+    sb = jnp.sum(b * b, axis=-1)
+    ok_len = (sa > 1e-16) & (sb > 1e-16)
+    # sqrt input also double-where'd: d(sqrt)/dx at 0 is inf, and inf times
+    # the rejected branch's zero cotangent is NaN
+    la = jnp.sqrt(jnp.where(ok_len, sa, 1.0))
+    lb = jnp.sqrt(jnp.where(ok_len, sb, 1.0))
+    na = a / la[..., None]
+    nb = b / lb[..., None]
+    theta = jnp.arccos(jnp.clip(jnp.sum(na * nb, axis=-1), -1.0, 1.0))
+    sin_theta = jnp.sin(theta)
+    ok = ok_len & (sin_theta > 1e-6)
+    safe_sin = jnp.where(ok, sin_theta, 1.0)
+    direction = (jnp.sin((1.0 - t) * theta)[..., None] * na
+                 + jnp.sin(t * theta)[..., None] * nb) / safe_sin[..., None]
+    mag = (lb - la) * t + la
+    return jnp.where(ok[..., None], mag[..., None] * direction,
+                     v3.lerp(t, a, b))

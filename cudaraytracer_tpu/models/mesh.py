@@ -62,7 +62,12 @@ def skin_points(points: Array, weights: Array, bone_mats: Array) -> Array:
     blended = (weights @ bone_mats.reshape(b, 16)).reshape(p, 4, 4)
     ph = jnp.concatenate([points, jnp.ones((p, 1), points.dtype)], axis=-1)
     out = jnp.einsum("pij,pj->pi", blended, ph)
-    return out[:, :3] / out[:, 3:4]           # MultNormalize w-divide
+    # MultNormalize w-divide, double-where guarded: a vertex no cluster
+    # claims (unskinned mesh, or sparse weight tables) blends to the ZERO
+    # matrix — 0/0 would silently NaN the whole mesh; keep it at bind pose.
+    w = out[:, 3:4]
+    ok = jnp.abs(w) > 1e-12
+    return jnp.where(ok, out[:, :3] / jnp.where(ok, w, 1.0), points)
 
 
 def skin_frame(mesh: SkinnedMeshArrays, frame: Array) -> Tuple[Array, Array, Array]:
@@ -81,16 +86,28 @@ def skin_frame(mesh: SkinnedMeshArrays, frame: Array) -> Tuple[Array, Array, Arr
     return v0, v1, v2
 
 
-def recompute_face_normals(v0: Array, v1: Array, v2: Array) -> Array:
+def recompute_face_normals(v0: Array, v1: Array, v2: Array,
+                           align_to: Array | None = None) -> Array:
     """Fresh normals from current winding (the Quirks.fixed_face_normals=False
-    path; the reference keeps bind-pose normals, createScene.h:99-109)."""
+    path; the reference keeps bind-pose normals, createScene.h:99-109).
+
+    align_to: optional per-face reference normals (e.g. the loaded bind-pose
+    normals) to SIGN-align against.  The skinned triangle gather reverses the
+    face winding (update_pose parity), so the raw cross product is the
+    NEGATION of the FBX outward normal — without alignment the 'fixed'
+    profile would flip shading mesh-wide."""
     n = jnp.cross(v1 - v0, v2 - v0)
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    if align_to is not None:
+        s = jnp.sign(jnp.sum(n * align_to, axis=-1, keepdims=True))
+        n = n * jnp.where(s == 0.0, 1.0, s)
+    return n
 
 
 def scene_with_frame(scene: Scene, mesh: SkinnedMeshArrays, frame: Array,
                      fixed_normals: bool = True) -> Scene:
     """Scene for a given animation frame (functional update of triangles)."""
     v0, v1, v2 = skin_frame(mesh, frame)
-    normal = None if fixed_normals else recompute_face_normals(v0, v1, v2)
+    normal = None if fixed_normals else recompute_face_normals(
+        v0, v1, v2, align_to=mesh.normals)
     return scene.with_triangle_vertices(v0, v1, v2, normal)

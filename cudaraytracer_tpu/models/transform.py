@@ -77,6 +77,16 @@ def bake_points(t_position, t_rotation, t_scale, points: np.ndarray) -> np.ndarr
     Used by scene builders to bake mesh/sphere transforms so the hot path stays
     transform-free.  The reference's ray rotation maps world->object with
     R(rotation); the forward point map is its transpose.
+
+    NOTE — deliberately STANDARD TRS semantics (x = R^T @ (s*y) + pos:
+    translation in WORLD space, geometry truly scaled), which is what a
+    builder user expects.  The runtime-TRS primitives instead reproduce the
+    reference TransformRay chain verbatim (o' = R@o - pos: translation in
+    the ROTATED frame, and ScaleRay never scales the origin — transform.h
+    quirks, oracle-pinned).  The two agree for rotation-only or
+    translation-only transforms; a combined rotation+translation (or any
+    scale) places the object differently by construction.  Pick baked for
+    intuitive placement, runtime-TRS for reference parity.
     """
     pts = np.asarray(points, np.float32) * np.asarray(t_scale, np.float32)
     R = np.asarray(v3.rotation_matrix_euler_deg(jnp.asarray(t_rotation, jnp.float32)))

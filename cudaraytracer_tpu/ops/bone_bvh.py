@@ -96,7 +96,12 @@ def concatenate_bvhs(trees: List[FlatBVH], prim_maps: List[np.ndarray]
     single traversal walks every tree in sequence.  prim_maps[i] maps tree
     i's local primitive ids to global triangle ids.
     """
-    assert trees, "empty forest"
+    if not trees:
+        raise ValueError(
+            "empty bone forest: no triangle had all three vertices inside "
+            "any single bone's weight set (densely blended or unskinned "
+            "mesh) and orphans were dropped — use the plain BVH/megakernel "
+            "pipeline for this mesh, or orphans='keep'")
     offset = 0
     bb_min, bb_max, is_leaf, skip, p0, p1, cl, cr = [], [], [], [], [], [], [], []
     level_groups = {}

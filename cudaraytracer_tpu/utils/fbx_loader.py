@@ -70,9 +70,11 @@ def euler_matrix(rot_deg, order: int = 0) -> np.ndarray:
     """
     rx, ry, rz = (float(r) for r in rot_deg)
     mx, my, mz = _rot_axis(rx, 0), _rot_axis(ry, 1), _rot_axis(rz, 2)
-    seqs = {  # application order (first..last)
-        0: (mx, my, mz), 1: (mx, mz, my), 2: (my, mx, mz),
-        3: (my, mz, mx), 4: (mz, mx, my), 5: (mz, my, mx),
+    seqs = {  # application order (first..last), EFbxRotationOrder values:
+        # 0 eEulerXYZ, 1 eEulerXZY, 2 eEulerYZX, 3 eEulerYXZ,
+        # 4 eEulerZXY, 5 eEulerZYX
+        0: (mx, my, mz), 1: (mx, mz, my), 2: (my, mz, mx),
+        3: (my, mx, mz), 4: (mz, mx, my), 5: (mz, my, mx),
     }
     a, b, c = seqs.get(order, seqs[0])
     return c @ b @ a
@@ -169,6 +171,7 @@ class FbxScene:
                     m.parent = self.models.get(parent)
                     break
 
+        self._gt_cache: Dict[Tuple[int, Optional[int]], np.ndarray] = {}
         self._attach_animation()
 
     # -- animation wiring ------------------------------------------------
@@ -179,6 +182,22 @@ class FbxScene:
                        if n.name == "AnimationCurveNode"}
         curves = {uid: n for uid, n in self.by_id.items()
                   if n.name == "AnimationCurve"}
+        # Restrict to the FIRST stack's first layer (file order == take 0):
+        # multi-take files connect every take's curve nodes to the same model
+        # properties, and an unfiltered last-write-wins can even mix channels
+        # from different takes.
+        stacks = [uid for uid, n in self.by_id.items()
+                  if n.name == "AnimationStack"]
+        layers = {uid for uid, n in self.by_id.items()
+                  if n.name == "AnimationLayer"}
+        allowed_cn: Optional[set] = None
+        if len(stacks) > 1 or (stacks and len(layers) > 1):
+            first_layers = [child for child, parent in self.oo
+                            if parent == stacks[0] and child in layers]
+            if first_layers:
+                lay0 = first_layers[0]
+                allowed_cn = {child for child, parent in self.oo
+                              if parent == lay0 and child in curve_nodes}
         # channel curves attached to curve nodes
         node_channels: Dict[int, Dict[str, Tuple[np.ndarray, np.ndarray]]] = {}
         for src, dst, prop in self.op:
@@ -195,6 +214,8 @@ class FbxScene:
         # curve nodes attached to model properties
         for src, dst, prop in self.op:
             if src in curve_nodes and dst in self.models:
+                if allowed_cn is not None and src not in allowed_cn:
+                    continue
                 chans = node_channels.get(src)
                 if chans:
                     self.models[dst].curves[prop] = chans
@@ -260,11 +281,21 @@ class FbxScene:
 
     def global_transform(self, model: Optional[FbxModel],
                          ktime: Optional[int]) -> np.ndarray:
-        """EvaluateGlobalTransform analog (scene root == identity)."""
+        """EvaluateGlobalTransform analog (scene root == identity).
+
+        Memoized per (uid, ktime): the per-frame extraction loop walks the
+        root-to-bone chain for EVERY bone at EVERY frame, so without the
+        cache a deep rig re-evaluates each ancestor's 10-matmul local chain
+        O(frames x bones x depth) times."""
         if model is None:
             return np.eye(4)
-        return self.global_transform(model.parent, ktime) @ \
-            self.local_transform(model, ktime)
+        key = (model.uid, ktime)
+        cached = self._gt_cache.get(key)
+        if cached is None:
+            cached = self.global_transform(model.parent, ktime) @ \
+                self.local_transform(model, ktime)
+            self._gt_cache[key] = cached
+        return cached
 
 
 # ---------------------------------------------------------------------------
@@ -311,19 +342,25 @@ def _triangulate(pvi: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     faces = []
     first_pv = []
     start = 0
+    poly_id = []
+    n_poly = 0
     for i, v in enumerate(pvi):
         if v < 0:
             poly = list(pvi[start:i]) + [~int(v)]
             for k in range(1, len(poly) - 1):
                 faces.append((poly[0], poly[k], poly[k + 1]))
                 first_pv.append(start)
+                poly_id.append(n_poly)
+            n_poly += 1
             start = i + 1
     return (np.asarray(faces, np.int32),
-            np.asarray(first_pv, np.int32))
+            np.asarray(first_pv, np.int32),
+            np.asarray(poly_id, np.int32))
 
 
 def _face_normals(geom: FbxNode, first_pv: np.ndarray, faces: np.ndarray,
-                  points: np.ndarray) -> np.ndarray:
+                  points: np.ndarray,
+                  poly_id: Optional[np.ndarray] = None) -> np.ndarray:
     """Per-triangle normal a la GetPolygonVertexNormal(polyIndex, 0)
     (FbxLoader.h:58-61): the loaded normal at the polygon's first vertex."""
     ln = geom.find("LayerElementNormal")
@@ -341,8 +378,11 @@ def _face_normals(geom: FbxNode, first_pv: np.ndarray, faces: np.ndarray,
         sel = first_pv
     elif mapping == "ByControlPoint":
         sel = faces[:, 0]
-    else:  # ByPolygon
-        sel = np.arange(len(faces))
+    else:  # ByPolygon: one normal per SOURCE polygon, not per triangle —
+        # fan-triangulated quads/n-gons map every triangle back to its
+        # polygon's row (arange(len(faces)) would read past the table)
+        sel = (poly_id if poly_id is not None
+               else np.arange(len(faces)))
     if ref == "IndexToDirect" and nidx_node is not None:
         nidx = np.asarray(nidx_node.props[0], np.int64)
         sel = nidx[sel]
@@ -373,8 +413,8 @@ def load_skinned_mesh(path: str, fps: int = 60,
                       "only (reference behavior, FbxLoader.h:189-192)")
     points = np.asarray(geom.find("Vertices").props[0], np.float64).reshape(-1, 3)
     pvi = np.asarray(geom.find("PolygonVertexIndex").props[0], np.int64)
-    faces, first_pv = _triangulate(pvi)
-    normals = _face_normals(geom, first_pv, faces, points)
+    faces, first_pv, poly_id = _triangulate(pvi)
+    normals = _face_normals(geom, first_pv, faces, points, poly_id)
 
     # --- skin clusters (GetBoneData, :67-103) ---
     parent_map: Dict[int, List[int]] = {}
@@ -435,7 +475,9 @@ def load_skinned_mesh(path: str, fps: int = 60,
     if max_frames is not None:
         frame_count = min(frame_count, max_frames)
 
-    vertex_transforms = np.zeros((frame_count, max(n_bones, 1), 4, 4), np.float64)
+    # identity (not zeros): a no-cluster mesh must skin to its bind pose
+    vertex_transforms = np.tile(np.eye(4),
+                                (frame_count, max(n_bones, 1), 1, 1))
     bone_now_t = np.zeros((frame_count, max(n_bones, 1), 3), np.float64)
     bone_now_r = np.zeros((frame_count, max(n_bones, 1), 3), np.float64)
 

@@ -155,3 +155,17 @@ def test_keyframe_track():
     # batched evaluation
     tb = evaluate(track, jnp.asarray([0.0, 15.0]))
     np.testing.assert_allclose(tb.position[1], [10, 5, 0], atol=1e-4)
+
+
+def test_empty_forest_is_loud():
+    """No bone claims any triangle + orphans='drop' must raise a clear
+    ValueError, not a bare assert/obscure concatenate failure."""
+    import pytest
+    from cudaraytracer_tpu.ops.bone_bvh import build_bone_forest
+    v0 = np.asarray([[0, 0, 0], [1, 0, 0]], np.float32)
+    v1 = np.asarray([[1, 0, 0], [2, 0, 0]], np.float32)
+    v2 = np.asarray([[0, 1, 0], [1, 1, 0]], np.float32)
+    weights = np.zeros((6, 2), np.float32)     # nobody weighted to anything
+    faces = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+    with pytest.raises(ValueError, match="bone forest"):
+        build_bone_forest(v0, v1, v2, weights, faces, orphans="drop")

@@ -111,3 +111,28 @@ def test_background_sky():
     for i in range(2):
         np.testing.assert_allclose(got[i], oracle.background_sky(np.asarray(d[i])),
                                    rtol=1e-5)
+
+
+def test_keyframe_slerp_guarded():
+    """Regression: slerp between identical keys (held pose) or with a zero
+    key (default rotation) used to produce NaN; it must fall back to lerp
+    with finite values and gradients."""
+    import jax
+    from cudaraytracer_tpu.models.animation import evaluate, make_track
+    track = make_track([
+        (0, (1, 0, 0), (0, 0, 0), (1, 1, 1)),      # zero rotation key
+        (10, (1, 0, 0), (0, 0, 0), (1, 1, 1)),     # identical -> held pose
+        (20, (0, 2, 0), (90, 0, 0), (2, 2, 2)),
+    ])
+    for f in (0.0, 5.0, 15.0, 20.0):
+        trs = evaluate(track, f, slerp=True)
+        for arr in trs:
+            assert np.isfinite(np.asarray(arr)).all(), f
+
+    def loss(pos):
+        t2 = track._replace(position=pos)
+        trs = evaluate(t2, 15.0, slerp=True)
+        return jnp.sum(trs.position)
+
+    g = np.asarray(jax.grad(loss)(track.position))
+    assert np.isfinite(g).all()

@@ -257,3 +257,68 @@ def test_ascii_fbx_roundtrip_real_geometry(tmp_path):
         np.asarray(g2.find("Vertices").props[0], np.float64), verts)
     np.testing.assert_array_equal(
         np.asarray(g2.find("PolygonVertexIndex").props[0], np.int64), pvi)
+
+
+def test_euler_matrix_yzx_yxz_enum():
+    """Regression: EFbxRotationOrder 2 = eEulerYZX, 3 = eEulerYXZ (the two
+    were swapped).  Compose explicitly: column convention puts the
+    first-applied rotation rightmost."""
+    from cudaraytracer_tpu.utils.fbx_loader import _rot_axis
+    rx, ry, rz = 30.0, 40.0, 50.0
+    mx, my, mz = _rot_axis(rx, 0), _rot_axis(ry, 1), _rot_axis(rz, 2)
+    np.testing.assert_allclose(euler_matrix((rx, ry, rz), 2),
+                               mx @ mz @ my, atol=1e-12)   # Y,Z,X applied
+    np.testing.assert_allclose(euler_matrix((rx, ry, rz), 3),
+                               mz @ mx @ my, atol=1e-12)   # Y,X,Z applied
+
+
+def test_by_polygon_normals_quad_mesh():
+    """Regression: ByPolygon normal mapping must index per-POLYGON rows with
+    per-triangle polygon ids — a fan-triangulated quad mesh used to index
+    past the table (arange over triangles)."""
+    from cudaraytracer_tpu.utils.fbx_parser import FbxNode
+    from cudaraytracer_tpu.utils.fbx_loader import (_face_normals,
+                                                    _triangulate)
+    # two quads -> 4 triangles, but only 2 ByPolygon normals
+    pvi = np.asarray([0, 1, 2, ~3, 4, 5, 6, ~7], np.int64)
+    faces, first_pv, poly_id = _triangulate(pvi)
+    assert len(faces) == 4
+    np.testing.assert_array_equal(poly_id, [0, 0, 1, 1])
+    nrm = np.asarray([[0, 0, 1], [0, 1, 0]], np.float64)
+    ln = FbxNode("LayerElementNormal", [], [
+        FbxNode("Normals", [nrm.reshape(-1)]),
+        FbxNode("MappingInformationType", ["ByPolygon"]),
+        FbxNode("ReferenceInformationType", ["Direct"]),
+    ])
+    geom = FbxNode("Geometry", [], [ln])
+    points = np.zeros((8, 3))
+    out = _face_normals(geom, first_pv, faces, points, poly_id)
+    np.testing.assert_allclose(out, [[0, 0, 1], [0, 0, 1],
+                                     [0, 1, 0], [0, 1, 0]])
+
+
+def test_skin_points_zero_weight_stays_at_bind():
+    """Regression: a vertex no cluster claims blends to the zero matrix;
+    0/0 used to NaN the whole mesh — it must stay at bind pose."""
+    from cudaraytracer_tpu.models.mesh import skin_points
+    pts = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    w = jnp.asarray([[1.0], [0.0]])            # vertex 1: zero total weight
+    mats = jnp.asarray(np.eye(4)[None]) + 0.0
+    mats = mats.at[0, 0, 3].set(10.0)          # bone 0: translate x+10
+    out = np.asarray(skin_points(pts, w, mats))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], [11.0, 2.0, 3.0], atol=1e-6)
+    np.testing.assert_allclose(out[1], [4.0, 5.0, 6.0], atol=1e-6)  # bind
+
+
+def test_recompute_normals_sign_aligned(mesh):
+    """Regression: the reversed-winding gather negates the raw cross
+    product; recomputed 'fixed' normals must sign-align with the loaded
+    outward normals (bind pose: near-equal, not near-opposite)."""
+    from cudaraytracer_tpu.models.mesh import (recompute_face_normals,
+                                               skin_frame)
+    dm = device_mesh(mesh)
+    v0, v1, v2 = skin_frame(dm, jnp.int32(0))
+    n = np.asarray(recompute_face_normals(v0, v1, v2, align_to=dm.normals))
+    dots = (n * np.asarray(dm.normals)).sum(axis=1)
+    assert (dots >= 0).mean() > 0.99           # aligned, not flipped
