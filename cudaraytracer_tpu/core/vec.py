@@ -57,9 +57,13 @@ def normalize_safe(v: Array, eps: float = 1e-20) -> Array:
 
 
 def lerp(t, a: Array, b: Array) -> Array:
-    """vec3.h:196 — from + t*(to-from); t broadcasts over the last axis."""
+    """vec3.h:196 — from + t*(to-from); a scalar-per-vector t broadcasts
+    over the component axis.  Trailing axes are added until t aligns with
+    a's BATCH axes — a single [..., None] would right-align a deep-batched
+    t against the wrong (inner) axis."""
     t = jnp.asarray(t)
-    if t.ndim < jnp.asarray(a).ndim:
+    a = jnp.asarray(a)
+    while t.ndim < a.ndim:
         t = t[..., None]
     return a + t * (b - a)
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Quirks
 from ..core.rays import Rays
@@ -26,7 +27,9 @@ from ..models.scene import Scene
 from ..ops import intersect as _isect
 
 Array = jnp.ndarray
-_IDX_MISS = jnp.int32(2**31 - 1)
+# numpy scalar, NOT jnp: module-level device arrays route through the
+# TPU tunnel at import time (CLAUDE.md)
+_IDX_MISS = np.int32(2**31 - 1)
 
 
 def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
@@ -61,7 +64,7 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
         rows = jnp.arange(cand_t.shape[0])
         ct = cand_t[rows, c]
         cv = cand_valid[rows, c]
-        cg = global_idx[rows, c] if global_idx.ndim == 2 else global_idx[c]
+        cg = global_idx[c]
         cl = local_idx[c]
         take = cv & (ct < bt)
         return (jnp.where(take, ct, bt), jnp.where(take, cg, bg),
@@ -76,7 +79,7 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
         valid &= (gidx < n_spheres_global)[None, :]
         best_t, best_gidx, best_lidx = reduce_local(
             (best_t, best_gidx, best_lidx), t, valid,
-            lidx, jnp.broadcast_to(gidx[None], t.shape))
+            lidx, gidx)
 
     if n_t:
         tr = scene_local.triangles
@@ -88,7 +91,7 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
         valid &= ((lidx + tri_offset) < n_triangles_global)[None, :]
         best_t, best_gidx, best_lidx = reduce_local(
             (best_t, best_gidx, best_lidx), t, valid,
-            lidx, jnp.broadcast_to(gidx[None], t.shape))
+            lidx, gidx)
 
     member = jax.lax.axis_index(axis_name)
     if n_r:  # replicated rects: only tp member 0 contributes them
@@ -99,7 +102,7 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
         gidx = lidx + n_spheres_global + n_triangles_global
         best_t, best_gidx, best_lidx = reduce_local(
             (best_t, best_gidx, best_lidx), t, valid,
-            lidx, jnp.broadcast_to(gidx[None], t.shape))
+            lidx, gidx)
 
     # replicated runtime-TRS tables (small, like rects): member 0 only
     n_ts = scene_local.n_t_spheres
@@ -113,7 +116,7 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
         gidx = lidx + base_t
         best_t, best_gidx, best_lidx = reduce_local(
             (best_t, best_gidx, best_lidx), t, valid,
-            lidx, jnp.broadcast_to(gidx[None], t.shape))
+            lidx, gidx)
     if n_tt:
         valid, t, _, _, _, _ = _isect.t_triangle_candidates(
             rays, scene_local.t_triangles, t_min_f, t_max_f, quirks)
@@ -122,7 +125,7 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
         gidx = lidx + base_t + n_ts
         best_t, best_gidx, best_lidx = reduce_local(
             (best_t, best_gidx, best_lidx), t, valid,
-            lidx, jnp.broadcast_to(gidx[None], t.shape))
+            lidx, gidx)
 
     # --- combine across the tp axis ---
     t_glob = jax.lax.pmin(best_t, axis_name)

@@ -143,6 +143,10 @@ import re as _re
 _KEY_RE = _re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*:\s*(.*)$")
 _VALUE_RE = _re.compile(
     r'"((?:[^"\\]|\\.)*)"'                       # quoted string
+    # Windows-exporter non-finite literals (3ds Max): 1.#QNAN, -1.#IND,
+    # 1.#INF — must match BEFORE the plain number alternative or the
+    # mantissa parses as a number and '#QNAN' leaks as a stray bare word
+    r"|([+-]?1\.#(?:QNAN|IND|INF|SNAN)0*)"
     r"|([+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)"  # number
     r"|(\*\d+)"                                  # array count marker
     r"|([A-Za-z_][A-Za-z0-9_]*)"                 # bare word (Y, T, W, ...)
@@ -153,9 +157,15 @@ def _parse_ascii_values(text: str) -> List[Any]:
     """Comma-separated FBX ASCII value list -> python values."""
     out: List[Any] = []
     for m in _VALUE_RE.finditer(text):
-        s, num, count, word = m.groups()
+        s, nonfin, num, count, word = m.groups()
         if s is not None:
             out.append(s)
+        elif nonfin is not None:
+            neg = nonfin.startswith("-")
+            if "INF" in nonfin:
+                out.append(float("-inf") if neg else float("inf"))
+            else:
+                out.append(float("nan"))
         elif num is not None:
             out.append(float(num) if any(c in num for c in ".eE")
                        else int(num))
@@ -264,4 +274,9 @@ def get_vec3_prop(node: FbxNode, name: str, default=(0.0, 0.0, 0.0)):
     v = get_prop70(node, name, None)
     if v is None:
         return np.asarray(default, np.float64)
-    return np.asarray(v[:3], np.float64)
+    if np.isscalar(v):            # single-valued P row (truncated files)
+        return np.asarray([float(v)] * 3, np.float64)
+    v = np.asarray(v, np.float64).reshape(-1)
+    if v.shape[0] < 3:            # short row: pad with the default's tail
+        v = np.concatenate([v, np.asarray(default, np.float64)[v.shape[0]:]])
+    return v[:3]

@@ -37,12 +37,15 @@ def load_obj(path: str, center: bool = True, scale_to_unit: bool = False
                 # supports "3", "3/1", "3//7", "3/1/7"; quads and larger
                 # n-gons are FAN-triangulated (the reference truncates them
                 # to the first three vertices, obj_loader.h:113-119 — a
-                # silent data loss we fix, like the 1-based-index bug)
-                idx = [int(tok.split("/")[0]) - 1 for tok in parts[1:]]
+                # silent data loss we fix, like the 1-based-index bug).
+                # Negative indices are RELATIVE to the vertices seen so far
+                # (-1 = most recent), per the OBJ spec.
+                raw = [int(tok.split("/")[0]) for tok in parts[1:]]
+                idx = [i - 1 if i > 0 else len(points) + i for i in raw]
                 for k in range(1, len(idx) - 1):
                     faces.append([idx[0], idx[k], idx[k + 1]])
     pts = np.asarray(points, np.float32)
-    fcs = np.asarray(faces, np.int32)
+    fcs = np.asarray(faces, np.int32).reshape(-1, 3)   # (0,3) when no faces
     if center and len(pts):
         pts = pts - pts.mean(axis=0, keepdims=True)  # obj_loader.h:93-95
     if scale_to_unit and len(pts):

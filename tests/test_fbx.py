@@ -322,3 +322,29 @@ def test_recompute_normals_sign_aligned(mesh):
     n = np.asarray(recompute_face_normals(v0, v1, v2, align_to=dm.normals))
     dots = (n * np.asarray(dm.normals)).sum(axis=1)
     assert (dots >= 0).mean() > 0.99           # aligned, not flipped
+
+
+def test_ascii_nonfinite_literals_and_short_props():
+    """Windows exporters write -1.#QNAN / 1.#INF literals; they must parse
+    as one NaN/Inf value, not a number plus a stray word that shifts the
+    array.  Single-valued / short Properties70 rows must not crash
+    get_vec3_prop."""
+    from cudaraytracer_tpu.utils.fbx_parser import (FbxNode,
+                                                    _parse_ascii_values,
+                                                    get_vec3_prop)
+    vals = _parse_ascii_values("1.5,-1.#QNAN,2.0,1.#INF,-1.#IND000")
+    assert len(vals) == 5
+    assert vals[0] == 1.5 and vals[2] == 2.0
+    assert np.isnan(vals[1]) and np.isinf(vals[3]) and np.isnan(vals[4])
+
+    p70 = FbxNode("Properties70", [], [
+        FbxNode("P", ["Lcl Scaling", "Lcl Scaling", "", "A", 5.0]),
+        FbxNode("P", ["Lcl Translation", "Lcl Translation", "", "A",
+                      1.0, 2.0]),
+    ])
+    node = FbxNode("Model", [], [p70])
+    np.testing.assert_allclose(get_vec3_prop(node, "Lcl Scaling"),
+                               [5.0, 5.0, 5.0])
+    np.testing.assert_allclose(
+        get_vec3_prop(node, "Lcl Translation", (9.0, 9.0, 9.0)),
+        [1.0, 2.0, 9.0])

@@ -71,3 +71,18 @@ def test_bunny_bvh_much_smaller_than_bruteforce_work():
     t = scene.n_triangles
     assert bvh.n_nodes < 2 * t
     assert len(bvh.levels) <= int(np.ceil(np.log2(t))) + 2
+
+
+def test_obj_relative_indices_and_empty(tmp_path):
+    """OBJ spec: negative face indices are relative to the vertices seen so
+    far (-1 = most recent).  Also: a faceless OBJ yields faces (0,3), not
+    a shape-(0,) array that crashes face_normals."""
+    p = tmp_path / "rel.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
+    pts, fcs = load_obj(str(p), center=False)
+    np.testing.assert_array_equal(fcs, [[0, 1, 2]])
+    p2 = tmp_path / "points_only.obj"
+    p2.write_text("v 0 0 0\nv 1 0 0\n")
+    pts2, fcs2 = load_obj(str(p2), center=False)
+    assert fcs2.shape == (0, 3)
+    assert face_normals(pts2, fcs2).shape == (0, 3)
