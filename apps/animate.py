@@ -134,7 +134,9 @@ def main(argv=None):
         if forest.n_dropped:
             print(f"bonebvh: {forest.n_dropped} orphan triangles dropped "
                   f"(reference behavior)")
-    jax.block_until_ready(scene_f0.triangles.v0)
+    # scalar fetch, not block_until_ready: the TPU backend can return from
+    # block_until_ready before execution finishes (CLAUDE.md)
+    float(jnp.sum(scene_f0.triangles.v0))
     sw.Stop()
     log.log_build(sw.GetTime())
     print(f"BVH build: {sw.GetTime():.4f}s")
@@ -165,9 +167,12 @@ def main(argv=None):
                                np.asarray(scene0.triangles.v2))
                   if scene0.n_triangles else None)
 
+    # mega/pallas steps take the ALREADY-SKINNED scene: do_frame times the
+    # skin separately (the reference's 'update' metric), and re-skinning
+    # inside the render jit would both double the work and fold update time
+    # into the rendering column
     @jax.jit
-    def mega_step(scene, frame, fkey):
-        s = scene_with_frame(scene, dm, frame)
+    def mega_step(s, fkey):
         tables = megamod.build_mega_tables(s, tri_order=mega_order)
         return render_image(s, camera, fkey, cfg_mega, None, tables)
 
@@ -179,8 +184,7 @@ def main(argv=None):
         return render_image(s, camera, fkey, cfg, isect, b)
 
     @jax.jit
-    def pallas_step(scene, frame, fkey):
-        s = scene_with_frame(scene, dm, frame)
+    def pallas_step(s, fkey):
         return render_image(s, camera, fkey, cfg, isect_pallas, None)
 
     # --- elastic recovery (utils/recovery.py): the TPU worker can crash
@@ -202,12 +206,12 @@ def main(argv=None):
         if args.pipeline in ("pallas", "mega"):
             sw.Reset(); sw.Start()
             scene_f = update_skin(scene0, jnp.int32(frame))
-            jax.block_until_ready(scene_f.triangles.v0)
+            float(jnp.sum(scene_f.triangles.v0))   # scalar-fetch sync
             sw.Stop()
             update_t = sw.GetTime()
             step = mega_step if args.pipeline == "mega" else pallas_step
             sw.Reset(); sw.Start()
-            img = np.asarray(step(scene0, jnp.int32(frame), fkey))
+            img = np.asarray(step(scene_f, fkey))
             sw.Stop()
             render_t = sw.GetTime()
         elif args.pipeline == "fused":
@@ -220,7 +224,7 @@ def main(argv=None):
             # update (skin + refit), timed as the reference's Update_BVH
             sw.Reset(); sw.Start()
             scene_f, bvh = update_step(scene0, bvh, jnp.int32(frame))
-            jax.block_until_ready(bvh.bbox_min)
+            float(jnp.sum(bvh.bbox_min))           # scalar-fetch sync
             sw.Stop()
             update_t = sw.GetTime()
             sw.Reset(); sw.Start()
@@ -242,6 +246,14 @@ def main(argv=None):
         begin = next_frame(args.out, args.begin_frame)
         if begin > args.begin_frame:
             print(f"resuming at frame {begin}")
+            if os.path.exists(args.csv):
+                # preserve the prior run's rows (incl. its build row) —
+                # write_csv rewrites the file, so starting empty would
+                # silently destroy the already-rendered frames' metrics
+                prior = MetricsLog.read_csv(args.csv)
+                keep = [r for r in prior.rows[1:]
+                        if not r[0] or int(r[0]) < begin]
+                log.rows = [list(log.rows[0])] + keep
     for frame in range(begin, end_frame + 1):
         fkey = jax.random.fold_in(key, frame)
         img, render_t, update_t = retry_transient(

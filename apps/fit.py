@@ -36,7 +36,13 @@ def main(argv=None):
                          "replays the wavefront forward - it pays off when "
                          "the loop also RENDERS, e.g. eval/preview frames)")
     ap.add_argument("--out", default="/tmp/fit")
+    ap.add_argument("--checkpoint-every", type=int, default=25,
+                    help="save params every N steps (0 disables)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <out>/fit_ckpt.npz if present")
     args = ap.parse_args(argv)
+    if args.steps < 1:
+        ap.error("--steps must be >= 1")
 
     import jax
     if args.cpu:
@@ -84,8 +90,36 @@ def main(argv=None):
     c_err0 = float(np.abs(true_centers - np.asarray(params["centers"])).max())
     a_err0 = float(np.abs(true_albedo - np.asarray(params["albedo"])).max())
 
-    fitted, losses = fit(scene, params, cam, cfg, mesh, target,
-                         steps=args.steps, lr=args.lr, verbose=True)
+    # checkpoint/resume (utils/checkpoint.py): fits survive the observed
+    # transient TPU-worker crashes instead of restarting from step 0
+    from cudaraytracer_tpu.utils.checkpoint import load_params, save_params
+    ckpt_path = os.path.join(args.out, "fit_ckpt.npz")
+    step0 = 0
+    if args.resume and os.path.exists(ckpt_path):
+        loaded, step0, _ = load_params(ckpt_path)
+        params = {k: jnp.asarray(v) for k, v in loaded.items()}
+        print(f"resumed {ckpt_path} at step {step0}")
+
+    losses = []
+    fitted = params
+    remaining = max(args.steps - step0, 0)
+    chunk = (args.checkpoint_every if args.checkpoint_every > 0
+             else remaining)
+    done = step0
+    while remaining > 0:
+        n = min(chunk, remaining)
+        fitted, ls = fit(scene, fitted, cam, cfg, mesh, target,
+                         steps=n, lr=args.lr, verbose=True,
+                         key=jax.random.fold_in(jax.random.key(0), done))
+        losses.extend(ls)
+        done += n
+        remaining -= n
+        if args.checkpoint_every > 0:
+            save_params(ckpt_path, fitted, done)
+    if not losses:   # resumed past the requested step count
+        print(f"checkpoint already at step {step0} >= --steps {args.steps}; "
+              "nothing to do")
+        return 0
 
     c_err1 = float(np.abs(true_centers - np.asarray(fitted["centers"])).max())
     a_err1 = float(np.abs(true_albedo - np.asarray(fitted["albedo"])).max())

@@ -103,6 +103,12 @@ def main(argv=None):
     elif accel == "pallas":
         isect_fn = pallas_intersector(cfg)
 
+    # label what actually ran: an accel whose preconditions failed (e.g.
+    # --accel bvh on a triangle-free scene) falls back to brute force
+    accel_used = accel
+    if isect_fn is None and aux is None and accel not in ("bruteforce",):
+        accel_used = f"{accel}->bruteforce"
+
     t0 = time.time()
     img = np.asarray(render_image(scene, cam, jax.random.key(args.seed), cfg,
                                   isect_fn, aux))
@@ -110,7 +116,7 @@ def main(argv=None):
     write_png(args.out, img)
     rays = args.width * args.height * args.spp
     print(f"rendered {args.width}x{args.height}x{args.spp}spp "
-          f"({args.integrator}, {accel}) in {dt:.2f}s "
+          f"({args.integrator}, {accel_used}) in {dt:.2f}s "
           f"[{rays / dt / 1e6:.2f} Mrays/s] -> {args.out}")
     return 0
 

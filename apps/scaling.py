@@ -49,12 +49,18 @@ def main() -> int:
     cfg = crt.RenderConfig(width=args.width, height=args.height, samples=2,
                            max_depth=8, integrator="path", ray_chunk=1 << 20)
 
+    def _sync(out):
+        # scalar fetch, not block_until_ready: the TPU backend can return
+        # from block_until_ready before execution finishes (CLAUDE.md)
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(jnp.asarray(leaf, jnp.float32)))
+
     def timeit(fn, *a):
-        jax.block_until_ready(fn(*a))          # warmup/compile
+        _sync(fn(*a))                          # warmup/compile
         t0 = time.perf_counter()
         for i in range(args.iters):
             out = fn(*a)
-        jax.block_until_ready(out)
+        _sync(out)
         return (time.perf_counter() - t0) / args.iters
 
     report = {"platform": args.platform, "devices": args.devices,

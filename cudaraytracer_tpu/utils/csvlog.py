@@ -27,6 +27,19 @@ class MetricsLog:
         """render.h:230 — data.push_back({frame, renderTime, updateTime, ""})."""
         self.rows.append([str(frame), str(rendering), str(update), ""])
 
+    @classmethod
+    def read_csv(cls, path: str) -> "MetricsLog":
+        """Load a previously-written CSV (for --resume row preservation)."""
+        log = cls()
+        log.rows = [list(HEADER)]
+        with open(path) as f:
+            rows = [line.rstrip("\n").split(",") for line in f
+                    if line.strip()]
+        if rows and rows[0] == HEADER:
+            rows = rows[1:]
+        log.rows.extend(rows)
+        return log
+
     def write_csv(self, path: str) -> None:
         """CSVWriter.h:8-32 writeCSV."""
         with open(path, "w") as f:

@@ -48,13 +48,19 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def write_png(path: str, color_buffer: np.ndarray, flip: bool = True,
               rgba: bool = True) -> None:
-    """WritePng parity: float color buffer -> PNG file (dirs auto-created)."""
+    """WritePng parity: float color buffer -> PNG file (dirs auto-created).
+
+    Atomic (tmp + rename): checkpoint.next_frame treats any existing
+    picture_<n>.png as complete, so a crash mid-write must never leave a
+    torn frame that --resume would then skip forever."""
     pix = to_rgba_bytes(color_buffer, flip)
     if not rgba:
         pix = pix[..., :3]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(encode_png(pix))
+    os.replace(tmp, path)
 
 
 def frame_path(frame_index: int, folder: str = "images/moveTest") -> str:

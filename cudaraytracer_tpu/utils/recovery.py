@@ -72,19 +72,38 @@ def retry_transient(fn: Callable[[], Any], *, retries: int = 3,
     backoff_s: sleep before the first retry; multiplied by ``backoff_mult``
     each further retry (the observed worker recovery time is ~60s, so the
     default 20/40/80s ladder crosses it by the second retry).
-    on_retry(attempt, err) is called before each sleep — drivers log there.
-    Non-transient errors propagate immediately.
+    on_retry(attempt, err) runs AFTER each backoff sleep (the device has had
+    time to recover) — drivers log and RESTORE device state there.  A
+    transient error raised by on_retry itself (e.g. re-uploading state to a
+    still-dead worker) consumes retry budget and backs off again instead of
+    escaping; non-transient errors propagate immediately.
     """
     delay = backoff_s
-    for attempt in range(retries + 1):
+    attempt = 0
+    while True:
         try:
             return fn()
         except BaseException as err:  # noqa: BLE001 — classify() filters
-            if attempt >= retries or not classify(err):
-                if attempt > 0 and classify(err):
-                    raise RetriesExhausted(attempt + 1, err) from err
+            if not classify(err):
                 raise
-            if on_retry is not None:
-                on_retry(attempt + 1, err)
+            attempt += 1
+            if attempt > retries:
+                if attempt > 1:
+                    raise RetriesExhausted(attempt, err) from err
+                raise           # retries=0: surface the original error
+            last = err
+        while True:         # backoff, then restore; restore may itself fail
             sleep(delay)
             delay *= backoff_mult
+            if on_retry is None:
+                break
+            try:
+                on_retry(attempt, last)
+                break
+            except BaseException as err:  # noqa: BLE001
+                if not classify(err):
+                    raise
+                attempt += 1
+                if attempt > retries:
+                    raise RetriesExhausted(attempt, err) from err
+                last = err
