@@ -27,13 +27,26 @@ _tried = False
 
 
 def _compile() -> bool:
+    # compile to a per-PID temp then atomically rename: concurrent processes
+    # (parallel pytest, two apps on a cold cache) would otherwise trample
+    # each other's -o output and cache a truncated .so forever
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB]
+           _SRC, "-o", tmp]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
-        return r.returncode == 0
+        if r.returncode != 0:
+            return False
+        os.replace(tmp, _LIB)
+        return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <random>
 #include <vector>
 
@@ -92,10 +93,16 @@ struct Builder {
     }
 
     // BoxCompare (bvh.h:9-45): sort span by bbox MIN along the axis (stable,
-    // matching numpy's stable argsort in the Python builder).
+    // matching numpy's stable argsort in the Python builder).  NaN bounds
+    // (degenerate input geometry) sort as +inf — numpy places NaN last, and
+    // a raw `<` with NaN is not a strict weak ordering (UB in stable_sort).
     const float* pm = prim_min;
     std::stable_sort(span, span + count, [pm, axis](int32_t a, int32_t b) {
-      return pm[3 * a + axis] < pm[3 * b + axis];
+      float va = pm[3 * a + axis];
+      float vb = pm[3 * b + axis];
+      if (std::isnan(va)) va = std::numeric_limits<float>::infinity();
+      if (std::isnan(vb)) vb = std::numeric_limits<float>::infinity();
+      return va < vb;
     });
 
     is_leaf[idx] = 0;

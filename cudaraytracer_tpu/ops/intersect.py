@@ -49,13 +49,6 @@ class Hits(NamedTuple):
     prim: Array    # int32[N] global primitive id (spheres, then tris, then rects)
 
 
-def no_hits(n: int) -> Hits:
-    z = jnp.zeros((n,), jnp.float32)
-    return Hits(jnp.zeros((n,), bool), jnp.full((n,), BIG), jnp.zeros((n, 3), jnp.float32),
-                jnp.zeros((n, 3), jnp.float32), z, z,
-                jnp.zeros((n,), jnp.int32), jnp.full((n,), -1, jnp.int32))
-
-
 # ---------------------------------------------------------------------------
 # Per-type candidate tests.  Each returns (valid[N,C], t[N,C]) plus enough info
 # to reconstruct the hit record after the winner is chosen.
@@ -96,7 +89,10 @@ def triangle_candidates(origin, direction, v0, v1, v2, face_normal,
     e2 = (v2 - v0)[None, :, :]
     h = jnp.cross(d, e2)
     a = jnp.sum(e1 * h, axis=-1)                           # (N,C)
-    f = 1.0 / a
+    # double-where the 1/a: rejected near-zero determinants otherwise leak
+    # inf into the backward pass (0 cotangent * inf = NaN)
+    eps_ok = jnp.abs(a) >= TRI_EPSILON
+    f = 1.0 / jnp.where(eps_ok, a, 1.0)
     s = origin[:, None, :] - v0[None, :, :]
     u = f * jnp.sum(s * h, axis=-1)
     q = jnp.cross(s, e1)
@@ -106,7 +102,7 @@ def triangle_candidates(origin, direction, v0, v1, v2, face_normal,
     # triangle.h:77-78 — unconditional two-sided epsilon rejection; with the
     # per-triangle backCulling flag (triangle.h:74, quirk-gated — reference
     # scenes always pass cull=false) front-determinant rays also miss.
-    valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
+    valid = eps_ok & (u >= 0.0) & (u <= 1.0) \
         & (v >= 0.0) & (u + v <= 1.0)
     if quirks.triangle_back_culling:
         valid &= a >= TRI_EPSILON
@@ -145,28 +141,21 @@ def rect_candidates(rays: Rays, rects, t_min, t_max):
     epsilon-scale divergence the reference itself has for |d| != 1.
     """
     trs = rects.trs
-    n_r = rects.flip.shape[0]
-    o = rays.origin[:, None, :]
-    dir0 = rays.direction[:, None, :]
-    raw_len = jnp.sqrt(jnp.sum(dir0 * dir0, axis=-1))      # (N,1)
-    # transform.h:50-54 ScaleRay (origin untouched — reference quirk)
-    d = dir0 / trs.scale[None, :, :]
-    dlen = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
-    d = d / dlen
-    # transform.h:45-49 RotateRay
-    o = v3.rotate(jnp.broadcast_to(o, d.shape), trs.rotation[None])
-    d = v3.rotate(d, trs.rotation[None])
-    # transform.h:40-43 TranslateRay
-    o = o - trs.position[None]
+    o, d, raw_len = _transform_rays_nc(rays, trs)   # the exact TransformRay
 
     obj_normal = jnp.where(rects.flip[:, None],
                            jnp.asarray([0.0, 0.0, -1.0]),
                            jnp.asarray([0.0, 0.0, 1.0]))[None, :, :]     # (1,C,3)
     facing = jnp.sum(d * obj_normal, axis=-1)
-    t = -o[..., 2] / d[..., 2]
+    # double-where the plane division: edge-on rays (d_z == 0) are invalid
+    # (matching the reference, where t = +-inf/NaN fails the window tests)
+    # but an unguarded inf would NaN the backward pass
+    dz = d[..., 2]
+    dz_ok = dz != 0.0
+    t = -o[..., 2] / jnp.where(dz_ok, dz, 1.0)
     x = o[..., 0] + t * d[..., 0]
     y = o[..., 1] + t * d[..., 1]
-    valid = (facing <= 0.0) & (t >= t_min) & (t <= t_max) \
+    valid = dz_ok & (facing <= 0.0) & (t >= t_min) & (t <= t_max) \
         & (x >= -0.5) & (x <= 0.5) & (y >= -0.5) & (y <= 0.5)
     u = x + 0.5
     v = y + 0.5
@@ -236,13 +225,14 @@ def t_triangle_candidates(rays: Rays, ttri, t_min, t_max, quirks: Quirks):
     e2 = (ttri.v2 - ttri.v0)[None]
     h = jnp.cross(d, e2)
     a = jnp.sum(e1 * h, axis=-1)
-    f = 1.0 / a
+    eps_ok = jnp.abs(a) >= TRI_EPSILON       # double-where: see above
+    f = 1.0 / jnp.where(eps_ok, a, 1.0)
     s = o - ttri.v0[None]
     u = f * jnp.sum(s * h, axis=-1)
     q = jnp.cross(s, e1)
     v = f * jnp.sum(d * q, axis=-1)
     t = f * jnp.sum(e2 * q, axis=-1)
-    valid = (jnp.abs(a) >= TRI_EPSILON) & (u >= 0.0) & (u <= 1.0) \
+    valid = eps_ok & (u >= 0.0) & (u <= 1.0) \
         & (v >= 0.0) & (u + v <= 1.0)
     if quirks.triangle_back_culling:
         valid &= a >= TRI_EPSILON
@@ -560,13 +550,16 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
 
 
 def _tri_single(rays: Rays, v0, v1, v2, nrm, t_min, t_max, quirks: Quirks):
-    """Recompute u,v for one already-chosen triangle per ray (N-wise, no C axis)."""
+    """Recompute u,v for one already-chosen triangle per ray (N-wise, no C
+    axis).  Non-winner lanes pair with a CLIPPED index whose determinant may
+    be 0 — double-where keeps their (masked-out) values finite so gradients
+    through finalize_hits stay NaN-free; real winners have |a| >= eps."""
     d = rays.direction
     e1 = v1 - v0
     e2 = v2 - v0
     h = jnp.cross(d, e2)
     a = jnp.sum(e1 * h, axis=-1)
-    f = 1.0 / a
+    f = 1.0 / jnp.where(jnp.abs(a) >= TRI_EPSILON, a, 1.0)
     s = rays.origin - v0
     u = f * jnp.sum(s * h, axis=-1)
     q = jnp.cross(s, e1)
@@ -578,10 +571,11 @@ def _tri_single(rays: Rays, v0, v1, v2, nrm, t_min, t_max, quirks: Quirks):
 def _chunk_arrays(arrays, chunk: int):
     """Pad leading axis to a multiple of `chunk` and reshape to (k, chunk, ...).
 
-    Padding rows replicate row 0 but are marked invalid via an index of -1 ...
-    actually padding uses degenerate geometry: we pad with the first row and
-    rely on the duplicate losing ties (strictly-less reduction keeps the first
-    winner, which has the same t), so results are unaffected.
+    Padding replicates row 0 (geometry AND index arrays alike).  A padded
+    duplicate can never change the result because the reduction is
+    strictly-less on t: the original row 0, scanned first, already holds
+    that t, so the duplicate loses the tie.  Do not weaken the reduction
+    to <= without revisiting this.
     """
     n = arrays[0].shape[0]
     chunk = max(1, min(chunk, n))

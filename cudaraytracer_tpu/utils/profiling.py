@@ -31,8 +31,13 @@ class SectionTimer:
         finally:
             if sync_value is not None:
                 try:
+                    # scalar fetch, not block_until_ready: the TPU backend
+                    # can return from block_until_ready before execution
+                    # finishes (CLAUDE.md)
                     import jax
-                    jax.block_until_ready(sync_value)
+                    import jax.numpy as jnp
+                    leaf = jax.tree.leaves(sync_value)[0]
+                    float(jnp.sum(jnp.asarray(leaf, jnp.float32)))
                 except Exception:
                     pass
             self.spans[name].append(time.perf_counter() - t0)

@@ -281,8 +281,9 @@ class DiffuseLight:
 
 class ZeroSampler:
     """All stochastic draws return 0 — pins lambertian to normal-direction
-    scatter, metal fuzz to pure mirror, dielectric to 'refract wins unless
-    reflect_prob == 1'."""
+    scatter, metal fuzz to pure mirror, and dielectric to pure REFLECTION
+    (uniform() = 0 always satisfies `0 < reflect_prob`, since Schlick's r0
+    is strictly positive for any ref_idx != 1)."""
 
     def unit_ball(self):
         return np.zeros(3)

@@ -262,3 +262,37 @@ def test_mixed_scene_types():
     assert bool(hits.hit[0])
     np.testing.assert_allclose(hits.t[0], 2.0, rtol=1e-5)  # rect is nearest
     assert int(hits.prim[0]) == 2  # global id: sphere 0, tri 1, rect 2
+
+
+def test_intersect_gradients_finite_with_degenerate_rays():
+    """Regression: the jnp-path 1/a (triangles) and plane division (rects)
+    were unguarded — a ray exactly parallel to a triangle's plane or
+    edge-on to a rect leaked inf into the backward pass (0 * inf = NaN)."""
+    b = SceneBuilder()
+    mat = b.materials.lambertian(color=(0.5, 0.5, 0.5))
+    # axis-aligned triangle in the xz-plane + a rect in the xy-plane
+    b.add_triangle((-1, 0, -3), (1, 0, -3), (0, 0, -5), mat,
+                   normal=(0, 1, 0))
+    b.add_rect(mat, position=(0, 0, -4))
+    scene = b.build()
+    o = jnp.asarray([[0.0, 1.0, 0.0],    # hits the rect region head-on
+                     [0.0, 0.5, 0.0],    # parallel to the triangle plane
+                     [5.0, 0.0, -4.0]])  # edge-on to the rect (d_z == 0)
+    d = jnp.asarray([[0.0, -0.25, -1.0],
+                     [0.0, 0.0, -1.0],
+                     [-1.0, 0.0, 0.0]])
+
+    def loss(v0):
+        s = scene._replace(triangles=scene.triangles._replace(v0=v0))
+        hits = isect.intersect_scene(s, make_rays(o, d))
+        return jnp.sum(jnp.where(hits.hit, hits.t, 0.0)) + jnp.sum(hits.u)
+
+    g = np.asarray(jax.grad(loss)(scene.triangles.v0))
+    assert np.isfinite(g).all()
+
+    def loss_o(oo):
+        hits = isect.intersect_scene(scene, make_rays(oo, d))
+        return jnp.sum(jnp.where(hits.hit, hits.t, 0.0))
+
+    g2 = np.asarray(jax.grad(loss_o)(o))
+    assert np.isfinite(g2).all()
