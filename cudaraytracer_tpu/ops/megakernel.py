@@ -76,7 +76,11 @@ from .pallas_intersect import (LANES, PRIM_CHUNK, TILE_ROWS, _interpret,
 Array = jnp.ndarray
 
 IDX_BIG = 2 ** 30
-BIG_CUT = 1e37            # t >= this => miss (valid hits carry t < t_max)
+# t >= this => miss.  Documented divergence: with the default t_max=FLT_MAX
+# a pathological ray (|d| ~< 1e-33) can carry a "valid" hit with t in
+# [1e37, t_max) — the wavefront path counts it, the kernel calls it sky.
+# The margin below the BIG sentinel is deliberate (fp headroom).
+BIG_CUT = 1e37
 # In-VMEM table ceiling per primitive type: (prims, 128) f32 = 512 B/prim.
 MAX_VMEM_PRIMS = 8192
 # Above the VMEM ceiling, TRIANGLE tables stay in HBM and stream through a
@@ -145,11 +149,12 @@ class MegaTables(NamedTuple):
 
 
 def megakernel_supported(scene: Scene) -> bool:
-    """Scenes the fused path handles: spheres/triangles only (no rects),
-    constant/checker textures (no image gathers in-kernel), and tables small
-    enough for VMEM residence.  Uses only STATIC shape information so it can
-    gate the engine choice inside jit (a TextureBuilder with no images packs
-    a (1,1,1,3) dummy image array)."""
+    """Scenes the fused path handles: spheres/triangles plus up to 64 rects
+    (rects evaluate unrolled per bounce in-kernel), constant/checker
+    textures (no image gathers in-kernel), runtime-TRS tables excluded, and
+    tables small enough for VMEM residence / HBM streaming.  Uses only
+    STATIC shape information so it can gate the engine choice inside jit (a
+    TextureBuilder with no images packs a (1,1,1,3) dummy image array)."""
     if scene.n_t_spheres or scene.n_t_triangles:
         return False
     if scene.n_rects > 64:   # rects evaluate unrolled per bounce
@@ -363,8 +368,9 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     seed_ref = rest.pop(0)                      # SMEM i32[2]: [seed, step_lo]
     out_ref = rest.pop(0)
     # streaming scratch: triangle segment + its CHUNK BOXES (the full chunk-
-    # box table is 512 B per 8 prims — 33 MB at the 1M-tri ceiling, far over
-    # VMEM — so boxes ride the same per-segment DMA pattern as the data).
+    # box table is 512 B per PRIM_CHUNK=16 prims — ~32 MB at the 1M-tri
+    # ceiling, far over VMEM — so boxes ride the same per-segment DMA
+    # pattern as the data).
     # MXU mode swaps the chunk boxes for the determinant-coefficient block
     # (no chunk culling there) and adds feature + sweep-state scratch.
     box_scratch = box_sem = coef_scratch = coef_sem = None
@@ -388,6 +394,31 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
 
     def comp(tbl_ref, base, k):
         return tbl_ref[pl.ds(base, PRIM_CHUNK), k:k + 1][:, :, None]  # (P,1,1)
+
+    def mat_decode(m, px, py, pz):
+        """Shared texture-select + material decode (texture.h checker sin
+        products; per-material attenuation/emission rules) — used by BOTH
+        the path bounce loop and the lambert epilogue so they cannot
+        drift.  Returns (kind, aux, attenuation rgb, emitted rgb,
+        is_met, is_die, is_light)."""
+        kind, texk, aux = m[0], m[1], m[2]
+        c0r, c0g, c0b, c1r, c1g, c1b = m[3], m[4], m[5], m[6], m[7], m[8]
+        sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
+        odd_chk = (texk == float(_tex.CHECKER)) & (sines < 0.0)
+        texr = jnp.where(odd_chk, c1r, c0r)
+        texg = jnp.where(odd_chk, c1g, c0g)
+        texb = jnp.where(odd_chk, c1b, c0b)
+        is_met = kind == float(_mat.METAL)
+        is_die = kind == float(_mat.DIELECTRIC)
+        is_light = kind == float(_mat.DIFFUSE_LIGHT)
+        atr = jnp.where(is_die, 1.0, jnp.where(is_met, c0r, texr))
+        atg = jnp.where(is_die, 1.0, jnp.where(is_met, c0g, texg))
+        atb = jnp.where(is_die, 1.0, jnp.where(is_met, c0b, texb))
+        emr = jnp.where(is_light, texr, 0.0)
+        emg = jnp.where(is_light, texg, 0.0)
+        emb = jnp.where(is_light, texb, 0.0)
+        return (kind, aux, (atr, atg, atb), (emr, emg, emb),
+                is_met, is_die, is_light)
 
     def box_scalar(box_ref, j, k):
         return box_ref[pl.ds(j, 1), k:k + 1][0, 0]
@@ -442,7 +473,6 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         stays f32 and is compared LOCALLY (a closed-over i1 vector would
         become a lax.cond operand — unsupported Mosaic trunci)."""
         a = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a
         inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
         o3x, o3y, o3z = ox[None], oy[None], oz[None]
         d3x, d3y, d3z = dx[None], dy[None], dz[None]
@@ -1005,21 +1035,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                 nz = jnp.where(rect_w, r_at[5], nz)
                 m = [jnp.where(rect_w, r_at[6 + k], m[k])
                      for k in range(N_MAT_COMPS)]
-            kind, texk, aux = m[0], m[1], m[2]
-            c0r, c0g, c0b, c1r, c1g, c1b = m[3], m[4], m[5], m[6], m[7], m[8]
-
-            # texture value at p (texture.h: constant / checker sin products)
-            sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
-            odd = sines < 0.0
-            is_chk = texk == float(_tex.CHECKER)
-            texr = jnp.where(is_chk & odd, c1r, c0r)
-            texg = jnp.where(is_chk & odd, c1g, c0g)
-            texb = jnp.where(is_chk & odd, c1b, c0b)
-
-            is_light = kind == float(_mat.DIFFUSE_LIGHT)
-            emr = jnp.where(is_light, texr, 0.0)
-            emg = jnp.where(is_light, texg, 0.0)
-            emb = jnp.where(is_light, texb, 0.0)
+            (kind, aux, (atr, atg, atb), (emr, emg, emb), is_met, is_die,
+             is_light) = mat_decode(m, px, py, pz)
 
             ballx, bally, ballz, prob = draw_samples(step)
 
@@ -1063,10 +1080,12 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             refrx = ni * (udx - onx * dtv) - onx * sq_r
             refry = ni * (udy - ony * dtv) - ony * sq_r
             refrz = ni * (udz - onz * dtv) - onz * sq_r
-            # schlick (material.h:33-37)
+            # schlick (material.h:33-37); clamp matches v3.schlick — with
+            # non-unit stored normals cosine can exceed 1 and an unclamped
+            # (1-cosine)^5 would go negative, diverging from the wavefront
+            one_c = jnp.maximum(1.0 - cosine, 0.0)
             r0 = (1.0 - aux) / (1.0 + aux)
             r0 = r0 * r0
-            one_c = 1.0 - cosine
             one_c5 = one_c * one_c
             one_c5 = one_c5 * one_c5 * one_c
             refl_p = jnp.where(refr_ok, r0 + (1.0 - r0) * one_c5, 1.0)
@@ -1079,18 +1098,13 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             diey = jnp.where(take_refl, drefy, refry)
             diez = jnp.where(take_refl, drefz, refrz)
 
-            # select by material kind
-            is_met = kind == float(_mat.METAL)
-            is_die = kind == float(_mat.DIELECTRIC)
+            # select by material kind (attenuation already decoded above)
             outx = jnp.where(is_met, metx, lamx)
             outy = jnp.where(is_met, mety, lamy)
             outz = jnp.where(is_met, metz, lamz)
             outx = jnp.where(is_die, diex, outx)
             outy = jnp.where(is_die, diey, outy)
             outz = jnp.where(is_die, diez, outz)
-            atr = jnp.where(is_die, 1.0, jnp.where(is_met, c0r, texr))
-            atg = jnp.where(is_die, 1.0, jnp.where(is_met, c0g, texg))
-            atb = jnp.where(is_die, 1.0, jnp.where(is_met, c0b, texb))
             # no jnp.where on bool operands — Mosaic can't truncate the i8
             # select result back to i1; plain boolean algebra lowers clean
             ok = (is_met & met_ok) | (~is_met & ~is_light)
@@ -1214,22 +1228,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
          for k in range(N_MAT_COMPS)]
     if n_rects:
         m = [jnp.where(rect_w, r_at[6 + k], m[k]) for k in range(N_MAT_COMPS)]
-    kind, texk = m[0], m[1]
-    c0r, c0g, c0b, c1r, c1g, c1b = m[3], m[4], m[5], m[6], m[7], m[8]
-    sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
-    odd_chk = (texk == float(_tex.CHECKER)) & (sines < 0.0)
-    texr = jnp.where(odd_chk, c1r, c0r)
-    texg = jnp.where(odd_chk, c1g, c0g)
-    texb = jnp.where(odd_chk, c1b, c0b)
-    is_met = kind == float(_mat.METAL)
-    is_die = kind == float(_mat.DIELECTRIC)
-    is_light = kind == float(_mat.DIFFUSE_LIGHT)
-    atr = jnp.where(is_die, 1.0, jnp.where(is_met, c0r, texr))
-    atg = jnp.where(is_die, 1.0, jnp.where(is_met, c0g, texg))
-    atb = jnp.where(is_die, 1.0, jnp.where(is_met, c0b, texb))
-    emr = jnp.where(is_light, texr, 0.0)
-    emg = jnp.where(is_light, texg, 0.0)
-    emb = jnp.where(is_light, texb, 0.0)
+    (_, _, (atr, atg, atb), (emr, emg, emb), _, _, _) = mat_decode(
+        m, px, py, pz)
     scale_d = 1.0 if lambert_unnorm else inv_dlen
     tq = jnp.maximum((dx * nx + dy * ny + dz * nz) * scale_d, 0.0)
     litr = atr * tq * skyr * 0.2 + emr
