@@ -296,3 +296,71 @@ def test_intersect_gradients_finite_with_degenerate_rays():
 
     g2 = np.asarray(jax.grad(loss_o)(o))
     assert np.isfinite(g2).all()
+
+
+def test_fuzz_random_scenes_match_oracle():
+    """Randomized sweep: mixed sphere+triangle scenes, random rays, both
+    quirk profiles — intersect_scene must agree with the float64 oracle's
+    linear closest-hit scan.  Deterministic seed; rays whose top-two oracle
+    candidates are closer than 1e-3 are skipped (f32 tie flips)."""
+    rng = np.random.default_rng(42)
+    for scene_i in range(3):
+        n_s, n_t = 6, 8
+        centers = rng.uniform(-3, 3, (n_s, 3))
+        radii = rng.uniform(0.3, 1.2, n_s)
+        tv = rng.uniform(-3, 3, (n_t, 3, 3))
+        tv[:, 1] = tv[:, 0] + rng.uniform(-1.5, 1.5, (n_t, 3))
+        tv[:, 2] = tv[:, 0] + rng.uniform(-1.5, 1.5, (n_t, 3))
+        nrm = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+
+        for quirks in (Quirks.reference(), Quirks.fixed()):
+            b = SceneBuilder()
+            mat = b.materials.lambertian(color=(1, 1, 1))
+            for c, r in zip(centers, radii):
+                b.add_sphere(c, float(r), mat)
+            for t3, nn in zip(tv, nrm):
+                b.add_triangle(t3[0], t3[1], t3[2], mat, normal=nn)
+            scene = b.build()
+
+            items = ([oracle.Sphere(c, float(r), 0)
+                      for c, r in zip(centers, radii)]
+                     + [oracle.Triangle(
+                         t3[0], t3[1], t3[2], nn, 1,
+                         backface_only=quirks.triangle_backface_only,
+                         no_t_clip=quirks.triangle_no_t_clip)
+                        for t3, nn in zip(tv, nrm)])
+            hl = oracle.HitList(items)
+
+            n_rays = 128
+            o = rng.uniform(-6, 6, (n_rays, 3))
+            d = rng.normal(size=(n_rays, 3))
+            d *= rng.uniform(0.5, 4.0, (n_rays, 1))   # unnormalized
+            hits = isect.intersect_scene(
+                b.build(), make_rays(jnp.asarray(o, jnp.float32),
+                                     jnp.asarray(d, jnp.float32)),
+                t_min=1e-3, t_max=oracle.FLT_MAX, quirks=quirks)
+
+            n_checked = n_skipped = 0
+            for i in range(n_rays):
+                cands = sorted(
+                    r["t"] for r in (it.hit(o[i], d[i], 1e-3, oracle.FLT_MAX)
+                                     for it in items) if r is not None)
+                if len(cands) >= 2 and cands[1] - cands[0] < 1e-3:
+                    n_skipped += 1
+                    continue               # near-tie: f32 winner may flip
+                if cands and cands[0] < 1e-2 and quirks.triangle_no_t_clip:
+                    n_skipped += 1
+                    continue               # near-origin/negative-t knife edge
+                rec = hl.hit(o[i], d[i], 1e-3, oracle.FLT_MAX)
+                got = bool(hits.hit[i])
+                if rec is None:
+                    assert not got, (scene_i, i, float(hits.t[i]))
+                else:
+                    assert got, (scene_i, i, rec["t"])
+                    np.testing.assert_allclose(
+                        float(hits.t[i]), rec["t"],
+                        rtol=2e-4, atol=1e-4,
+                        err_msg=f"scene {scene_i} ray {i}")
+                n_checked += 1
+            assert n_checked > n_rays // 2, (n_checked, n_skipped)
