@@ -364,3 +364,51 @@ def test_fuzz_random_scenes_match_oracle():
                         err_msg=f"scene {scene_i} ray {i}")
                 n_checked += 1
             assert n_checked > n_rays // 2, (n_checked, n_skipped)
+
+
+def test_fuzz_cross_engine_consistency():
+    """Same random scenes through the jnp brute path and the Pallas sweeps
+    (coherent/culled AND incoherent): hit flags and t must agree to f32
+    tolerance (identical math, different schedules; > 128 tris so the
+    tiled-AABB culled kernel engages)."""
+    from cudaraytracer_tpu.ops.intersect import intersect_scene_pallas
+
+    rng = np.random.default_rng(7)
+    for quirks in (Quirks.reference(), Quirks.fixed()):
+        n_s, n_t = 5, 200   # > 128 tris so the culled kernel engages
+        centers = rng.uniform(-4, 4, (n_s, 3))
+        radii = rng.uniform(0.3, 1.0, n_s)
+        base = rng.uniform(-4, 4, (n_t, 3))
+        tv = np.stack([base, base + rng.uniform(-1, 1, (n_t, 3)),
+                       base + rng.uniform(-1, 1, (n_t, 3))], axis=1)
+        nrm = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+
+        b = SceneBuilder()
+        mat = b.materials.lambertian(color=(1, 1, 1))
+        for c, r in zip(centers, radii):
+            b.add_sphere(c, float(r), mat)
+        for t3, nn in zip(tv, nrm):
+            b.add_triangle(t3[0], t3[1], t3[2], mat, normal=nn)
+        scene = b.build()
+
+        n_rays = 512
+        o = rng.uniform(-6, 6, (n_rays, 3)).astype(np.float32)
+        d = (rng.normal(size=(n_rays, 3))
+             * rng.uniform(0.5, 3.0, (n_rays, 1))).astype(np.float32)
+        rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+
+        ref = isect.intersect_scene(scene, rays, quirks=quirks)
+        engines = {
+            "pallas_coh": intersect_scene_pallas(scene, rays, quirks=quirks,
+                                                 coherent=True),
+            "pallas_inc": intersect_scene_pallas(scene, rays, quirks=quirks,
+                                                 coherent=False),
+        }
+        for name, got in engines.items():
+            np.testing.assert_array_equal(np.asarray(ref.hit),
+                                          np.asarray(got.hit), err_msg=name)
+            hit = np.asarray(ref.hit)
+            np.testing.assert_allclose(np.asarray(got.t)[hit],
+                                       np.asarray(ref.t)[hit],
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
