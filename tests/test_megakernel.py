@@ -720,3 +720,53 @@ def test_mega_diff_honors_prebuilt_tables():
     assert np.abs(np.asarray(g0)).max() > 0
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_fuzz_mega_matches_wavefront_random_scenes():
+    """Randomized gate: random sphere+triangle+rect scenes with all four
+    materials, one injected sample stream, both quirk profiles — the fused
+    megakernel and the wavefront integrator must produce the same image to
+    f32 tolerance (rare winner flips on near-ties excepted)."""
+    rng = np.random.default_rng(11)
+    for scene_i in range(2):
+        b = SceneBuilder()
+        mats = [b.materials.lambertian(color=tuple(rng.uniform(0.2, 0.9, 3))),
+                b.materials.metal(tuple(rng.uniform(0.5, 1.0, 3)),
+                                  float(rng.uniform(0, 0.3))),
+                b.materials.dielectric(1.5),
+                b.materials.diffuse_light(color=(3.0, 3.0, 3.0))]
+        for k in range(6):
+            b.add_sphere(rng.uniform(-3, 3, 3) - [0, 0, 5],
+                         float(rng.uniform(0.3, 1.0)), mats[k % 4])
+        for k in range(10):
+            v0 = rng.uniform(-3, 3, 3) - [0, 0, 5]
+            v1 = v0 + rng.uniform(-1.5, 1.5, 3)
+            v2 = v0 + rng.uniform(-1.5, 1.5, 3)
+            n = np.cross(v1 - v0, v2 - v0)
+            n /= max(np.linalg.norm(n), 1e-12)
+            b.add_triangle(v0, v1, v2, mats[k % 3], normal=n)
+        b.add_rect(mats[3], position=(0, 4.0, -5), rotation=(90, 0, 0),
+                   scale=(3, 3, 1))
+        scene = b.build()
+        assert mk.megakernel_supported(scene)
+
+        n_rays = 1024
+        o = np.tile(np.array([[0, 0.5, 2.0]], np.float32), (n_rays, 1))
+        d = np.stack([rng.uniform(-0.8, 0.8, n_rays),
+                      rng.uniform(-0.6, 0.8, n_rays),
+                      -np.ones(n_rays)], 1).astype(np.float32)
+        from cudaraytracer_tpu.core.rays import make_rays
+        rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+        stream = integ.stream_from_key(jax.random.key(3), n_rays, 6)
+        for quirks in (Quirks.reference(), Quirks.fixed()):
+            cfg = _cfg(samples=1, max_depth=6, quirks=quirks)
+            ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(3),
+                                              cfg, samples=stream))
+            got = np.asarray(mk.trace_path_mega(scene, rays,
+                                                jax.random.key(3), cfg,
+                                                samples=stream))
+            assert ref.mean() > 0.01
+            dmax = np.abs(got - ref).max(axis=1)
+            n_bad = int((dmax > 1e-3).sum())
+            assert n_bad <= max(2, n_rays // 200), (
+                scene_i, str(quirks), n_bad, float(dmax.max()))
