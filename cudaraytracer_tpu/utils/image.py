@@ -114,12 +114,36 @@ def _unfilter(raw: np.ndarray, h: int, bpp: int, stride: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _deinterlace_adam7(raw: np.ndarray, w: int, h: int,
+                       bpp: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images, scattered onto the
+    full pixel grid -> uint8[h, w*bpp] reshaped by the caller."""
+    out = np.zeros((h, w, bpp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        n = ph * (stride + 1)
+        sub = _unfilter(raw[pos:pos + n], ph, bpp, stride)
+        pos += n
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    return out.reshape(h, w * bpp)
+
+
 def read_png(path: str) -> np.ndarray:
     """General PNG reader (stb_image analog for the ImageTexture path,
     texture.h:54-76): 8/16-bit, greyscale / RGB / palette / grey+alpha /
-    RGBA, all scanline filters 0-4.  Returns uint8[H, W, 3|4] (16-bit
-    downsampled to 8 like stb; grey expanded to RGB; palette resolved).
-    Adam7 interlacing is not supported (rare for textures; re-export)."""
+    RGBA, all scanline filters 0-4, Adam7 interlaced or not.  Returns
+    uint8[H, W, 3|4] (16-bit downsampled to 8 like stb; grey expanded to
+    RGB; palette resolved)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -135,8 +159,8 @@ def read_png(path: str) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body[:13])
-            if interlace:
-                raise ValueError(f"{path}: Adam7 interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"{path}: unknown interlace {interlace}")
             if depth not in (8, 16):
                 raise ValueError(f"{path}: bit depth {depth} unsupported")
         elif tag == b"PLTE":
@@ -151,7 +175,8 @@ def read_png(path: str) -> np.ndarray:
     bpp = channels * nbytes
     stride = w * bpp
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    px = _unfilter(raw, h, bpp, stride)
+    px = (_deinterlace_adam7(raw, w, h, bpp) if interlace
+          else _unfilter(raw, h, bpp, stride))
     if depth == 16:   # high byte == stb's 16->8 reduction
         px = px.reshape(h, w, channels, 2)[..., 0]
     else:

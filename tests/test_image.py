@@ -152,3 +152,33 @@ def test_image_texture_from_filtered_png(tmp_path):
     is_red = np.allclose(v, [1.0, 0.0, 0.0])
     is_blue = np.allclose(v, [0.0, 0.0, 1.0])
     assert is_red or is_blue, v
+
+
+def _png_interlaced(w, h, color_type, raw) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+@pytest.mark.parametrize("shape,ftype", [((8, 8), 0), ((9, 5), 4),
+                                         ((3, 2), 1), ((16, 13), 3)])
+def test_adam7_interlaced_rgb(tmp_path, shape, ftype):
+    """Adam7: seven independently-filtered sub-images scattered onto the
+    pixel grid — odd sizes exercise empty/truncated passes."""
+    h, w = shape
+    rng = np.random.default_rng(h * 31 + w)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        raw += _filter_rows(sub.reshape(ph, pw * 3), 3, lambda y: ftype)
+    p = tmp_path / f"adam7_{h}x{w}.png"
+    p.write_bytes(_png_interlaced(w, h, 2, bytes(raw)))
+    np.testing.assert_array_equal(read_png(str(p)), img)
