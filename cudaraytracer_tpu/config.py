@@ -151,6 +151,18 @@ class RenderConfig:
     # tested example of in-kernel MXU determinant evaluation; leave False
     # for production.  Requires tables from build_mega_tables(..., mxu=True).
     mega_mxu: bool = False
+    # engine='mega_diff' only: replay-based backward.  The fused forward also
+    # records each bounce's winning primitive id (one extra output plane per
+    # bounce); the custom VJP then differentiates a REPLAY of the bounce loop
+    # that gathers each stored winner and recomputes only its continuous
+    # quantities (ops/intersect.replay_hits) — O(rays x depth) instead of the
+    # full wavefront re-sweep (O(rays x depth x prims)).  Gradients are the
+    # same detached-discrete / attached-continuous estimator: the discrete
+    # argmin is piecewise-constant, so fixing the winner indices changes
+    # nothing where the two engines agree on winners (fp-marginal lanes may
+    # pick different — equally valid — subgradients).  False restores the
+    # round-2 behavior (full wavefront backward).
+    mega_replay_bwd: bool = True
     # Mesh axis names to all-reduce scene-parameter GRADIENTS over, applied
     # PER BOUNCE inside the backward scan (an identity whose cotangent is
     # pmean'd).  Each bounce's contribution reduces while the next bounce's

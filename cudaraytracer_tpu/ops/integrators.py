@@ -125,7 +125,9 @@ def _intersect(scene: Scene, rays: Rays, cfg: RenderConfig, intersect_fn=None,
 
 def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                intersect_fn=None, aux=None,
-               samples: Optional[SampleStream] = None) -> Array:
+               samples: Optional[SampleStream] = None,
+               winners: Optional[Array] = None,
+               return_winners: bool = False):
     """shade() as a wavefront scan. Returns radiance f32[N,3].
 
     Step i corresponds to the recursive call at depth = max_depth - i; the
@@ -134,6 +136,16 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
 
     samples: optional injected SampleStream replacing every key-derived draw
     (deterministic cross-renderer parity mode).
+
+    winners: optional i32[max_depth + 1, N] pre-recorded per-bounce winning
+    primitive ids (Hits.prim space, -1 = miss).  REPLAY mode: intersection
+    is replaced by ops/intersect.replay_hits — gather each stored winner and
+    recompute only its continuous quantities — which is what makes the
+    megakernel's replay backward O(rays x depth).  intersect_fn is ignored.
+
+    return_winners: also return that winners array as recorded by THIS
+    render (i32[max_depth + 1, N]) — the recording half of replay mode, and
+    the ground-truth oracle for testing replays.
     """
     n = rays.origin.shape[0]
     throughput0 = jnp.ones((n, 3), jnp.float32)
@@ -148,21 +160,32 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         return bounce
 
     def _step_xs(step):
-        if samples is None:
-            return jnp.int32(step)
-        return (jnp.int32(step), samples.ball[step], samples.prob[step])
+        xs = [jnp.int32(step)]
+        if samples is not None:
+            xs += [samples.ball[step], samples.prob[step]]
+        if winners is not None:
+            xs.append(winners[step])
+        return tuple(xs) if len(xs) > 1 else xs[0]
 
     def _scan_xs(lo, hi):
-        steps = jnp.arange(lo, hi)
-        if samples is None:
-            return steps
-        return (steps, samples.ball[lo:hi], samples.prob[lo:hi])
+        xs = [jnp.arange(lo, hi)]
+        if samples is not None:
+            xs += [samples.ball[lo:hi], samples.prob[lo:hi]]
+        if winners is not None:
+            xs.append(winners[lo:hi])
+        return tuple(xs) if len(xs) > 1 else xs[0]
 
     def _bounce_body(carry, xs, isect_fn):
-        if samples is None:
-            step, ball, prob = xs, None, None
+        ball = prob = win = None
+        if isinstance(xs, tuple):
+            it = iter(xs)
+            step = next(it)
+            if samples is not None:
+                ball, prob = next(it), next(it)
+            if winners is not None:
+                win = next(it)
         else:
-            step, ball, prob = xs
+            step = xs
         rays, throughput, radiance, alive = carry
         bounce_key = jax.random.fold_in(key, step)
         # per-bounce gradient bucketing: this bounce's scene-parameter
@@ -170,7 +193,11 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         # the neighbouring bounces' backward compute
         bscene = (_pmean_cotangent_tree(scene, cfg.grad_sync_axes)
                   if cfg.grad_sync_axes else scene)
-        hits = _intersect(bscene, rays, cfg, isect_fn, aux)
+        if win is not None:
+            hits = _isect.replay_hits(bscene, rays, win, cfg.t_min,
+                                      cfg.t_max, cfg.quirks)
+        else:
+            hits = _intersect(bscene, rays, cfg, isect_fn, aux)
 
         emitted = _mat.emitted(bscene.materials, bscene.textures, hits.mat,
                                hits.u, hits.v, hits.p)
@@ -196,7 +223,9 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
             jnp.where(continues[..., None], sc.scattered.origin, rays.origin),
             jnp.where(continues[..., None], sc.scattered.direction, rays.direction),
             jnp.where(continues, sc.scattered.time, rays.time))
-        return (new_rays, throughput, radiance, continues), None
+        ys = (jnp.where(alive & hits.hit, hits.prim, -1) if return_winners
+              else None)
+        return (new_rays, throughput, radiance, continues), ys
 
     carry = (rays, throughput0, radiance0, alive0)
     # Each bounce body is jax.checkpoint'ed: reverse-mode rematerializes per
@@ -206,13 +235,18 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     # with primary_fn and the rest scan with bounce_fn; with a single fn the
     # whole depth stays in one scan (smaller program, same math).
     if primary_fn is bounce_fn:
-        carry, _ = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)), carry,
-                                _scan_xs(0, cfg.max_depth + 1))
+        carry, ys = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)), carry,
+                                 _scan_xs(0, cfg.max_depth + 1))
     else:
-        carry, _ = jax.checkpoint(make_bounce(primary_fn))(carry, _step_xs(0))
+        carry, y0 = jax.checkpoint(make_bounce(primary_fn))(carry, _step_xs(0))
+        ys = y0[None] if return_winners else None
         if cfg.max_depth >= 1:
-            carry, _ = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)),
-                                    carry, _scan_xs(1, cfg.max_depth + 1))
+            carry, ys1 = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)),
+                                      carry, _scan_xs(1, cfg.max_depth + 1))
+            if return_winners:
+                ys = jnp.concatenate([ys, ys1])
+    if return_winners:
+        return carry[2], ys
     return carry[2]
 
 

@@ -208,7 +208,11 @@ def t_sphere_candidates(rays: Rays, tsph, t_min, t_max):
     ok1 = (disc > 0.0) & (t1 < t_max) & (t1 > t_min)
     t = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
     valid = ok0 | ok1
-    p = o + t[..., None] * d
+    # p at t = BIG overflows to inf for invalid candidates, and the masked
+    # 1/r radius partial of `normal` would then be 0 * inf = NaN in the
+    # backward — compute p at t = 0 there (finalize gathers winners only)
+    t_p = jnp.where(valid, t, 0.0)
+    p = o + t_p[..., None] * d
     normal = v3.rotate(p / r[..., None], tsph.trs.rotation[None])
     t_cmp = t / raw_len
     return valid, jnp.where(valid, t_cmp, BIG), p, normal
@@ -474,13 +478,17 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         radius = scene.spheres.radius[si]
         is_s = hit & (best_idx < n_s)
         # sphere.h:40 — normal = p / radius in object space => (p - c)/r world.
-        s_norm = (p - center) / radius[..., None]
+        # Double-where the INPUT: non-winner lanes pair p (possibly inf at
+        # t = BIG) with a clipped sphere, and the masked-out 1/r^2 radius
+        # partial would be inf — 0 cotangent * inf = NaN in the backward.
+        p_in = jnp.where(is_s[..., None], p, center)
+        s_norm = (p_in - center) / radius[..., None]
         # get_sphere_uv (texture.h:45-50) on the unit normal; reference leaves
         # sphere u,v uninitialized (never set in Sphere::collision_detection) —
         # we define them via the existing helper (its z-based theta verbatim).
         sp = s_norm
         phi = jnp.arctan2(sp[..., 2], sp[..., 0])
-        theta = jnp.arcsin(jnp.clip(sp[..., 2], -1.0, 1.0))
+        theta = _safe_arcsin(sp[..., 2])
         s_u = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
         s_v = (theta + jnp.pi / 2.0) / jnp.pi
         normal = jnp.where(is_s[..., None], s_norm, normal)
@@ -530,7 +538,7 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         # the reference leaves sphere u,v uninitialized)
         tsn_w = tsn[rows, si]
         ts_phi = jnp.arctan2(tsn_w[..., 2], tsn_w[..., 0])
-        ts_theta = jnp.arcsin(jnp.clip(tsn_w[..., 2], -1.0, 1.0))
+        ts_theta = _safe_arcsin(tsn_w[..., 2])
         u = jnp.where(is_ts, 1.0 - (ts_phi + jnp.pi) / (2.0 * jnp.pi), u)
         vv = jnp.where(is_ts, (ts_theta + jnp.pi / 2.0) / jnp.pi, vv)
         mat = jnp.where(is_ts, scene.t_spheres.mat[si], mat)
@@ -547,6 +555,108 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         mat = jnp.where(is_tt, scene.t_triangles.mat[ti2], mat)
 
     return Hits(hit, t, p, normal, u, vv, mat, best_idx)
+
+
+def replay_hits(scene: Scene, rays: Rays, winner: Array, t_min, t_max,
+                quirks: Quirks, tri_override=None) -> Hits:
+    """Hit record for a PRE-DECIDED winner — the replay half of the
+    detached-discrete / attached-continuous estimator (see
+    ops/integrators.py module docstring).
+
+    winner: i32[N] global primitive index in the Hits.prim index space
+    ([spheres | triangles | rects]); -1 = miss.  Instead of sweeping all
+    primitives, this gathers each ray's single winning primitive and
+    recomputes only its CONTINUOUS quantities (t, p, normal, u, v)
+    differentiably — O(N) per bounce vs the O(N x prims) sweep.  Because
+    the discrete argmin the sweep performs is piecewise-constant in the
+    scene parameters, gradients through this replay equal the full
+    intersect_scene gradients wherever the recorded winners match the
+    sweep's winners.  Used by the megakernel's replay backward
+    (ops/megakernel.trace_path_mega_diff with cfg.mega_replay_bwd).
+
+    Validity windows are NOT re-applied: the winner already passed them in
+    the recording pass, and re-testing at f32 would let an fp-marginal
+    disagreement replace a real t with BIG (whose point_at overflows to
+    inf and NaNs the backward).  Root/branch choices that pick WHICH
+    continuous value to return (sphere nearest-root) are re-derived; a
+    marginal flip there selects between two nearly-equal roots.
+    """
+    if scene.n_t_spheres or scene.n_t_triangles:
+        raise ValueError("replay_hits covers the megakernel scene scope: "
+                         "runtime-TRS primitives are not supported")
+    n = rays.origin.shape[0]
+    n_s, n_t, n_r = scene.n_spheres, scene.n_triangles, scene.n_rects
+    t_min = jnp.float32(t_min)
+    t_max = jnp.float32(t_max)
+    hit = winner >= 0
+    idx = jnp.maximum(winner, 0)
+    best_t = jnp.full((n,), BIG)
+
+    if n_s:
+        si = jnp.clip(idx, 0, n_s - 1)
+        ts = _sphere_single(rays, scene.spheres.center[si],
+                            scene.spheres.radius[si], t_min, t_max)
+        is_s = hit & (winner < n_s)
+        best_t = jnp.where(is_s, ts, best_t)
+
+    if n_t:
+        tv0, tv1, tv2, tnorm = (tri_override if tri_override is not None else
+                                (scene.triangles.v0, scene.triangles.v1,
+                                 scene.triangles.v2, scene.triangles.normal))
+        ti = jnp.clip(idx - n_s, 0, n_t - 1)
+        _, tt, _, _ = _tri_single(rays, tv0[ti], tv1[ti], tv2[ti], tnorm[ti],
+                                  t_min, t_max, quirks)
+        is_t = hit & (winner >= n_s) & (winner < n_s + n_t)
+        best_t = jnp.where(is_t, tt, best_t)
+
+    if n_r:
+        # raw per-rect plane t (no validity mask — see docstring), rescaled
+        # into the caller's raw-direction parameterization exactly as
+        # rect_candidates does
+        o, d, raw_len = _transform_rays_nc(rays, scene.rects.trs)
+        dz = d[..., 2]
+        tz = -o[..., 2] / jnp.where(dz != 0.0, dz, 1.0)
+        t_cmp = tz / raw_len
+        ri = jnp.clip(idx - n_s - n_t, 0, n_r - 1)
+        rows = jnp.arange(n)
+        is_r = hit & (winner >= n_s + n_t)
+        best_t = jnp.where(is_r, t_cmp[rows, ri], best_t)
+
+    return finalize_hits(scene, rays, jnp.where(hit, best_t, BIG), winner,
+                         t_min, t_max, quirks, tri_override)
+
+
+def _sphere_single(rays: Rays, center, radius, t_min, t_max):
+    """Nearest in-range quadratic root for one already-chosen sphere per ray
+    (sphere.h:27-55, N-wise).  Non-winner lanes pair with a CLIPPED index —
+    double-where keeps their (masked-out) values finite.  Falls back to the
+    far root (not BIG) when the recompute finds neither root in-window, so a
+    recorded winner can never produce an overflow t."""
+    oc = rays.origin - center
+    d = rays.direction
+    a = jnp.sum(d * d, axis=-1)
+    b = jnp.sum(oc * d, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - a * c
+    disc_safe = jnp.where(disc > 0.0, disc, 1.0)
+    sq = jnp.where(disc > 0.0, jnp.sqrt(disc_safe), 0.0)
+    t0 = (-b - sq) / a
+    t1 = (-b + sq) / a
+    ok0 = (disc > 0.0) & (t0 < t_max) & (t0 > t_min)
+    return jnp.where(ok0, t0, t1)
+
+
+def _safe_arcsin(z: Array) -> Array:
+    """arcsin(clip(z, -1, 1)) with finite gradients everywhere: the bare
+    composition is 0 * inf = NaN in the backward at |z| >= 1 (clip' = 0
+    outside, arcsin' = inf at the boundary — and unit normals land exactly
+    on +-1 at sphere poles / beyond it by fp rounding).  Values unchanged;
+    the gradient at the poles is defined as 0 (the true one is infinite)."""
+    zc = jnp.clip(z, -1.0, 1.0)
+    interior = jnp.abs(zc) < 1.0
+    inner = jnp.where(interior, zc, 0.0)
+    return jnp.where(interior, jnp.arcsin(inner),
+                     jnp.sign(zc) * (jnp.pi / 2.0))
 
 
 def _tri_single(rays: Rays, v0, v1, v2, nrm, t_min, t_max, quirks: Quirks):

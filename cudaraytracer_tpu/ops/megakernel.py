@@ -45,9 +45,10 @@ Design notes (see also ops/pallas_intersect.py, whose sweep math this reuses):
     integrator, render.h:70-87) and shade_normal.  Rects run in-kernel too
     (unrolled per rect — the reference transform chain with precomputed
     rotation rows).  Scenes with runtime-TRS primitives or image textures
-    fall back to the wavefront path (megakernel_supported()).  The megakernel is forward-only; the
-    differentiable path remains ops/integrators.trace_path with the
-    custom-VJP sweeps.
+    fall back to the wavefront path (megakernel_supported()).  The kernel is
+    forward-only but can RECORD each bounce's winning primitive id
+    (want_winners); engine='mega_diff' differentiates by replaying those
+    winners through ops/integrators.trace_path — see trace_path_mega_diff.
 
 Material/texture/shade math mirrors models/materials.py and
 ops/integrators.py line for line (same reference citations apply).
@@ -146,6 +147,9 @@ class MegaTables(NamedTuple):
     rect: Array      # f32[R_pad, 128] runtime rects (see R_* lane layout)
     tri_coef: Array  # f32[N_Q * T_pad, 128] MXU determinant coefficients
     #                  (built only with mxu=True; (8,128) zeros otherwise)
+    sph_map: Array   # i32[S_pad] table row -> SCENE sphere index (inverts
+    #                  sph_order + padding; pad rows map to their source prim)
+    tri_map: Array   # i32[T_pad] table row -> scene triangle index
 
 
 def megakernel_supported(scene: Scene) -> bool:
@@ -257,9 +261,12 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
     if n_s:
         sp = scene.spheres
         center, radius, smat = sp.center, sp.radius, sp.mat
+        sph_map = jnp.arange(n_s, dtype=jnp.int32)
         if sph_order is not None:
             order = jnp.asarray(sph_order)
             center, radius, smat = center[order], radius[order], smat[order]
+            sph_map = order.astype(jnp.int32)
+        sph_map = _pad_rows(sph_map, sph_mult, repeat_last=True)
         cols = jnp.concatenate([
             center,
             (radius * radius)[:, None],
@@ -277,14 +284,18 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
         sph = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
         sph_box = jnp.zeros((8, LANES), jnp.float32)
         sph_super = jnp.zeros((8, LANES), jnp.float32)
+        sph_map = jnp.zeros((PRIM_CHUNK,), jnp.int32)
 
     if n_t:
         tr = scene.triangles
         v0, v1, v2, nrm, mid = tr.v0, tr.v1, tr.v2, tr.normal, tr.mat
+        tri_map = jnp.arange(n_t, dtype=jnp.int32)
         if tri_order is not None:
             order = jnp.asarray(tri_order)
             v0, v1, v2 = v0[order], v1[order], v2[order]
             nrm, mid = nrm[order], mid[order]
+            tri_map = order.astype(jnp.int32)
+        tri_map = _pad_rows(tri_map, tri_mult, repeat_last=True)
         cols = jnp.concatenate([
             v0, v1 - v0, v2 - v0, nrm, _mat_lanes(scene, mid)], axis=1)
         tri = pack(cols, tri_mult)
@@ -325,6 +336,7 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
         tri_super = jnp.zeros((8, LANES), jnp.float32)
         tri_seg = jnp.zeros((8, LANES), jnp.float32)
         tri_coef = jnp.zeros((8, LANES), jnp.float32)
+        tri_map = jnp.zeros((SUPER_T,), jnp.int32)
 
     if scene.n_rects:
         from ..core import vec as _v3
@@ -341,7 +353,7 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
         rect = jnp.zeros((8, LANES), jnp.float32)
 
     return MegaTables(sph, sph_box, sph_super, tri, tri_box, tri_super,
-                      tri_seg, rect, tri_coef)
+                      tri_seg, rect, tri_coef, sph_map, tri_map)
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +371,9 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                  stream_tri: bool = False, n_tri_segs: int = 0,
                  integrator: str = "path", lambert_unnorm: bool = True,
                  resume: bool = False, dump_state: bool = False,
-                 n_steps: int = 0, f2b: int = 0, mxu: bool = False):
+                 n_steps: int = 0, f2b: int = 0, mxu: bool = False,
+                 want_winners: bool = False, tri_off: int = 0,
+                 rect_off: int = 0):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
     tri_coef_ref = rest.pop(0) if mxu else None   # HBM (N_Q*T_pad, 128)
@@ -480,7 +494,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
 
         best_t = jnp.full(shape, BIG, jnp.float32)
         attrs = tuple(jnp.zeros(shape, jnp.float32)
-                      for _ in range(4 + N_MAT_COMPS))
+                      for _ in range(4 + N_MAT_COMPS + want_winners))
 
         def body(j, carry):
             best_t, attrs = carry
@@ -514,6 +528,9 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                           lambda: comp(sph_ref, base, S_INVR)]
                          + [functools.partial(comp, sph_ref, base, S_MAT + k)
                             for k in range(N_MAT_COMPS)])
+                if want_winners:   # winner TABLE row as one more carried attr
+                    reads.append(
+                        lambda: (piota + base).astype(jnp.float32))
                 attrs = pick_attrs(wmask, take, reads, attrs)
                 return jnp.where(take, tmin, best_t), attrs
 
@@ -616,7 +633,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
 
         best_t0 = jnp.full(shape, BIG, jnp.float32)
         attrs0 = tuple(jnp.zeros(shape, jnp.float32)
-                       for _ in range(3 + N_MAT_COMPS))
+                       for _ in range(3 + N_MAT_COMPS + want_winners))
 
         def chunk_math(src_ref, base, idx_base, carry):
             """Moller-Trumbore over one PRIM_CHUNK chunk read from src_ref at
@@ -663,6 +680,9 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             reads = ([lambda v=nx: v, lambda v=ny: v, lambda v=nz: v]
                      + [functools.partial(comp, src_ref, base, T_MAT + k)
                         for k in range(N_MAT_COMPS)])
+            if want_winners:     # winner TABLE row as one more carried attr
+                reads.append(
+                    lambda: (piota + idx_base).astype(jnp.float32))
             attrs = pick_attrs(wmask, take, reads, attrs)
             return jnp.where(take, tmin, best_t), attrs
 
@@ -916,7 +936,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         best_t = jnp.full(shape, BIG, jnp.float32)
         attrs = tuple(jnp.zeros(shape, jnp.float32)
-                      for _ in range(6 + N_MAT_COMPS))
+                      for _ in range(6 + N_MAT_COMPS + want_winners))
 
         def sc(r, k):
             return box_scalar(rect_ref, r, k)
@@ -953,6 +973,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                    sc(r, R_NRM) + 0.0 * x, sc(r, R_NRM + 1) + 0.0 * x,
                    sc(r, R_NRM + 2) + 0.0 * x) + tuple(
                        sc(r, R_MAT + k) + 0.0 * x for k in range(N_MAT_COMPS))
+            if want_winners:     # winner rect index as one more carried attr
+                new = new + (float(r) + 0.0 * x,)
             # p_obj = (x, y, ~0): the rect lives on its object z=0 plane
             attrs = tuple(jnp.where(take, nv, av)
                           for nv, av in zip(new, attrs))
@@ -985,8 +1007,12 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     # Bounce loop
     # ------------------------------------------------------------------
     def bounce(step, carry):
+        # want_winners: carry has a 14th plane (this bounce's winner TABLE
+        # id, seeded -1 by the caller); live overwrites it, the identity
+        # branch below passes the -1 seed through for dead tiles.
         def live(carry):
-            (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb, alive_f) = carry
+            (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb,
+             alive_f) = carry[:13]
             # alive is carried as f32 0/1 — Mosaic cannot carry i1 vectors
             # through fori/cond boundaries (trunci to i1 is unsupported).
             alive = alive_f > 0.0
@@ -996,13 +1022,13 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             else:
                 s_t = jnp.full(shape, BIG, jnp.float32)
                 s_at = tuple(jnp.zeros(shape, jnp.float32)
-                             for _ in range(4 + N_MAT_COMPS))
+                             for _ in range(4 + N_MAT_COMPS + want_winners))
             if has_tri:
                 t_t, t_at = tri_sweep(ox, oy, oz, dx, dy, dz, alive_f)
             else:
                 t_t = jnp.full(shape, BIG, jnp.float32)
                 t_at = tuple(jnp.zeros(shape, jnp.float32)
-                             for _ in range(3 + N_MAT_COMPS))
+                             for _ in range(3 + N_MAT_COMPS + want_winners))
 
             tri_w = t_t < s_t
             t = jnp.where(tri_w, t_t, s_t)
@@ -1142,10 +1168,22 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             dx = jnp.where(continues, outx, dx)
             dy = jnp.where(continues, outy, dy)
             dz = jnp.where(continues, outz, dz)
-            return (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb,
-                    jnp.where(continues, 1.0, 0.0))
+            out = (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb,
+                   jnp.where(continues, 1.0, 0.0))
+            if want_winners:
+                # winner TABLE id ([sphere rows | +tri_off tri rows |
+                # +rect_off rect index]; -1 = miss/dead), carried so the
+                # (unrolled) driver can store it per bounce
+                wid = jnp.where(tri_w, t_at[3 + N_MAT_COMPS] + float(tri_off),
+                                s_at[4 + N_MAT_COMPS])
+                if n_rects:
+                    wid = jnp.where(rect_w,
+                                    r_at[6 + N_MAT_COMPS] + float(rect_off),
+                                    wid)
+                out = out + (jnp.where(alive & hit, wid, -1.0),)
+            return out
 
-        return jax.lax.cond(jnp.any(carry[-1] > 0.0), live, lambda c: c,
+        return jax.lax.cond(jnp.any(carry[12] > 0.0), live, lambda c: c,
                             carry)
 
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
@@ -1161,7 +1199,18 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             carry = (ox, oy, oz, dx, dy, dz, one, one, one,
                      zero, zero, zero, one)
         assert n_steps > 0, "caller (_mega_call) resolves the step count"
-        carry = jax.lax.fori_loop(0, n_steps, bounce, carry)
+        if want_winners:
+            # Unrolled so each bounce's winner plane is stored at a STATIC
+            # leading index (and so the -1 seed can be threaded per step).
+            # n_steps is small (max_depth + 1); the math is identical to the
+            # fori_loop path.
+            neg1 = jnp.full(shape, -1.0, jnp.float32)
+            for step in range(n_steps):
+                stepped = bounce(step, carry + (neg1,))
+                out_ref[3 + step] = stepped[13]
+                carry = stepped[:13]
+        else:
+            carry = jax.lax.fori_loop(0, n_steps, bounce, carry)
         out_ref[0] = carry[9]
         out_ref[1] = carry[10]
         out_ref[2] = carry[11]
@@ -1490,26 +1539,44 @@ def select_mega(scene, rays, key, cfg, tables=None, samples=None) -> Array:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _mega_diff(scene, rays, stream, cfg, tables):
+    if cfg.mega_replay_bwd:
+        # monolithic kernel: the same driver the recording fwd pass uses,
+        # so primal and fwd values agree bit-for-bit
+        return trace_path_mega(scene, rays, jax.random.key(0), cfg,
+                               tables=tables, samples=stream)
     return select_mega(scene, rays, jax.random.key(0), cfg, tables=tables,
                        samples=stream)
 
 
 def _mega_diff_fwd(scene, rays, stream, cfg, tables):
+    if cfg.mega_replay_bwd:
+        # record each bounce's winning primitive alongside the radiance;
+        # the backward replays ONLY those winners (O(rays x depth))
+        out, winners = trace_path_mega(scene, rays, jax.random.key(0), cfg,
+                                       tables=tables, samples=stream,
+                                       want_winners=True)
+        return out, (scene, rays, stream, tables, winners)
     out = _mega_diff(scene, rays, stream, cfg, tables)
-    return out, (scene, rays, stream, tables)
+    return out, (scene, rays, stream, tables, None)
 
 
 def _mega_diff_bwd(cfg, res, g):
     from .integrators import trace_path   # local: avoid import cycle
-    scene, rays, stream, tables = res
-    # backward through the WAVEFRONT integrator consuming the SAME stream:
-    # both engines compute the same function of (scene, rays, stream) (tests
-    # pin them to fp tolerance), so its VJP is the exact gradient.  tables
-    # are a (redundant) packing of scene, so their cotangent is zero — the
-    # full scene gradient already flows through the wavefront VJP.
+    scene, rays, stream, tables, winners = res
+    # backward through the wavefront integrator consuming the SAME stream —
+    # with the recorded winners (cfg.mega_replay_bwd) it gathers each
+    # bounce's single winner instead of re-sweeping every primitive
+    # (ops/intersect.replay_hits), the detached-discrete estimator's replay
+    # form; without them it re-runs the full sweeps (round-2 behavior).
+    # Both compute the same function of (scene, rays, stream) as the fused
+    # forward (tests pin them to fp tolerance), so the VJP is the exact
+    # gradient.  tables are a (redundant) packing of scene, so their
+    # cotangent is zero — the full scene gradient already flows through the
+    # wavefront VJP.
     _, vjp = jax.vjp(
         lambda sc, ry: trace_path(sc, ry, jax.random.key(0), cfg,
-                                  samples=stream), scene, rays)
+                                  samples=stream, winners=winners),
+        scene, rays)
     g_scene, g_rays = vjp(g)
     return (g_scene, g_rays, jax.tree.map(jnp.zeros_like, stream),
             jax.tree.map(jnp.zeros_like, tables))
@@ -1521,15 +1588,20 @@ _mega_diff.defvjp(_mega_diff_fwd, _mega_diff_bwd)
 def trace_path_mega_diff(scene: Scene, rays: Rays, key: jax.Array,
                          cfg: RenderConfig, samples=None,
                          tables: Optional[MegaTables] = None) -> Array:
-    """DIFFERENTIABLE fused path: megakernel forward + wavefront backward
+    """DIFFERENTIABLE fused path: megakernel forward + replay backward
     sharing one injected sample stream (engine='mega_diff').
 
     The stream is generated on-device from `key` (the wavefront integrator's
-    exact internal draws), fed to the megakernel forward, and replayed by the
-    custom VJP through ops/integrators.trace_path — whose checkpointed
-    backward scan (and per-bounce grad_sync_axes collectives, if set) then
-    produces exact gradients for scene parameters and rays.  Training steps
-    keep the wavefront backward cost but gain the ~13x fused forward.
+    exact internal draws) and fed to the megakernel forward.  With
+    cfg.mega_replay_bwd (default) the forward also records each bounce's
+    winning primitive id, and the custom VJP differentiates a REPLAY through
+    ops/integrators.trace_path(winners=...) that gathers only those winners
+    (ops/intersect.replay_hits) — the backward then costs O(rays x depth)
+    instead of re-sweeping every primitive per bounce.  The checkpointed
+    backward scan (and per-bounce grad_sync_axes collectives, if set)
+    produces exact gradients for scene parameters and rays.  With
+    cfg.mega_replay_bwd=False the VJP re-runs the full wavefront sweeps
+    (round-2 behavior).
 
     tables: optional prebuilt MegaTables (e.g. Morton-ordered) for the fused
     forward — pass tables REBUILT from the current scene each step when
@@ -1553,18 +1625,25 @@ def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:
 
 
 def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
-               state=None, dump_state=False, step_lo=0, n_steps=0):
+               state=None, dump_state=False, step_lo=0, n_steps=0,
+               want_winners=False):
     """One pallas_call over padded (3, rows, LANES) ray planes.
 
     state: optional (4, rows, LANES) [thr rgb | alive] to RESUME mid-path.
     dump_state: emit (13, rows, LANES) [rad | o | d | thr | alive] instead of
     the (3, ...) radiance — the compaction pipeline's phase-A output.
     step_lo / n_steps: global bounce window (depth budget uses step_lo).
+    want_winners: path integrator only — emit (3 + steps, rows, LANES):
+    radiance followed by each bounce's winning primitive TABLE id as f32
+    (-1 = miss/dead; see trace_path_mega for the scene-index remap).  Forces
+    the VPU sweep (the MXU sweep's scratch layout has no winner plane).
     """
     rows = o.shape[1]
     injected = stream_planes is not None
     stream_tri = scene.n_triangles > MAX_VMEM_PRIMS
-    mxu = bool(cfg.mega_mxu) and stream_tri
+    mxu = bool(cfg.mega_mxu) and stream_tri and not want_winners
+    if want_winners:
+        assert cfg.integrator == "path" and not dump_state and state is None
     if mxu and tables.tri_coef.shape[0] != N_Q * tables.tri.shape[0]:
         raise ValueError(
             "cfg.mega_mxu requires coefficient tables: rebuild with "
@@ -1590,7 +1669,9 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         lambert_unnorm=q.lambert_unnormalized_dot,
         resume=state is not None, dump_state=dump_state,
         n_steps=n_steps if n_steps else (cfg.max_depth + 1 - step_lo),
-        f2b=0 if mxu else cfg.mega_f2b_shells, mxu=mxu)
+        f2b=0 if mxu else cfg.mega_f2b_shells, mxu=mxu,
+        want_winners=want_winners, tri_off=tables.sph.shape[0],
+        rect_off=tables.sph.shape[0] + tables.tri.shape[0])
 
     grid = (rows // TILE_ROWS,)
     full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
@@ -1640,7 +1721,8 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     else:
         scratch = []
 
-    n_out = 13 if dump_state else 3
+    n_steps_eff = n_steps if n_steps else (cfg.max_depth + 1 - step_lo)
+    n_out = 13 if dump_state else (3 + n_steps_eff if want_winners else 3)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1654,7 +1736,7 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
 
 def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
                     cfg: RenderConfig, tables: Optional[MegaTables] = None,
-                    samples=None) -> Array:
+                    samples=None, want_winners: bool = False):
     """Fused integrator (cfg.integrator: path / lambert / normal) — drop-in
     for integrators.integrate on supported scenes (forward only).  Returns
     radiance f32[N, 3].
@@ -1663,12 +1745,19 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
     On non-TPU backends, where the Mosaic PRNG doesn't lower, the wrapper
     injects stream_from_key(key, ...) — the jnp integrator's exact stream —
     automatically, so CPU results match trace_path to fp tolerance.
+
+    want_winners (path only): return (radiance, winners) where winners is
+    i32[max_depth + 1, N] — each bounce's winning primitive in the SCENE
+    index space of intersect.Hits.prim ([spheres | triangles | rects],
+    -1 = miss/dead) — the recording the replay backward consumes
+    (trace_path_mega_diff / integrators.trace_path(winners=...)).
     """
     from .integrators import stream_from_key   # local: avoid import cycle
 
     if tables is None:
         tables = build_mega_tables(
-            scene, mxu=cfg.mega_mxu and scene.n_triangles > MAX_VMEM_PRIMS)
+            scene, mxu=cfg.mega_mxu and scene.n_triangles > MAX_VMEM_PRIMS
+            and not want_winners)
     n = rays.origin.shape[0]
     rows = _ray_rows(n)
     o = jnp.stack([_pad_rays(rays.origin[:, k], rows) for k in range(3)])
@@ -1681,5 +1770,27 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
     planes = (_stream_planes(samples.ball, samples.prob, rows)
               if injected else None)
 
-    out = _mega_call(scene, o, d, key, cfg, tables, stream_planes=planes)
-    return out.reshape(3, -1)[:, :n].T
+    out = _mega_call(scene, o, d, key, cfg, tables, stream_planes=planes,
+                     want_winners=want_winners)
+    flat = out.reshape(out.shape[0], -1)[:, :n]
+    if not want_winners:
+        return flat[:3].T
+    winners = _winners_to_scene(scene, tables,
+                                flat[3:].astype(jnp.int32))
+    return flat[:3].T, winners
+
+
+def _winners_to_scene(scene: Scene, tables: MegaTables, w: Array) -> Array:
+    """Map winner TABLE ids ([sphere rows | +S_pad tri rows | +S_pad+T_pad
+    rect index], -1 = miss) into the SCENE prim-index space of
+    intersect.Hits.prim, undoing the tables' Morton permutation and padding
+    (pad rows repeat their source prim, so mapping them to that prim is the
+    duplicate's correct identity)."""
+    s_pad = tables.sph.shape[0]
+    t_pad = tables.tri.shape[0]
+    n_s, n_t = scene.n_spheres, scene.n_triangles
+    sid = tables.sph_map[jnp.clip(w, 0, s_pad - 1)]
+    tid = tables.tri_map[jnp.clip(w - s_pad, 0, t_pad - 1)] + n_s
+    rid = w - (s_pad + t_pad) + n_s + n_t
+    out = jnp.where(w < s_pad, sid, jnp.where(w < s_pad + t_pad, tid, rid))
+    return jnp.where(w < 0, -1, out)
