@@ -30,11 +30,13 @@ def main(argv=None):
     ap.add_argument("--cpu-devices", type=int, default=8)
     ap.add_argument("--engine", default="wavefront",
                     choices=["wavefront", "mega_diff"],
-                    help="mega_diff = fused megakernel forward + wavefront "
-                         "backward on one injected stream (exact grads; "
-                         "same grad-step cost as wavefront since the VJP "
-                         "replays the wavefront forward - it pays off when "
-                         "the loop also RENDERS, e.g. eval/preview frames)")
+                    help="mega_diff = fused megakernel forward that records "
+                         "each bounce's winning primitive + a replay "
+                         "backward that gathers only those winners "
+                         "(cfg.mega_replay_bwd; exact grads, no re-sweep). "
+                         "Default stays wavefront until the TPU fit-step "
+                         "measurement (bench.py BENCH_FIT=1) confirms the "
+                         "replay wins end-to-end.")
     ap.add_argument("--out", default="/tmp/fit")
     ap.add_argument("--checkpoint-every", type=int, default=25,
                     help="save params every N steps (0 disables)")

@@ -22,7 +22,8 @@ Secondary metrics ride in the same JSON line under "secondary":
 Env knobs: BENCH_ENGINE (mega|wavefront), BENCH_SPP, BENCH_WIDTH/HEIGHT,
 BENCH_CHUNK, BENCH_SCENE (random_spheres|three_spheres|mesh), BENCH_ITERS,
 BENCH_MESH=0 to skip the mesh secondary, BENCH_BIG=1 (124k-tri streamed
-field + auto octant compaction), BENCH_BWD=1, BENCH_WAVEFRONT=1,
+field + auto octant compaction), BENCH_BWD=1, BENCH_FIT=1 (training-step
+time: wavefront vs mega_diff replay backward), BENCH_WAVEFRONT=1,
 BENCH_UPDATE_BASELINE=1.
 """
 
@@ -178,6 +179,59 @@ def _bwd_fwd_ratios(scene, cam, cfg):
     return ratio(Albedo()), ratio(Centers())
 
 
+def _fit_step_times(n_steps: int = 4):
+    """Seconds per training step (value_and_grad + SGD on albedo AND sphere
+    centers, 512x256x4spp depth-4 three_spheres) for the wavefront engine vs
+    engine='mega_diff' (fused forward + replay backward, cfg.mega_replay_bwd).
+    Steps run inside ONE jitted scan with a scalar fetch (tunnel-safe
+    timing); mega tables rebuild from the moving scene inside the step, as a
+    geometry fit requires."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops.integrators import integrate
+    from cudaraytracer_tpu.core.camera import generate_pixel_rays
+
+    scene, cam = presets.three_spheres(aspect=2.0)
+    base = crt.RenderConfig(width=512, height=256, samples=4, max_depth=4,
+                            gamma=False)
+    rays = generate_pixel_rays(cam, base.width, base.height, base.samples,
+                               jax.random.key(0))
+    key = jax.random.key(1)
+    target = integrate(scene, rays, key, base)
+    p0 = {"albedo": scene.textures.color0 * 0.6 + 0.1,
+          "centers": scene.spheres.center + 0.05}
+
+    def time_engine(engine):
+        cfg = dataclasses.replace(base, engine=engine)
+
+        def loss(p):
+            s = scene._replace(
+                spheres=scene.spheres._replace(center=p["centers"]),
+                textures=scene.textures._replace(color0=p["albedo"]))
+            return jnp.mean((integrate(s, rays, key, cfg) - target) ** 2)
+
+        @jax.jit
+        def run(p):
+            def body(p, _):
+                l, g = jax.value_and_grad(loss)(p)
+                return jax.tree.map(lambda x, gx: x - 0.5 * gx, p, g), l
+            p, ls = jax.lax.scan(body, p, None, length=n_steps)
+            return ls[-1]
+
+        float(run(p0))                      # warmup/compile
+        t0 = time.perf_counter()
+        l = float(run(p0))
+        dt = (time.perf_counter() - t0) / n_steps
+        assert l == l, "NaN fit loss"
+        return dt
+
+    return time_engine("wavefront"), time_engine("mega_diff")
+
+
 def main() -> int:
     import jax
 
@@ -254,6 +308,11 @@ def main() -> int:
         wdt = _timed_render(scene, cam, wcfg, pallas_intersector(wcfg),
                             n_iters)
         secondary["wavefront_rays_per_sec"] = round(rays / wdt, 1)
+
+    if os.environ.get("BENCH_FIT", "0") == "1":  # opt-in: grad compiles
+        wdt_f, mdt_f = _fit_step_times()
+        secondary["fit_step_wavefront_sec"] = round(wdt_f, 4)
+        secondary["fit_step_mega_diff_sec"] = round(mdt_f, 4)
 
     if os.environ.get("BENCH_BWD", "0") == "1":  # opt-in: slow grad compiles
         from cudaraytracer_tpu.models import presets
