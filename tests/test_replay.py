@@ -238,6 +238,37 @@ def test_replay_flag_off_restores_full_backward():
                                rtol=1e-4, atol=1e-7)
 
 
+def test_replay_distributed_fit_step_matches_wavefront():
+    """engine='mega_diff' (replay backward) inside the sharded fit step —
+    shard_map over ('dp','tp') with the PER-BOUNCE overlapped gradient
+    all-reduce (cfg.grad_sync_axes rides the replay's bounce scan too) —
+    produces the same loss and updated params as the wavefront engine."""
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops.render import render_image
+    from cudaraytracer_tpu.parallel.mesh import make_mesh
+    from cudaraytracer_tpu.parallel.train import make_fit_step
+
+    scene, cam = presets.three_spheres(aspect=2.0)
+    cfg_w = crt.RenderConfig(width=32, height=16, samples=1, max_depth=4,
+                             integrator="path", gamma=False,
+                             ray_chunk=1 << 20)
+    cfg_m = dataclasses.replace(cfg_w, engine="mega_diff")
+    mesh = make_mesh(8, tp=2)
+    params = {"centers": scene.spheres.center,
+              "albedo": scene.textures.color0}
+    target = jnp.asarray(np.asarray(
+        render_image(scene, cam, jax.random.key(9), cfg_w)).reshape(-1, 3))
+    step_w = make_fit_step(scene, cam, cfg_w, mesh, lr=0.1)
+    step_m = make_fit_step(scene, cam, cfg_m, mesh, lr=0.1)
+    lw, pw = step_w(params, target, jax.random.key(3))
+    lm, pm = step_m(params, target, jax.random.key(3))
+    np.testing.assert_allclose(float(lm), float(lw), rtol=1e-4)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(pm[k]), np.asarray(pw[k]),
+                                   rtol=1e-3, atol=1e-6, err_msg=k)
+
+
 def test_replay_hits_rejects_trs_scenes():
     """replay_hits covers the megakernel scene scope only."""
     from cudaraytracer_tpu.ops.intersect import replay_hits
