@@ -760,13 +760,20 @@ def test_fuzz_mega_matches_wavefront_random_scenes():
         stream = integ.stream_from_key(jax.random.key(3), n_rays, 6)
         for quirks in (Quirks.reference(), Quirks.fixed()):
             cfg = _cfg(samples=1, max_depth=6, quirks=quirks)
-            ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(3),
-                                              cfg, samples=stream))
-            got = np.asarray(mk.trace_path_mega(scene, rays,
-                                                jax.random.key(3), cfg,
-                                                samples=stream))
+            ref, wref = integ.trace_path(scene, rays, jax.random.key(3),
+                                         cfg, samples=stream,
+                                         return_winners=True)
+            ref = np.asarray(ref)
+            got, wmega = mk.trace_path_mega(scene, rays, jax.random.key(3),
+                                            cfg, samples=stream,
+                                            want_winners=True)
+            got = np.asarray(got)
             assert ref.mean() > 0.01
             dmax = np.abs(got - ref).max(axis=1)
             n_bad = int((dmax > 1e-3).sum())
             assert n_bad <= max(2, n_rays // 200), (
                 scene_i, str(quirks), n_bad, float(dmax.max()))
+            # recorded winners agree too (same near-tie budget: one flipped
+            # bounce diverges that ray's remaining recording)
+            mism = float((np.asarray(wref) != np.asarray(wmega)).mean())
+            assert mism <= 0.005, (scene_i, str(quirks), mism)
