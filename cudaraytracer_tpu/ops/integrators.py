@@ -290,8 +290,13 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         # mega_diff only has a differentiable pairing for the path
         # integrator; lambert/normal fall through to the (differentiable)
         # wavefront integrators rather than the forward-only fused kernel.
+        # Runtime-TRS scenes render fused but have no replay-backward form
+        # (intersect.replay_hits raises), so they too fall through for
+        # mega_diff.
         use_mega = _mk.megakernel_supported(scene) and not (
-            cfg.engine == "mega_diff" and cfg.integrator != "path")
+            cfg.engine == "mega_diff"
+            and (cfg.integrator != "path"
+                 or scene.n_t_spheres or scene.n_t_triangles))
         if use_mega:
             tables = aux if isinstance(aux, _mk.MegaTables) else None
             if cfg.engine == "mega_diff":

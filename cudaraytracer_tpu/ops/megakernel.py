@@ -42,10 +42,11 @@ Design notes (see also ops/pallas_intersect.py, whose sweep math this reuses):
   * Scope: spheres + triangles, all four materials, constant/checker
     textures, and all THREE integrators — the path tracer's full bounce loop,
     plus the single-intersect LambertShade (the reference's active
-    integrator, render.h:70-87) and shade_normal.  Rects run in-kernel too
-    (unrolled per rect — the reference transform chain with precomputed
-    rotation rows).  Scenes with runtime-TRS primitives or image textures
-    fall back to the wavefront path (megakernel_supported()).  The kernel is
+    integrator, render.h:70-87) and shade_normal.  Rects AND runtime-TRS
+    spheres/triangles run in-kernel too (unrolled per primitive — the
+    reference TransformRay chain via the shared trs_ray helper).  Scenes
+    with image textures fall back to the wavefront path
+    (megakernel_supported()).  The kernel is
     forward-only but can RECORD each bounce's winning primitive id
     (want_winners); engine='mega_diff' differentiates by replaying those
     winners through ops/integrators.trace_path — see trace_path_mega_diff.
@@ -113,6 +114,15 @@ N_MAT_COMPS = 9
 # Rect table lanes: normal sign, position, scale, row-major rotation matrix,
 # pre-rotated world normal, material block.
 R_SGN, R_POS, R_SCL, R_ROT, R_NRM, R_MAT = 0, 1, 4, 7, 16, 19
+# Runtime-TRS sphere table lanes (sphere.h on the TransformRay'd ray —
+# origin-centered object-space sphere whose Transform position is the
+# center): position, scale, row-major rotation, r^2, 1/r, material block.
+TS_POS, TS_SCL, TS_ROT, TS_R2, TS_INVR, TS_MAT = 0, 3, 6, 15, 16, 17
+# Runtime-TRS triangle table lanes: object-space v0/e1/e2, object-space
+# stored normal (backface quirk operand), pre-rotated world normal,
+# position, scale, row-major rotation, material block.
+TT_V0, TT_E1, TT_E2, TT_NOBJ, TT_NW, TT_POS, TT_SCL, TT_ROT, TT_MAT = (
+    0, 3, 6, 9, 12, 15, 18, 21, 30)
 
 # --- MXU triangle sweep (cfg.mega_mxu, streamed scenes) ---
 # Every Moller-Trumbore quantity is bilinear in 10 per-ray features
@@ -145,6 +155,8 @@ class MegaTables(NamedTuple):
     tri_super: Array  # f32[T_supers_pad, 128] per-SUPER_T middle-level boxes
     tri_seg: Array   # f32[T_segs_pad, 128] per-SEG_T segment boxes (streaming)
     rect: Array      # f32[R_pad, 128] runtime rects (see R_* lane layout)
+    tsph: Array      # f32[K_pad, 128] runtime-TRS spheres (TS_* lane layout)
+    ttri: Array      # f32[K_pad, 128] runtime-TRS triangles (TT_* lanes)
     tri_coef: Array  # f32[N_Q * T_pad, 128] MXU determinant coefficients
     #                  (built only with mxu=True; (8,128) zeros otherwise)
     sph_map: Array   # i32[S_pad] table row -> SCENE sphere index (inverts
@@ -153,14 +165,15 @@ class MegaTables(NamedTuple):
 
 
 def megakernel_supported(scene: Scene) -> bool:
-    """Scenes the fused path handles: spheres/triangles plus up to 64 rects
-    (rects evaluate unrolled per bounce in-kernel), constant/checker
-    textures (no image gathers in-kernel), runtime-TRS tables excluded, and
-    tables small enough for VMEM residence / HBM streaming.  Uses only
-    STATIC shape information so it can gate the engine choice inside jit (a
-    TextureBuilder with no images packs a (1,1,1,3) dummy image array)."""
-    if scene.n_t_spheres or scene.n_t_triangles:
-        return False
+    """Scenes the fused path handles: spheres/triangles plus up to 64 each
+    of rects and runtime-TRS spheres/triangles (these evaluate unrolled per
+    bounce in-kernel through the reference TransformRay chain), constant/
+    checker textures (no image gathers in-kernel), and tables small enough
+    for VMEM residence / HBM streaming.  Uses only STATIC shape information
+    so it can gate the engine choice inside jit (a TextureBuilder with no
+    images packs a (1,1,1,3) dummy image array)."""
+    if scene.n_t_spheres > 64 or scene.n_t_triangles > 64:
+        return False   # TRS prims evaluate unrolled per bounce, like rects
     if scene.n_rects > 64:   # rects evaluate unrolled per bounce
         return False
     if scene.n_spheres > MAX_VMEM_PRIMS:
@@ -338,8 +351,9 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
         tri_coef = jnp.zeros((8, LANES), jnp.float32)
         tri_map = jnp.zeros((SUPER_T,), jnp.int32)
 
+    from ..core import vec as _v3
+
     if scene.n_rects:
-        from ..core import vec as _v3
         rc = scene.rects
         R = _v3.rotation_matrix_euler_deg(rc.trs.rotation)      # (n,3,3)
         sgn = jnp.where(rc.flip, -1.0, 1.0).astype(jnp.float32)
@@ -352,8 +366,33 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
     else:
         rect = jnp.zeros((8, LANES), jnp.float32)
 
+    if scene.n_t_spheres:
+        tsp = scene.t_spheres
+        R = _v3.rotation_matrix_euler_deg(tsp.trs.rotation)     # (k,3,3)
+        cols = jnp.concatenate([
+            tsp.trs.position, tsp.trs.scale, R.reshape(-1, 9),
+            (tsp.radius * tsp.radius)[:, None],
+            (1.0 / tsp.radius)[:, None],
+            _mat_lanes(scene, tsp.mat)], axis=1)
+        tsph = pack(cols, 8)
+    else:
+        tsph = jnp.zeros((8, LANES), jnp.float32)
+
+    if scene.n_t_triangles:
+        ttr = scene.t_triangles
+        R = _v3.rotation_matrix_euler_deg(ttr.trs.rotation)     # (k,3,3)
+        # world normal = rotate(n_obj) by the object rotation (hitable.h:36)
+        n_w = jnp.einsum("nij,nj->ni", R, ttr.normal)
+        cols = jnp.concatenate([
+            ttr.v0, ttr.v1 - ttr.v0, ttr.v2 - ttr.v0, ttr.normal, n_w,
+            ttr.trs.position, ttr.trs.scale, R.reshape(-1, 9),
+            _mat_lanes(scene, ttr.mat)], axis=1)
+        ttri = pack(cols, 8)
+    else:
+        ttri = jnp.zeros((8, LANES), jnp.float32)
+
     return MegaTables(sph, sph_box, sph_super, tri, tri_box, tri_super,
-                      tri_seg, rect, tri_coef, sph_map, tri_map)
+                      tri_seg, rect, tsph, ttri, tri_coef, sph_map, tri_map)
 
 
 # ---------------------------------------------------------------------------
@@ -361,10 +400,11 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
 # ---------------------------------------------------------------------------
 
 def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
-                 tri_super_ref, rect_ref, o_ref, d_ref,
+                 tri_super_ref, rect_ref, tsph_ref, ttri_ref, o_ref, d_ref,
                  *rest, n_sph_chunks: int, n_sph_supers: int = 0,
                  n_tri_chunks: int, has_sph: bool,
                  has_tri: bool, n_rects: int = 0,
+                 n_tsph: int = 0, n_ttri: int = 0,
                  max_depth: int = 8, t_min: float = 1e-3, t_max: float = 3.4e38,
                  ambient: float, backface_only: bool, no_t_clip: bool,
                  back_culling: bool, die_ref_cosine: bool, injected: bool,
@@ -926,6 +966,29 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     if mxu:
         tri_sweep = tri_sweep_mxu  # noqa: F811 — static dispatch
 
+    def trs_ray(tbl_ref, r, scl_k, rot_k, pos_k, ox, oy, oz, dx, dy, dz):
+        """TransformRay (transform.h:11-14) for one table row: ScaleRay
+        divides the DIRECTION by the scale and renormalizes (the reference's
+        unscaled-origin quirk), RotateRay row-matrix-rotates origin and
+        direction, TranslateRay shifts the origin.  Shared by the rect and
+        TRS-primitive sweeps (ops/intersect._transform_rays_nc twin)."""
+        def sc(k):
+            return box_scalar(tbl_ref, r, k)
+
+        dsx = dx / sc(scl_k)
+        dsy = dy / sc(scl_k + 1)
+        dsz = dz / sc(scl_k + 2)
+        inv_dl = 1.0 / jnp.sqrt(dsx * dsx + dsy * dsy + dsz * dsz)
+        dsx, dsy, dsz = dsx * inv_dl, dsy * inv_dl, dsz * inv_dl
+        m = tuple(sc(rot_k + i) for i in range(9))
+        drx = m[0] * dsx + m[1] * dsy + m[2] * dsz
+        dry = m[3] * dsx + m[4] * dsy + m[5] * dsz
+        drz = m[6] * dsx + m[7] * dsy + m[8] * dsz
+        orx = m[0] * ox + m[1] * oy + m[2] * oz - sc(pos_k)
+        ory = m[3] * ox + m[4] * oy + m[5] * oz - sc(pos_k + 1)
+        orz = m[6] * ox + m[7] * oy + m[8] * oz - sc(pos_k + 2)
+        return (orx, ory, orz), (drx, dry, drz), m
+
     def rect_sweep(ox, oy, oz, dx, dy, dz):
         """rectangle.h:22-44 through the reference TransformRay chain
         (ops/intersect.rect_candidates twin), unrolled over the (static,
@@ -943,22 +1006,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
 
         for r in range(n_rects):
             sgn = sc(r, R_SGN)
-            # ScaleRay: direction / scale, normalized; origin untouched
-            dsx = dx / sc(r, R_SCL)
-            dsy = dy / sc(r, R_SCL + 1)
-            dsz = dz / sc(r, R_SCL + 2)
-            inv_dl = 1.0 / jnp.sqrt(dsx * dsx + dsy * dsy + dsz * dsz)
-            dsx, dsy, dsz = dsx * inv_dl, dsy * inv_dl, dsz * inv_dl
-            # RotateRay on origin and direction (row-matrix rotate)
-            m00, m01, m02 = sc(r, R_ROT), sc(r, R_ROT + 1), sc(r, R_ROT + 2)
-            m10, m11, m12 = sc(r, R_ROT + 3), sc(r, R_ROT + 4), sc(r, R_ROT + 5)
-            m20, m21, m22 = sc(r, R_ROT + 6), sc(r, R_ROT + 7), sc(r, R_ROT + 8)
-            drx = m00 * dsx + m01 * dsy + m02 * dsz
-            dry = m10 * dsx + m11 * dsy + m12 * dsz
-            drz = m20 * dsx + m21 * dsy + m22 * dsz
-            orx = m00 * ox + m01 * oy + m02 * oz - sc(r, R_POS)
-            ory = m10 * ox + m11 * oy + m12 * oz - sc(r, R_POS + 1)
-            orz = m20 * ox + m21 * oy + m22 * oz - sc(r, R_POS + 2)
+            (orx, ory, orz), (drx, dry, drz), _ = trs_ray(
+                rect_ref, r, R_SCL, R_ROT, R_POS, ox, oy, oz, dx, dy, dz)
             t = -orz / drz
             x = orx + t * drx
             y = ory + t * dry
@@ -979,6 +1028,144 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             attrs = tuple(jnp.where(take, nv, av)
                           for nv, av in zip(new, attrs))
         return best_t, attrs
+
+    def tsph_sweep(ox, oy, oz, dx, dy, dz):
+        """sphere.h:27-55 on the TransformRay'd ray (origin-centered
+        object-space sphere; ops/intersect.t_sphere_candidates twin),
+        unrolled over the (static, small) runtime-TRS sphere count.  Attrs:
+        OBJECT-space hit point (reference rec.p quirk), world normal (object
+        normal p/r rotated by the object rotation, hitable.h:36), material
+        block."""
+        raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        attrs = tuple(jnp.zeros(shape, jnp.float32)
+                      for _ in range(6 + N_MAT_COMPS))
+
+        def sc(r, k):
+            return box_scalar(tsph_ref, r, k)
+
+        for r in range(n_tsph):
+            (orx, ory, orz), (drx, dry, drz), m = trs_ray(
+                tsph_ref, r, TS_SCL, TS_ROT, TS_POS, ox, oy, oz, dx, dy, dz)
+            b = orx * drx + ory * dry + orz * drz
+            a = drx * drx + dry * dry + drz * drz
+            c = orx * orx + ory * ory + orz * orz - sc(r, TS_R2)
+            disc = b * b - a * c
+            has = disc > 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            inv_a = 1.0 / a
+            t0 = (-b - sq) * inv_a
+            t1 = (-b + sq) * inv_a
+            # t window in the NATIVE (normalized) parameterization
+            # (sphere.h:38/45 on the transformed ray)
+            ok0 = has & (t0 < t_max) & (t0 > t_min)
+            ok1 = has & (t1 < t_max) & (t1 > t_min)
+            tn = jnp.where(ok0, t0, t1)
+            valid = ok0 | ok1
+            t_cmp = jnp.where(valid, tn / raw_len, BIG)
+            take = t_cmp < best_t
+            best_t = jnp.where(take, t_cmp, best_t)
+            tp = jnp.where(valid, tn, 0.0)   # miss: BIG*d overflows to inf
+            pxo = orx + tp * drx
+            pyo = ory + tp * dry
+            pzo = orz + tp * drz
+            inv_r = sc(r, TS_INVR)
+            nox, noy, noz = pxo * inv_r, pyo * inv_r, pzo * inv_r
+            new = (pxo, pyo, pzo,
+                   m[0] * nox + m[1] * noy + m[2] * noz,
+                   m[3] * nox + m[4] * noy + m[5] * noz,
+                   m[6] * nox + m[7] * noy + m[8] * noz) + tuple(
+                       sc(r, TS_MAT + k) + 0.0 * pxo
+                       for k in range(N_MAT_COMPS))
+            attrs = tuple(jnp.where(take, nv, av)
+                          for nv, av in zip(new, attrs))
+        return best_t, attrs
+
+    def ttri_sweep(ox, oy, oz, dx, dy, dz):
+        """triangle.h:57-100 (Moller-Trumbore, quirks included) on the
+        TransformRay'd ray against OBJECT-space vertices
+        (ops/intersect.t_triangle_candidates twin), unrolled over the
+        (static, small) runtime-TRS triangle count.  Attrs: object-space hit
+        point, pre-rotated world normal, material block."""
+        raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        attrs = tuple(jnp.zeros(shape, jnp.float32)
+                      for _ in range(6 + N_MAT_COMPS))
+
+        def sc(r, k):
+            return box_scalar(ttri_ref, r, k)
+
+        for r in range(n_ttri):
+            (orx, ory, orz), (drx, dry, drz), _ = trs_ray(
+                ttri_ref, r, TT_SCL, TT_ROT, TT_POS, ox, oy, oz, dx, dy, dz)
+            e1x, e1y, e1z = sc(r, TT_E1), sc(r, TT_E1 + 1), sc(r, TT_E1 + 2)
+            e2x, e2y, e2z = sc(r, TT_E2), sc(r, TT_E2 + 1), sc(r, TT_E2 + 2)
+            hx = dry * e2z - drz * e2y
+            hy = drz * e2x - drx * e2z
+            hz = drx * e2y - dry * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            eps_ok = jnp.abs(a) >= TRI_EPSILON
+            f = 1.0 / jnp.where(eps_ok, a, 1.0)
+            sx = orx - sc(r, TT_V0)
+            sy = ory - sc(r, TT_V0 + 1)
+            sz = orz - sc(r, TT_V0 + 2)
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (drx * qx + dry * qy + drz * qz)
+            tn = f * (e2x * qx + e2y * qy + e2z * qz)
+            valid = eps_ok & (uu >= 0.0) & (uu <= 1.0) \
+                & (vv >= 0.0) & (uu + vv <= 1.0)
+            if back_culling:
+                valid &= a >= TRI_EPSILON
+            if backface_only:
+                # triangle.h:61 on the TRANSFORMED direction vs the OBJECT
+                # normal
+                valid &= (drx * sc(r, TT_NOBJ) + dry * sc(r, TT_NOBJ + 1)
+                          + drz * sc(r, TT_NOBJ + 2)) >= 0.0
+            if no_t_clip:
+                valid &= tn < t_max
+            else:
+                valid &= (tn > t_min) & (tn < t_max)
+            t_cmp = jnp.where(valid, tn / raw_len, BIG)
+            take = t_cmp < best_t
+            best_t = jnp.where(take, t_cmp, best_t)
+            tp = jnp.where(valid, tn, 0.0)
+            pxo = orx + tp * drx
+            pyo = ory + tp * dry
+            pzo = orz + tp * drz
+            new = (pxo, pyo, pzo,
+                   sc(r, TT_NW) + 0.0 * pxo,
+                   sc(r, TT_NW + 1) + 0.0 * pxo,
+                   sc(r, TT_NW + 2) + 0.0 * pxo) + tuple(
+                       sc(r, TT_MAT + k) + 0.0 * pxo
+                       for k in range(N_MAT_COMPS))
+            attrs = tuple(jnp.where(take, nv, av)
+                          for nv, av in zip(new, attrs))
+        return best_t, attrs
+
+    def trs_merge(t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz):
+        """Fold the runtime-TRS sweeps into the closest-hit state AFTER the
+        rect merge (index order [spheres | tris | rects | t_sph | t_tri] —
+        strict < keeps the reference's first-wins tie-break).  TRS winners
+        use their OBJECT-space hit point (reference rec.p quirk) and the
+        rotated world normal, exactly like rects.  Shared by the bounce loop
+        and the lambert/normal epilogue."""
+        for n_prims, sweep in ((n_tsph, tsph_sweep), (n_ttri, ttri_sweep)):
+            if not n_prims:
+                continue
+            w_t, w_at = sweep(ox, oy, oz, dx, dy, dz)
+            w = w_t < t
+            t = jnp.where(w, w_t, t)
+            px = jnp.where(w, w_at[0], px)
+            py = jnp.where(w, w_at[1], py)
+            pz = jnp.where(w, w_at[2], pz)
+            nx = jnp.where(w, w_at[3], nx)
+            ny = jnp.where(w, w_at[4], ny)
+            nz = jnp.where(w, w_at[5], nz)
+            m = [jnp.where(w, w_at[6 + k], m[k]) for k in range(N_MAT_COMPS)]
+        return t, px, py, pz, nx, ny, nz, m
 
     def draw_samples(step):
         """(ballx, bally, ballz, prob) — in-kernel TPU PRNG (Box-Muller
@@ -1036,7 +1223,6 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                 r_t, r_at = rect_sweep(ox, oy, oz, dx, dy, dz)
                 rect_w = r_t < t
                 t = jnp.where(rect_w, r_t, t)
-            hit = t < BIG_CUT
 
             px = ox + t * dx
             py = oy + t * dy
@@ -1061,6 +1247,10 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                 nz = jnp.where(rect_w, r_at[5], nz)
                 m = [jnp.where(rect_w, r_at[6 + k], m[k])
                      for k in range(N_MAT_COMPS)]
+            if n_tsph or n_ttri:
+                (t, px, py, pz, nx, ny, nz, m) = trs_merge(
+                    t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz)
+            hit = t < BIG_CUT
             (kind, aux, (atr, atg, atb), (emr, emg, emb), is_met, is_die,
              is_light) = mat_decode(m, px, py, pz)
 
@@ -1246,14 +1436,16 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         r_t, r_at = rect_sweep(ox, oy, oz, dx, dy, dz)
         rect_w = r_t < t
         t = jnp.where(rect_w, r_t, t)
-    hit = t < BIG_CUT
-    t = jnp.where(hit, t, 0.0)       # miss: BIG*d overflows to inf -> NaN
-    px = ox + t * dx
-    py = oy + t * dy
-    pz = oz + t * dz
+    hit0 = t < BIG_CUT
+    ts_ = jnp.where(hit0, t, 0.0)    # miss: BIG*d overflows to inf -> NaN
+    px = ox + ts_ * dx
+    py = oy + ts_ * dy
+    pz = oz + ts_ * dz
     nx = jnp.where(tri_w, t_at[0], (px - s_at[0]) * s_at[3])
     ny = jnp.where(tri_w, t_at[1], (py - s_at[1]) * s_at[3])
     nz = jnp.where(tri_w, t_at[2], (pz - s_at[2]) * s_at[3])
+    m = [jnp.where(tri_w, t_at[3 + k], s_at[4 + k])
+         for k in range(N_MAT_COMPS)]
     if n_rects:
         px = jnp.where(rect_w, r_at[0], px)
         py = jnp.where(rect_w, r_at[1], py)
@@ -1261,6 +1453,13 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         nx = jnp.where(rect_w, r_at[3], nx)
         ny = jnp.where(rect_w, r_at[4], ny)
         nz = jnp.where(rect_w, r_at[5], nz)
+        m = [jnp.where(rect_w, r_at[6 + k], m[k]) for k in range(N_MAT_COMPS)]
+    if n_tsph or n_ttri:
+        # compare against the UNCLAMPED t (ts_ is 0 on misses, which would
+        # shadow any TRS hit there); p/n/m merge like the rect overrides
+        (t, px, py, pz, nx, ny, nz, m) = trs_merge(
+            t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz)
+    hit = t < BIG_CUT
     inv_dlen = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
     sky_t = 0.5 * (dy * inv_dlen + 1.0)
     skyr = (1.0 - sky_t) + sky_t * 0.5
@@ -1273,10 +1472,6 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         return
     # LambertShade (render.h:70-87): att * max(dot(dir, n), 0) * sky * 0.2
     # + emitted; the reference uses the UNNORMALIZED camera direction
-    m = [jnp.where(tri_w, t_at[3 + k], s_at[4 + k])
-         for k in range(N_MAT_COMPS)]
-    if n_rects:
-        m = [jnp.where(rect_w, r_at[6 + k], m[k]) for k in range(N_MAT_COMPS)]
     (_, _, (atr, atg, atb), (emr, emg, emb), _, _, _) = mat_decode(
         m, px, py, pz)
     scale_d = 1.0 if lambert_unnorm else inv_dlen
@@ -1644,6 +1839,10 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     mxu = bool(cfg.mega_mxu) and stream_tri and not want_winners
     if want_winners:
         assert cfg.integrator == "path" and not dump_state and state is None
+        # the replay backward (ops/intersect.replay_hits) has no TRS form;
+        # integrators.integrate routes TRS scenes away from mega_diff
+        assert not (scene.n_t_spheres or scene.n_t_triangles), (
+            "want_winners does not cover runtime-TRS primitives")
     if mxu and tables.tri_coef.shape[0] != N_Q * tables.tri.shape[0]:
         raise ValueError(
             "cfg.mega_mxu requires coefficient tables: rebuild with "
@@ -1657,6 +1856,7 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         n_tri_chunks=tables.tri.shape[0] // PRIM_CHUNK,
         has_sph=scene.n_spheres > 0, has_tri=scene.n_triangles > 0,
         n_rects=scene.n_rects,
+        n_tsph=scene.n_t_spheres, n_ttri=scene.n_t_triangles,
         max_depth=cfg.max_depth, t_min=float(cfg.t_min),
         t_max=float(cfg.t_max), ambient=float(q.ambient_on_absorb),
         backface_only=q.triangle_backface_only,
@@ -1689,9 +1889,11 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
                 full(tables.sph_super.shape),
                 tri_spec, tri_box_spec,
                 full(tables.tri_super.shape), full(tables.rect.shape),
+                full(tables.tsph.shape), full(tables.ttri.shape),
                 tile3(3), tile3(3)]
     args = [tables.sph, tables.sph_box, tables.sph_super, tables.tri,
-            tables.tri_box, tables.tri_super, tables.rect, o, d]
+            tables.tri_box, tables.tri_super, tables.rect, tables.tsph,
+            tables.ttri, o, d]
     # kernel consumes *rest as (tri_seg, [tri_coef], [state], [uni], seed)
     if stream_tri:
         in_specs.append(full(tables.tri_seg.shape))

@@ -113,32 +113,83 @@ def test_mixed_transformed_and_plain_occlusion():
         np.testing.assert_allclose(hits.t[0], 2.5 / dlen, rtol=1e-4)
 
 
-def test_transformed_render_smoke():
-    """Full path render with t-prims through the public API (wavefront
-    engine; the megakernel correctly reports unsupported)."""
+def _trs_showcase_scene():
+    """Mixed scene exercising every TRS-in-kernel path: two runtime-TRS
+    spheres (one checker-textured), a runtime-TRS metal triangle, a plain
+    ground sphere, and a rect (tie-break ordering vs the TRS tables)."""
+    b = SceneBuilder()
+    ground = b.materials.lambertian(color=(0.5, 0.7, 0.3))
+    red = b.materials.lambertian(color=(0.9, 0.2, 0.2))
+    chk = b.materials.lambertian(
+        b.materials.textures.checker((0.9, 0.9, 0.1), (0.1, 0.1, 0.1)))
+    met = b.materials.metal((0.8, 0.6, 0.2), 0.1)
+    light = b.materials.diffuse_light(color=(2.0, 2.0, 2.0))
+    b.add_sphere((0, -100.5, -3), 100.0, ground)
+    b.add_sphere((0, 0, -3), 0.8, red, rotation=(0, 30, 0), scale=(1, 2, 1))
+    b.add_sphere((-1.8, 0, -3), 0.6, chk, rotation=(20, 0, 45))
+    b.add_triangle((-0.8, -0.4, 0), (0.8, -0.4, 0), (0, 0.9, 0), met,
+                   position=(1.9, 0, -2.5), rotation=(0, -25, 0),
+                   scale=(1, 1.3, 1))
+    b.add_rect(light, position=(0, 2.5, -3), rotation=(90, 0, 0),
+               scale=(3, 3, 1))
+    return b.build()
+
+
+def test_transformed_render_megakernel_matches_wavefront():
+    """Runtime-TRS primitives run IN-KERNEL (tsph_sweep/ttri_sweep through
+    the shared trs_ray TransformRay chain) — all three integrators match the
+    wavefront engine on the same injected stream, under both quirk
+    profiles."""
+    import dataclasses
     from cudaraytracer_tpu.core.camera import make_camera
     from cudaraytracer_tpu.ops import megakernel as mk
     from cudaraytracer_tpu.ops.render import render_image
 
-    b = SceneBuilder()
-    ground = b.materials.lambertian(color=(0.5, 0.7, 0.3))
-    red = b.materials.lambertian(color=(0.9, 0.2, 0.2))
-    b.add_sphere((0, -100.5, -3), 100.0, ground)
-    b.add_sphere((0, 0, -3), 0.8, red, rotation=(0, 30, 0), scale=(1, 2, 1))
-    scene = b.build()
-    assert not mk.megakernel_supported(scene)
-    cam = make_camera((0, 0.3, 1), (0, 0, -3), vfov=50, aspect=2.0,
+    scene = _trs_showcase_scene()
+    assert scene.n_t_spheres == 2 and scene.n_t_triangles == 1
+    assert mk.megakernel_supported(scene)
+    cam = make_camera((0, 0.3, 1), (0, 0, -3), vfov=55, aspect=2.0,
                       focus_dist=4.0)
-    cfg = RenderConfig(width=64, height=32, samples=1, max_depth=4,
+    for quirks in (Quirks.reference(), Quirks.fixed()):
+        for integ in ("path", "lambert", "normal"):
+            cfg = RenderConfig(width=64, height=32, samples=1, max_depth=4,
+                               integrator=integ, quirks=quirks)
+            cfg_m = dataclasses.replace(cfg, engine="mega")
+            img = np.asarray(render_image(scene, cam, jax.random.key(0),
+                                          cfg))
+            img_m = np.asarray(render_image(scene, cam, jax.random.key(0),
+                                            cfg_m))
+            assert np.isfinite(img_m).all()
+            assert img.std() > 0.05
+            np.testing.assert_allclose(img_m, img, atol=3e-4,
+                                       err_msg=f"{integ} {quirks}")
+
+
+def test_transformed_mega_diff_falls_back():
+    """engine='mega_diff' has no replay form for TRS scenes — it must route
+    to the wavefront integrator (same image, and gradients must flow)."""
+    from cudaraytracer_tpu.core.camera import make_camera
+    from cudaraytracer_tpu.ops.render import render_image
+
+    scene = _trs_showcase_scene()
+    cam = make_camera((0, 0.3, 1), (0, 0, -3), vfov=55, aspect=2.0,
+                      focus_dist=4.0)
+    cfg = RenderConfig(width=32, height=16, samples=1, max_depth=3,
                        integrator="path")
+    import dataclasses
+    cfg_d = dataclasses.replace(cfg, engine="mega_diff")
     img = np.asarray(render_image(scene, cam, jax.random.key(0), cfg))
-    assert np.isfinite(img).all()
-    assert img.std() > 0.05
-    # engine='mega' must FALL BACK and produce the same scene content
-    cfg_m = RenderConfig(width=64, height=32, samples=1, max_depth=4,
-                         integrator="path", engine="mega")
-    img_m = np.asarray(render_image(scene, cam, jax.random.key(0), cfg_m))
-    np.testing.assert_allclose(img_m, img, atol=1e-6)
+    img_d = np.asarray(render_image(scene, cam, jax.random.key(0), cfg_d))
+    np.testing.assert_allclose(img_d, img, atol=1e-6)
+
+    def loss(radius):
+        s = scene._replace(
+            t_spheres=scene.t_spheres._replace(radius=radius))
+        return jnp.mean(render_image(s, cam, jax.random.key(0), cfg_d))
+
+    g = jax.grad(loss)(scene.t_spheres.radius)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0.0
 
 
 def test_trs_sphere_uv_not_clobbered_by_rects():
