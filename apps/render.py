@@ -73,10 +73,15 @@ def main(argv=None):
               else crt.Quirks.fixed())
     accel = args.accel
     if accel == "auto":
-        # megakernel handles every supported scene fastest; falls back to
-        # the wavefront engine automatically for rects / image textures
-        from cudaraytracer_tpu.ops.megakernel import megakernel_supported
-        accel = "mega" if megakernel_supported(scene) else "pallas"
+        # megakernel handles every supported scene fastest (image-texture
+        # scenes render fused via deferred texturing — integrate() routes
+        # path renders to trace_path_mega_tex); only size-ceiling scenes
+        # fall back to the wavefront engine
+        from cudaraytracer_tpu.ops.megakernel import (mega_tex_supported,
+                                                      megakernel_supported)
+        accel = ("mega" if megakernel_supported(scene)
+                 or (mega_tex_supported(scene) and args.integrator == "path")
+                 else "pallas")
     cfg = crt.RenderConfig(width=args.width, height=args.height,
                            samples=args.spp, max_depth=args.max_depth,
                            integrator=args.integrator, quirks=quirks,

@@ -23,8 +23,9 @@ Env knobs: BENCH_ENGINE (mega|wavefront), BENCH_SPP, BENCH_WIDTH/HEIGHT,
 BENCH_CHUNK, BENCH_SCENE (random_spheres|three_spheres|mesh), BENCH_ITERS,
 BENCH_MESH=0 to skip the mesh secondary, BENCH_BIG=1 (124k-tri streamed
 field + auto octant compaction), BENCH_BWD=1, BENCH_FIT=1 (training-step
-time: wavefront vs mega_diff replay backward), BENCH_WAVEFRONT=1,
-BENCH_UPDATE_BASELINE=1.
+time: wavefront vs mega_diff replay backward), BENCH_TEX=1 (image-texture
+scene: fused deferred texturing vs the wavefront fallback it replaced),
+BENCH_WAVEFRONT=1, BENCH_UPDATE_BASELINE=1.
 """
 
 from __future__ import annotations
@@ -89,6 +90,33 @@ def _big_field_scene():
                        reverse_winding=True)
     cam = make_camera((0, 2.2, 3.2), (0.0, 0.35, float(-2.0 * 1.3 * ext[2])),
                       (0, 1, 0), 50.0, 1280 / 720, 0.0, 10.0)
+    return b.build(), cam
+
+
+def _tex_scene(aspect: float):
+    """Image-textured workload for BENCH_TEX: a 256x256-texel lambertian
+    globe + an image-textured light over a checker floor — the scene class
+    that used to fall back to the wavefront engine and now renders fused
+    via deferred texturing (ops/megakernel.trace_path_mega_tex)."""
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.core.camera import make_camera
+
+    rng = np.random.default_rng(11)
+    b = crt.SceneBuilder()
+    m = b.materials
+    t_globe = m.textures.image(rng.integers(0, 256, (256, 256, 3),
+                                            dtype=np.uint8))
+    t_emit = m.textures.image(rng.integers(96, 256, (64, 64, 3),
+                                           dtype=np.uint8))
+    b.add_sphere((0, -100.5, -3), 100.0,
+                 m.lambertian(m.textures.checker((.8, .8, .8), (.2, .3, .2))))
+    b.add_sphere((0, 0, -3), 0.6, m.lambertian(tex_id=t_globe))
+    b.add_sphere((-1.3, 0, -3), 0.5, m.dielectric(1.5))
+    b.add_sphere((1.3, 0, -3), 0.5, m.metal((0.8, 0.7, 0.3), fuzz=0.05))
+    b.add_rect(m.diffuse_light(tex_id=t_emit), position=(0, 1.9, -3),
+               rotation=(90, 0, 0), scale=(2.5, 2.5, 1))
+    cam = make_camera((0, 0.5, 1.5), (0, 0.2, -3), (0, 1, 0), 50.0,
+                      aspect, 0.0, 4.5)
     return b.build(), cam
 
 
@@ -301,6 +329,24 @@ def main() -> int:
         bdt = _timed_render(bscene, bcam, bcfg, None, n_iters, baux)
         secondary["big_field_sec"] = round(bdt, 4)
         secondary["big_field_tris"] = int(bscene.n_triangles)
+
+    if os.environ.get("BENCH_TEX", "0") == "1":
+        # image-texture scene (960x540x8 path-8): fused deferred texturing
+        # (engine='mega' -> trace_path_mega_tex) vs the wavefront engine it
+        # used to fall back to (opt-in: the wavefront leg compiles slowly).
+        import dataclasses
+        tscene, tcam = _tex_scene(960 / 540)
+        tcfg = dataclasses.replace(cfg, width=960, height=540, samples=8,
+                                   engine="mega")
+        tdt = _timed_render(tscene, tcam, tcfg, None, n_iters,
+                            _mega_tables(tscene))
+        secondary["tex_scene_mega_sec"] = round(tdt, 4)
+        secondary["tex_scene_mega_rays_per_sec"] = round(
+            960 * 540 * 8 / tdt, 1)
+        wtcfg = dataclasses.replace(tcfg, engine="wavefront")
+        wtdt = _timed_render(tscene, tcam, wtcfg, pallas_intersector(wtcfg),
+                             n_iters)
+        secondary["tex_scene_wavefront_sec"] = round(wtdt, 4)
 
     if os.environ.get("BENCH_WAVEFRONT", "0") == "1":
         import dataclasses

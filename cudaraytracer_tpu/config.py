@@ -46,6 +46,13 @@ class Quirks:
     # sqrt(1 - ri^2 (1 - cos^2)) (a nonstandard form); kept verbatim.
     dielectric_reference_cosine: bool = True
 
+    # material.h:67 — Lambertian::scatter samples its texture at
+    # `albedo->value(0, 0, rec.p)`: u = v = 0 ALWAYS, so an image-textured
+    # lambertian renders as the single (0, ny-1) texel color.  Only IMAGE
+    # textures are affected (checker uses p, constant neither).  The fixed
+    # profile samples at the hit's real (u, v).
+    lambertian_zero_uv: bool = True
+
     # triangle.h:74 — `if (a < EPSILON && backCulling) return false;` rejects
     # FRONT-determinant rays when the per-triangle backCulling flag is set.
     # Every triangle the reference actually builds passes cull=false
@@ -67,6 +74,7 @@ class Quirks:
             lambert_unnormalized_dot=False,
             fixed_face_normals=False,
             dielectric_reference_cosine=False,
+            lambertian_zero_uv=False,
             triangle_back_culling=False,
         )
 

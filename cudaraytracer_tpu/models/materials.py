@@ -74,8 +74,8 @@ def scatter_draws(key: jax.Array, n: int):
 def scatter(mat: MaterialTable, tex: TextureTable, mat_id: Array, r_in: Rays,
             p: Array, normal: Array, u: Array, v: Array, key: jax.Array,
             dielectric_reference_cosine: bool = True,
-            ball: Array | None = None, prob: Array | None = None
-            ) -> ScatterResult:
+            ball: Array | None = None, prob: Array | None = None,
+            lambertian_zero_uv: bool = True) -> ScatterResult:
     """Branch-free scatter for a batch of hits.
 
     All four material models are evaluated with shared random draws and the
@@ -95,8 +95,13 @@ def scatter(mat: MaterialTable, tex: TextureTable, mat_id: Array, r_in: Rays,
 
     # --- LAMBERTIAN (material.h:60-68) ---
     lam_dir = normal + ball  # (p + n + ball) - p
-    lam_att = eval_texture(tex, mat.tex_id[mat_id], jnp.zeros_like(u),
-                           jnp.zeros_like(v), p)
+    # material.h:67 samples the texture at u = v = 0 (quirk; only IMAGE
+    # textures ever read u/v); Quirks.fixed() uses the hit's real (u, v)
+    if lambertian_zero_uv:
+        lam_att = eval_texture(tex, mat.tex_id[mat_id], jnp.zeros_like(u),
+                               jnp.zeros_like(v), p)
+    else:
+        lam_att = eval_texture(tex, mat.tex_id[mat_id], u, v, p)
 
     # --- METAL (material.h:81-92) ---
     reflected = v3.reflect(v3.unit_vector(d_in), normal)

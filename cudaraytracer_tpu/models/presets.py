@@ -7,6 +7,9 @@ These correspond to the measurement configs in BASELINE.md:
   mesh_scene      — config[2] builder: triangle-mesh OBJ scene (see utils.obj_loader).
   light_box       — emissive rectangle + checker floor, exercising
                     DiffuseLight + CheckerTexture + Rectangle paths.
+  textured_globe  — procedural-image-textured sphere + image-textured light,
+                    exercising ImageTexture through the fused deferred-
+                    texturing path (ops/megakernel.trace_path_mega_tex).
 """
 
 from __future__ import annotations
@@ -74,6 +77,41 @@ def light_box(aspect: float = 1.0):
     b.add_rect(light, flip=True, position=(0, 2, 3), rotation=(0, 0, 0),
                scale=(3, 3, 1))
     cam = make_camera((0, 2, 8), (0, 1, 0), (0, 1, 0), 35.0, aspect, 0.0, 10.0)
+    return b.build(), cam
+
+
+def textured_globe(aspect: float = 16 / 9):
+    """Image-textured lambertian globe (procedural lat/long swirl) + an
+    image-textured overhead light over a checker floor — the ImageTexture
+    showcase (texture.h:54-76 semantics; renders fused via deferred
+    texturing when cfg.engine='mega')."""
+    b = SceneBuilder()
+    m = b.materials
+    # procedural "earth-like" texture: latitude bands + longitudinal swirl
+    h, w = 128, 256
+    jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    lat = jj / (h - 1.0)
+    lon = ii / (w - 1.0)
+    swirl = 0.5 + 0.5 * np.sin(12.0 * np.pi * lon + 6.0 * np.sin(
+        4.0 * np.pi * lat))
+    land = (swirl * (1.0 - lat) > 0.35)
+    img = np.where(land[..., None],
+                   np.stack([0.25 + 0.5 * lat] * 3, -1) * [0.9, 0.7, 0.3],
+                   np.stack([0.1 + 0.2 * lat, 0.3 + 0.3 * lat,
+                             0.7 + 0.25 * lat], -1))
+    globe_tex = m.textures.image((img * 255).astype(np.uint8))
+    glow = (np.full((16, 16, 3), 255) * np.linspace(
+        0.6, 1.0, 16)[:, None, None]).astype(np.uint8)
+    light_tex = m.textures.image(glow)
+    b.add_sphere((0, -100.5, -3), 100.0,
+                 m.lambertian(m.textures.checker((.8, .8, .8), (.25, .3, .25))))
+    b.add_sphere((0, 0.05, -3), 0.6, m.lambertian(tex_id=globe_tex))
+    b.add_sphere((-1.3, 0, -3), 0.5, m.dielectric(1.5))
+    b.add_sphere((1.3, 0, -3), 0.5, m.metal((0.85, 0.8, 0.75), fuzz=0.03))
+    b.add_rect(m.diffuse_light(tex_id=light_tex), position=(0, 2.0, -3),
+               rotation=(90, 0, 0), scale=(2.5, 2.5, 1))
+    cam = make_camera((0, 0.5, 1.4), (0, 0.15, -3), (0, 1, 0), 50.0,
+                      aspect, 0.0, 4.5)
     return b.build(), cam
 
 

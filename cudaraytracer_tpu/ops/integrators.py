@@ -204,7 +204,8 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         sc = _mat.scatter(bscene.materials, bscene.textures, hits.mat, rays,
                           hits.p, hits.normal, hits.u, hits.v, bounce_key,
                           cfg.quirks.dielectric_reference_cosine,
-                          ball=ball, prob=prob)
+                          ball=ball, prob=prob,
+                          lambertian_zero_uv=cfg.quirks.lambertian_zero_uv)
         sky = background_sky(rays.direction)
 
         can_recurse = step < cfg.max_depth          # render.h:57 depth > 0
@@ -258,7 +259,8 @@ def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                            hits.u, hits.v, hits.p)
     sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,
                       hits.p, hits.normal, hits.u, hits.v, key,
-                      cfg.quirks.dielectric_reference_cosine)
+                      cfg.quirks.dielectric_reference_cosine,
+                      lambertian_zero_uv=cfg.quirks.lambertian_zero_uv)
     direction = rays.direction if cfg.quirks.lambert_unnormalized_dot \
         else v3.unit_vector(rays.direction)
     t = jnp.maximum(v3.dot(direction, hits.normal), 0.0)      # render.h:80-81
@@ -290,13 +292,8 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         # mega_diff only has a differentiable pairing for the path
         # integrator; lambert/normal fall through to the (differentiable)
         # wavefront integrators rather than the forward-only fused kernel.
-        # Runtime-TRS scenes render fused but have no replay-backward form
-        # (intersect.replay_hits raises), so they too fall through for
-        # mega_diff.
         use_mega = _mk.megakernel_supported(scene) and not (
-            cfg.engine == "mega_diff"
-            and (cfg.integrator != "path"
-                 or scene.n_t_spheres or scene.n_t_triangles))
+            cfg.engine == "mega_diff" and cfg.integrator != "path")
         if use_mega:
             tables = aux if isinstance(aux, _mk.MegaTables) else None
             if cfg.engine == "mega_diff":
@@ -304,6 +301,13 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                                                 samples=samples,
                                                 tables=tables)
             return _mk.select_mega(scene, rays, key, cfg, tables, samples)
+        if (cfg.integrator == "path" and not _mk.megakernel_supported(scene)
+                and _mk.mega_tex_supported(scene)):
+            # image-texture scenes: fused winner-recording sweep + deferred
+            # texture replay (differentiable, so mega_diff routes here too)
+            tables = aux if isinstance(aux, _mk.MegaTables) else None
+            return _mk.trace_path_mega_tex(scene, rays, key, cfg,
+                                           samples=samples, tables=tables)
         if isinstance(aux, _mk.MegaTables):   # fall back to wavefront
             aux = None
     if cfg.integrator == "path":

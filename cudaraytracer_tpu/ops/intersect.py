@@ -580,10 +580,12 @@ def replay_hits(scene: Scene, rays: Rays, winner: Array, t_min, t_max,
     inf and NaNs the backward).  Root/branch choices that pick WHICH
     continuous value to return (sphere nearest-root) are re-derived; a
     marginal flip there selects between two nearly-equal roots.
+
+    Runtime-TRS winners ([... | t_spheres | t_triangles] after rects)
+    recompute their native-parameterization t on the gathered prim's
+    TransformRay'd ray (the n_prims <= 64 tables gather per winner);
+    finalize_hits then restores their object-space p / rotated normal.
     """
-    if scene.n_t_spheres or scene.n_t_triangles:
-        raise ValueError("replay_hits covers the megakernel scene scope: "
-                         "runtime-TRS primitives are not supported")
     n = rays.origin.shape[0]
     n_s, n_t, n_r = scene.n_spheres, scene.n_triangles, scene.n_rects
     t_min = jnp.float32(t_min)
@@ -619,11 +621,66 @@ def replay_hits(scene: Scene, rays: Rays, winner: Array, t_min, t_max,
         t_cmp = tz / raw_len
         ri = jnp.clip(idx - n_s - n_t, 0, n_r - 1)
         rows = jnp.arange(n)
-        is_r = hit & (winner >= n_s + n_t)
+        is_r = hit & (winner >= n_s + n_t) & (winner < n_s + n_t + n_r)
         best_t = jnp.where(is_r, t_cmp[rows, ri], best_t)
+
+    base = n_s + n_t + n_r
+    n_ts, n_tt = scene.n_t_spheres, scene.n_t_triangles
+    if n_ts:
+        si = jnp.clip(idx - base, 0, n_ts - 1)
+        tsph = scene.t_spheres
+        o, d, raw_len = _transform_rays_single(
+            rays, tsph.trs.position[si], tsph.trs.rotation[si],
+            tsph.trs.scale[si])
+        r = tsph.radius[si]
+        b = jnp.sum(o * d, axis=-1)
+        a = jnp.sum(d * d, axis=-1)
+        c = jnp.sum(o * o, axis=-1) - r * r
+        disc = b * b - a * c
+        disc_safe = jnp.where(disc > 0.0, disc, 1.0)
+        sq = jnp.where(disc > 0.0, jnp.sqrt(disc_safe), 0.0)
+        t0 = (-b - sq) / a
+        t1 = (-b + sq) / a
+        # root CHOICE re-derived in the native parameterization
+        # (sphere.h:38/45 windows), far-root fallback like _sphere_single
+        ok0 = (disc > 0.0) & (t0 < t_max) & (t0 > t_min)
+        ts_ = jnp.where(ok0, t0, t1)
+        is_ts = hit & (winner >= base) & (winner < base + n_ts)
+        best_t = jnp.where(is_ts, ts_ / raw_len, best_t)
+    if n_tt:
+        ti = jnp.clip(idx - base - n_ts, 0, n_tt - 1)
+        ttri = scene.t_triangles
+        o, d, raw_len = _transform_rays_single(
+            rays, ttri.trs.position[ti], ttri.trs.rotation[ti],
+            ttri.trs.scale[ti])
+        e1 = ttri.v1[ti] - ttri.v0[ti]
+        e2 = ttri.v2[ti] - ttri.v0[ti]
+        h = jnp.cross(d, e2)
+        a = jnp.sum(e1 * h, axis=-1)
+        f = 1.0 / jnp.where(jnp.abs(a) >= TRI_EPSILON, a, 1.0)
+        s = o - ttri.v0[ti]
+        q = jnp.cross(s, e1)
+        tt = f * jnp.sum(e2 * q, axis=-1)
+        is_tt = hit & (winner >= base + n_ts)
+        best_t = jnp.where(is_tt, tt / raw_len, best_t)
 
     return finalize_hits(scene, rays, jnp.where(hit, best_t, BIG), winner,
                          t_min, t_max, quirks, tri_override)
+
+
+def _transform_rays_single(rays: Rays, position, rotation, scale):
+    """TransformRay (transform.h:11-14) with PER-RAY gathered TRS params
+    (the replay form of _transform_rays_nc: one already-chosen object per
+    ray instead of an (N, C) broadcast).  Returns object-space origin /
+    unit direction and |raw d| for the native->raw t rescale."""
+    raw_len = jnp.sqrt(jnp.sum(rays.direction * rays.direction, axis=-1))
+    d = rays.direction / scale                              # ScaleRay
+    dlen = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    d = d / dlen
+    o = v3.rotate(rays.origin, rotation)                    # RotateRay
+    d = v3.rotate(d, rotation)
+    o = o - position                                        # TranslateRay
+    return o, d, raw_len
 
 
 def _sphere_single(rays: Rays, center, radius, t_min, t_max):

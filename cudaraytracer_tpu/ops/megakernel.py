@@ -45,8 +45,9 @@ Design notes (see also ops/pallas_intersect.py, whose sweep math this reuses):
     integrator, render.h:70-87) and shade_normal.  Rects AND runtime-TRS
     spheres/triangles run in-kernel too (unrolled per primitive — the
     reference TransformRay chain via the shared trs_ray helper).  Scenes
-    with image textures fall back to the wavefront path
-    (megakernel_supported()).  The kernel is
+    with image textures render fused through DEFERRED texturing
+    (trace_path_mega_tex: the kernel records winners, an O(rays x depth)
+    replay applies the image gathers in XLA).  The kernel is
     forward-only but can RECORD each bounce's winning primitive id
     (want_winners); engine='mega_diff' differentiates by replaying those
     winners through ops/integrators.trace_path — see trace_path_mega_diff.
@@ -171,7 +172,12 @@ def megakernel_supported(scene: Scene) -> bool:
     checker textures (no image gathers in-kernel), and tables small enough
     for VMEM residence / HBM streaming.  Uses only STATIC shape information
     so it can gate the engine choice inside jit (a TextureBuilder with no
-    images packs a (1,1,1,3) dummy image array)."""
+    images packs a (1,1,1,3) dummy image array).
+
+    Image-texture scenes fail THIS gate (the kernel cannot gather texels —
+    per-lane dynamic VMEM indexing does not exist on TPU) but still render
+    fused through DEFERRED texturing when mega_tex_supported() passes:
+    integrators.integrate routes them to trace_path_mega_tex."""
     if scene.n_t_spheres > 64 or scene.n_t_triangles > 64:
         return False   # TRS prims evaluate unrolled per bounce, like rects
     if scene.n_rects > 64:   # rects evaluate unrolled per bounce
@@ -181,6 +187,23 @@ def megakernel_supported(scene: Scene) -> bool:
     if scene.n_triangles > MAX_STREAM_PRIMS:   # HBM streaming above 8k
         return False
     if scene.textures.images.shape[0] > 1:   # image textures registered
+        return False
+    return True
+
+
+def mega_tex_supported(scene: Scene) -> bool:
+    """Scenes trace_path_mega_tex (fused sweep + deferred-texture replay)
+    can serve: everything megakernel_supported allows PLUS image textures
+    (the winner recording and ops/intersect.replay_hits cover the full
+    [spheres | triangles | rects | t_spheres | t_triangles] index space).
+    Static-shape information only, like megakernel_supported."""
+    if scene.n_t_spheres > 64 or scene.n_t_triangles > 64:
+        return False
+    if scene.n_rects > 64:
+        return False
+    if scene.n_spheres > MAX_VMEM_PRIMS:
+        return False
+    if scene.n_triangles > MAX_STREAM_PRIMS:
         return False
     return True
 
@@ -413,7 +436,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                  resume: bool = False, dump_state: bool = False,
                  n_steps: int = 0, f2b: int = 0, mxu: bool = False,
                  want_winners: bool = False, tri_off: int = 0,
-                 rect_off: int = 0):
+                 rect_off: int = 0, tsph_off: int = 0, ttri_off: int = 0):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
     tri_coef_ref = rest.pop(0) if mxu else None   # HBM (N_Q*T_pad, 128)
@@ -1039,7 +1062,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         best_t = jnp.full(shape, BIG, jnp.float32)
         attrs = tuple(jnp.zeros(shape, jnp.float32)
-                      for _ in range(6 + N_MAT_COMPS))
+                      for _ in range(6 + N_MAT_COMPS + want_winners))
 
         def sc(r, k):
             return box_scalar(tsph_ref, r, k)
@@ -1077,6 +1100,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                    m[6] * nox + m[7] * noy + m[8] * noz) + tuple(
                        sc(r, TS_MAT + k) + 0.0 * pxo
                        for k in range(N_MAT_COMPS))
+            if want_winners:   # winner tsph index as one more carried attr
+                new = new + (float(r) + 0.0 * pxo,)
             attrs = tuple(jnp.where(take, nv, av)
                           for nv, av in zip(new, attrs))
         return best_t, attrs
@@ -1090,7 +1115,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         best_t = jnp.full(shape, BIG, jnp.float32)
         attrs = tuple(jnp.zeros(shape, jnp.float32)
-                      for _ in range(6 + N_MAT_COMPS))
+                      for _ in range(6 + N_MAT_COMPS + want_winners))
 
         def sc(r, k):
             return box_scalar(ttri_ref, r, k)
@@ -1141,18 +1166,24 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                    sc(r, TT_NW + 2) + 0.0 * pxo) + tuple(
                        sc(r, TT_MAT + k) + 0.0 * pxo
                        for k in range(N_MAT_COMPS))
+            if want_winners:   # winner ttri index as one more carried attr
+                new = new + (float(r) + 0.0 * pxo,)
             attrs = tuple(jnp.where(take, nv, av)
                           for nv, av in zip(new, attrs))
         return best_t, attrs
 
-    def trs_merge(t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz):
+    def trs_merge(t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz,
+                  wid=None):
         """Fold the runtime-TRS sweeps into the closest-hit state AFTER the
         rect merge (index order [spheres | tris | rects | t_sph | t_tri] —
         strict < keeps the reference's first-wins tie-break).  TRS winners
         use their OBJECT-space hit point (reference rec.p quirk) and the
         rotated world normal, exactly like rects.  Shared by the bounce loop
-        and the lambert/normal epilogue."""
-        for n_prims, sweep in ((n_tsph, tsph_sweep), (n_ttri, ttri_sweep)):
+        and the lambert/normal epilogue.  wid (want_winners): running winner
+        TABLE id plane, overridden with [tsph_off | ttri_off] + index when a
+        TRS prim wins."""
+        for n_prims, sweep, off in ((n_tsph, tsph_sweep, tsph_off),
+                                    (n_ttri, ttri_sweep, ttri_off)):
             if not n_prims:
                 continue
             w_t, w_at = sweep(ox, oy, oz, dx, dy, dz)
@@ -1165,7 +1196,9 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             ny = jnp.where(w, w_at[4], ny)
             nz = jnp.where(w, w_at[5], nz)
             m = [jnp.where(w, w_at[6 + k], m[k]) for k in range(N_MAT_COMPS)]
-        return t, px, py, pz, nx, ny, nz, m
+            if wid is not None:
+                wid = jnp.where(w, w_at[6 + N_MAT_COMPS] + float(off), wid)
+        return t, px, py, pz, nx, ny, nz, m, wid
 
     def draw_samples(step):
         """(ballx, bally, ballz, prob) — in-kernel TPU PRNG (Box-Muller
@@ -1247,9 +1280,20 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                 nz = jnp.where(rect_w, r_at[5], nz)
                 m = [jnp.where(rect_w, r_at[6 + k], m[k])
                      for k in range(N_MAT_COMPS)]
+            wid = None
+            if want_winners:
+                # winner TABLE id ([sphere rows | +tri_off tri rows |
+                # +rect_off rect | +tsph_off/+ttri_off TRS index])
+                wid = jnp.where(tri_w, t_at[3 + N_MAT_COMPS] + float(tri_off),
+                                s_at[4 + N_MAT_COMPS])
+                if n_rects:
+                    wid = jnp.where(rect_w,
+                                    r_at[6 + N_MAT_COMPS] + float(rect_off),
+                                    wid)
             if n_tsph or n_ttri:
-                (t, px, py, pz, nx, ny, nz, m) = trs_merge(
-                    t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz)
+                (t, px, py, pz, nx, ny, nz, m, wid) = trs_merge(
+                    t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz,
+                    wid)
             hit = t < BIG_CUT
             (kind, aux, (atr, atg, atb), (emr, emg, emb), is_met, is_die,
              is_light) = mat_decode(m, px, py, pz)
@@ -1361,15 +1405,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             out = (ox, oy, oz, dx, dy, dz, tr_, tg, tb, rr, rg, rb,
                    jnp.where(continues, 1.0, 0.0))
             if want_winners:
-                # winner TABLE id ([sphere rows | +tri_off tri rows |
-                # +rect_off rect index]; -1 = miss/dead), carried so the
-                # (unrolled) driver can store it per bounce
-                wid = jnp.where(tri_w, t_at[3 + N_MAT_COMPS] + float(tri_off),
-                                s_at[4 + N_MAT_COMPS])
-                if n_rects:
-                    wid = jnp.where(rect_w,
-                                    r_at[6 + N_MAT_COMPS] + float(rect_off),
-                                    wid)
+                # -1 = miss/dead; carried so the (unrolled) driver can store
+                # the winner plane per bounce
                 out = out + (jnp.where(alive & hit, wid, -1.0),)
             return out
 
@@ -1457,7 +1494,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     if n_tsph or n_ttri:
         # compare against the UNCLAMPED t (ts_ is 0 on misses, which would
         # shadow any TRS hit there); p/n/m merge like the rect overrides
-        (t, px, py, pz, nx, ny, nz, m) = trs_merge(
+        (t, px, py, pz, nx, ny, nz, m, _) = trs_merge(
             t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz)
     hit = t < BIG_CUT
     inv_dlen = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
@@ -1808,6 +1845,49 @@ def trace_path_mega_diff(scene: Scene, rays: Rays, key: jax.Array,
     return _mega_diff(scene, rays, stream, cfg, tables)
 
 
+def trace_path_mega_tex(scene: Scene, rays: Rays, key: jax.Array,
+                        cfg: RenderConfig, samples=None,
+                        tables: Optional[MegaTables] = None) -> Array:
+    """Fused path for IMAGE-TEXTURE scenes via DEFERRED texturing.
+
+    Texture values never affect path STRUCTURE — in all four reference
+    materials the scatter direction and the continue/absorb events are
+    independent of the texture color (lambertian dir = p + n + ball,
+    material.h:60-68; metal = reflect + fuzz*ball, :81-92; dielectric uses
+    ref_idx only, :104-141; diffuse light never scatters, :146-161); the
+    texture only MULTIPLIES attenuation/emission.  So the fused megakernel
+    runs the whole bounce loop (with its placeholder-black albedo for
+    image-textured materials — the radiance output is discarded), records
+    each bounce's winning primitive id (want_winners), and the radiance is
+    computed by the O(rays x depth) replay
+    (ops/integrators.trace_path(winners=...)): finalize_hits + eval_texture
+    perform the per-lane image gathers in XLA, where gathers are cheap,
+    instead of in the kernel, where per-lane dynamic VMEM indexing does not
+    exist on TPU.  The sweep work — the O(rays x depth x prims) part — stays
+    fused.
+
+    Differentiable BY CONSTRUCTION: the replay is the same detached-discrete
+    / attached-continuous estimator engine='mega_diff' uses (winners are
+    detached int32 and the forward-only pallas kernel runs under
+    stop_gradient), so integrators.integrate routes image scenes here for
+    both engine='mega' and engine='mega_diff' — gradients flow to image
+    texels, albedos, and geometry exactly as through the wavefront VJP.
+
+    Runs the monolithic kernel only (the compaction drivers do not record
+    winners); mega_tex_supported() gates scene scope.  samples: optional
+    injected SampleStream — otherwise the stream is generated from `key`
+    (the wavefront integrator's exact internal draws) and shared by the
+    recording sweep and the replay."""
+    from .integrators import stream_from_key, trace_path
+    stream = (samples if samples is not None else
+              stream_from_key(key, rays.origin.shape[0], cfg.max_depth))
+    # the recording sweep is forward-only (no pallas VJP): detach its inputs
+    sg = jax.lax.stop_gradient((scene, rays, stream, tables))
+    _, winners = trace_path_mega(sg[0], sg[1], key, cfg, tables=sg[3],
+                                 samples=sg[2], want_winners=True)
+    return trace_path(scene, rays, key, cfg, samples=stream, winners=winners)
+
+
 def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:
     """SampleStream arrays -> (4 * steps, rows, LANES) kernel input planes."""
     steps = ball.shape[0]
@@ -1839,10 +1919,6 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     mxu = bool(cfg.mega_mxu) and stream_tri and not want_winners
     if want_winners:
         assert cfg.integrator == "path" and not dump_state and state is None
-        # the replay backward (ops/intersect.replay_hits) has no TRS form;
-        # integrators.integrate routes TRS scenes away from mega_diff
-        assert not (scene.n_t_spheres or scene.n_t_triangles), (
-            "want_winners does not cover runtime-TRS primitives")
     if mxu and tables.tri_coef.shape[0] != N_Q * tables.tri.shape[0]:
         raise ValueError(
             "cfg.mega_mxu requires coefficient tables: rebuild with "
@@ -1871,7 +1947,11 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         n_steps=n_steps if n_steps else (cfg.max_depth + 1 - step_lo),
         f2b=0 if mxu else cfg.mega_f2b_shells, mxu=mxu,
         want_winners=want_winners, tri_off=tables.sph.shape[0],
-        rect_off=tables.sph.shape[0] + tables.tri.shape[0])
+        rect_off=tables.sph.shape[0] + tables.tri.shape[0],
+        tsph_off=(tables.sph.shape[0] + tables.tri.shape[0]
+                  + scene.n_rects),
+        ttri_off=(tables.sph.shape[0] + tables.tri.shape[0]
+                  + scene.n_rects + scene.n_t_spheres))
 
     grid = (rows // TILE_ROWS,)
     full = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
@@ -1950,9 +2030,10 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
 
     want_winners (path only): return (radiance, winners) where winners is
     i32[max_depth + 1, N] — each bounce's winning primitive in the SCENE
-    index space of intersect.Hits.prim ([spheres | triangles | rects],
-    -1 = miss/dead) — the recording the replay backward consumes
-    (trace_path_mega_diff / integrators.trace_path(winners=...)).
+    index space of intersect.Hits.prim ([spheres | triangles | rects |
+    t_spheres | t_triangles], -1 = miss/dead) — the recording the replay
+    backward consumes (trace_path_mega_diff /
+    integrators.trace_path(winners=...)).
     """
     from .integrators import stream_from_key   # local: avoid import cycle
 
@@ -1984,10 +2065,12 @@ def trace_path_mega(scene: Scene, rays: Rays, key: jax.Array,
 
 def _winners_to_scene(scene: Scene, tables: MegaTables, w: Array) -> Array:
     """Map winner TABLE ids ([sphere rows | +S_pad tri rows | +S_pad+T_pad
-    rect index], -1 = miss) into the SCENE prim-index space of
-    intersect.Hits.prim, undoing the tables' Morton permutation and padding
-    (pad rows repeat their source prim, so mapping them to that prim is the
-    duplicate's correct identity)."""
+    rect, t_sphere, t_triangle indices — contiguous], -1 = miss) into the
+    SCENE prim-index space of intersect.Hits.prim, undoing the tables'
+    Morton permutation and padding (pad rows repeat their source prim, so
+    mapping them to that prim is the duplicate's correct identity).  The
+    rect/TRS branch is a single shift: their in-kernel offsets are laid out
+    contiguously after the padded sphere/tri tables in scene order."""
     s_pad = tables.sph.shape[0]
     t_pad = tables.tri.shape[0]
     n_s, n_t = scene.n_spheres, scene.n_triangles

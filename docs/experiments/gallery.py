@@ -44,6 +44,12 @@ def main():
     shoot("light_box_path8", s, c, 640, 320, 64)
     s, c = presets.random_spheres(aspect=16 / 9)
     shoot("random_spheres_path8", s, c, 800, 450, 32)
+    # image textures through the fused deferred-texturing path; fixed quirks
+    # so the lambertian samples its image at the real (u, v) — under
+    # Quirks.reference() material.h:67 pins u = v = 0 and the globe renders
+    # as one texel color
+    s, c = presets.textured_globe(aspect=16 / 9)
+    shoot("textured_globe_path8", s, c, 800, 450, 64, quirks=Quirks.fixed())
     s, c = _mesh_scene(640, 360)
     shoot("bunny_path8", s, c, 640, 360, 16)
     s, c = _mesh_scene(1280, 720)

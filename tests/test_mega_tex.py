@@ -1,0 +1,214 @@
+"""Deferred texturing (trace_path_mega_tex) — image-texture scenes through
+the fused megakernel.
+
+Texture values never affect path structure (scatter directions and
+continue/absorb events are texture-independent in all four reference
+materials), so the fused kernel records per-bounce winners with a
+placeholder albedo and an O(rays x depth) replay applies the image gathers
+in XLA.  These tests pin (a) value parity with the wavefront integrator on
+image-textured scenes under both quirk profiles, (b) that the engine router
+sends such scenes to the fused path for both 'mega' and 'mega_diff', and
+(c) gradient parity with the wavefront VJP (the replay is differentiable by
+construction).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudaraytracer_tpu.config import Quirks
+from cudaraytracer_tpu.core import camera as cam_mod
+from cudaraytracer_tpu.models.scene import SceneBuilder
+from cudaraytracer_tpu.ops import integrators as integ
+from cudaraytracer_tpu.ops import megakernel as mk
+
+from test_megakernel import _cfg
+
+
+def _image_scene():
+    """Image-textured lambert sphere + image-textured diffuse-light rect
+    (real uv-dependent emission, texture.h:65-76) + every other material."""
+    b = SceneBuilder()
+    m = b.materials
+    rng = np.random.default_rng(7)
+    img_lam = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    img_emit = rng.integers(64, 256, (5, 9, 3), dtype=np.uint8)
+    t_lam = m.textures.image(img_lam)
+    t_emit = m.textures.image(img_emit)
+    b.add_sphere((0, -100.5, -3), 100.0,
+                 m.lambertian(m.textures.checker((.8, .8, .8), (.2, .2, .2))))
+    b.add_sphere((-1.1, 0, -3), 0.5, m.lambertian(tex_id=t_lam))
+    b.add_sphere((1.1, 0, -3), 0.5, m.metal((0.8, 0.7, 0.3), fuzz=0.15))
+    b.add_sphere((0, 0, -2.4), 0.35, m.dielectric(1.5))
+    # image-textured light, directly visible: emission samples the image at
+    # the rect's REAL (u, v), unlike lambertian attenuation (material.h:63
+    # samples at (0,0)), so a uv-plumbing bug would break this scene
+    b.add_rect(m.diffuse_light(tex_id=t_emit), position=(0, 1.6, -3.2),
+               rotation=(60, 0, 0), scale=(2.0, 1.2, 1.0))
+    scene = b.build()
+    cam = cam_mod.make_camera((0, 0.5, 2), (0, 0.3, -3), vfov=50, aspect=2.0,
+                              focus_dist=5.0)
+    return scene, cam
+
+
+def _rays(cam, cfg, key):
+    return cam_mod.generate_pixel_rays(cam, cfg.width, cfg.height,
+                                       cfg.samples, key)
+
+
+def test_mega_tex_matches_wavefront_both_quirks():
+    scene, cam = _image_scene()
+    assert not mk.megakernel_supported(scene)
+    assert mk.mega_tex_supported(scene)
+    for quirks in (Quirks.reference(), Quirks.fixed()):
+        cfg = _cfg(quirks=quirks)
+        rays = _rays(cam, cfg, jax.random.key(3))
+        n = rays.origin.shape[0]
+        stream = integ.stream_from_key(jax.random.key(9), n, cfg.max_depth)
+        ref = integ.trace_path(scene, rays, jax.random.key(9), cfg,
+                               samples=stream)
+        got = mk.trace_path_mega_tex(scene, rays, jax.random.key(9), cfg,
+                                     samples=stream)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+        # the image light must actually shine with uv-varying emission:
+        # direct-hit lanes of the rect should show more than one texel color
+        assert np.asarray(ref).max() > 0.3
+
+
+def test_mega_tex_key_only_matches_wavefront():
+    """Without an injected stream, trace_path_mega_tex derives the wavefront
+    integrator's exact internal draws from `key`, so key-only calls agree."""
+    scene, cam = _image_scene()
+    cfg = _cfg()
+    rays = _rays(cam, cfg, jax.random.key(1))
+    ref = integ.trace_path(scene, rays, jax.random.key(4), cfg)
+    got = mk.trace_path_mega_tex(scene, rays, jax.random.key(4), cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_integrate_routes_image_scenes_to_mega_tex(monkeypatch):
+    """engine='mega' and engine='mega_diff' both route image scenes through
+    trace_path_mega_tex (not the wavefront fallback)."""
+    scene, cam = _image_scene()
+    calls = []
+    real = mk.trace_path_mega_tex
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(mk, "trace_path_mega_tex", spy)
+    cfg = _cfg()
+    rays = _rays(cam, cfg, jax.random.key(1))
+    ref = integ.trace_path(scene, rays, jax.random.key(2), cfg)
+    for engine in ("mega", "mega_diff"):
+        cfg_e = _cfg(engine=engine)
+        got = integ.integrate(scene, rays, jax.random.key(2), cfg_e)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+    assert len(calls) == 2
+
+
+def test_mega_tex_gradients_match_wavefront():
+    """Gradients through trace_path_mega_tex (detached winners + replay)
+    equal the full wavefront VJP for material and geometry parameters of an
+    image-textured scene."""
+    scene, cam = _image_scene()
+    cfg = _cfg(width=32, height=16, samples=1, max_depth=4)
+    rays = _rays(cam, cfg, jax.random.key(5))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(8), n, cfg.max_depth)
+    target = jnp.zeros((n, 3), jnp.float32)
+
+    def loss_wave(centers, c0):
+        sc = scene._replace(
+            spheres=scene.spheres._replace(center=centers),
+            textures=scene.textures._replace(color0=c0))
+        img = integ.trace_path(sc, rays, jax.random.key(8), cfg,
+                               samples=stream)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_tex(centers, c0):
+        sc = scene._replace(
+            spheres=scene.spheres._replace(center=centers),
+            textures=scene.textures._replace(color0=c0))
+        img = mk.trace_path_mega_tex(sc, rays, jax.random.key(8), cfg,
+                                     samples=stream)
+        return jnp.mean((img - target) ** 2)
+
+    args = (scene.spheres.center, scene.textures.color0)
+    g_ref = jax.grad(loss_wave, argnums=(0, 1))(*args)
+    g_got = jax.grad(loss_tex, argnums=(0, 1))(*args)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-4 * scale, rtol=2e-3)
+        assert np.abs(a).max() > 0.0   # gradients actually flow
+
+
+def test_mega_tex_trs_scene():
+    """Runtime-TRS + image-texture scenes render fused too: the TRS sweeps
+    record winners, replay_hits recomputes their TransformRay'd t, and the
+    deferred replay applies the image texture."""
+    b = SceneBuilder()
+    m = b.materials
+    tex = m.textures.image(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    b.add_sphere((0, -100.5, -3), 100.0, m.lambertian(color=(.6, .6, .6)))
+    b.add_sphere((0, 0, -3), 1.0, m.lambertian(tex_id=tex),
+                 rotation=(0, 30, 0), scale=(1.0, 1.4, 1.0))
+    b.add_triangle((-1.2, -0.5, 0), (1.2, -0.5, 0), (0, 1.0, 0),
+                   m.lambertian(color=(0.8, 0.3, 0.2)),
+                   position=(1.6, 0.2, -3.5), rotation=(0, -25, 0))
+    scene = b.build()
+    assert scene.n_t_spheres == 1 and scene.n_t_triangles == 1
+    assert mk.mega_tex_supported(scene)
+    cam = cam_mod.make_camera((0, 0, 1), (0, 0, -3), vfov=50, aspect=2.0,
+                              focus_dist=4.0)
+    cfg = _cfg()
+    rays = _rays(cam, cfg, jax.random.key(0))
+    ref = integ.trace_path(scene, rays, jax.random.key(1), cfg)
+    got = integ.integrate(scene, rays, jax.random.key(1),
+                          _cfg(engine="mega"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_lambertian_zero_uv_quirk():
+    """material.h:67 samples lambertian textures at u = v = 0 (reference) —
+    an image-textured lambertian is EXACTLY a constant-textured one of the
+    (0,0) texel (i = 0, j = ny-1 after the (1-v)*ny-0.001 flip).
+    Quirks.fixed() samples the real (u, v) and the renders must differ."""
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    texel00 = img[3, 0].astype(np.float32) / 255.0   # u=v=0 -> (i=0, j=ny-1)
+
+    def build(use_image):
+        b = SceneBuilder()
+        m = b.materials
+        if use_image:
+            mat = m.lambertian(tex_id=m.textures.image(img))
+        else:
+            mat = m.lambertian(color=tuple(texel00))
+            m.textures.image(img)   # keep texture-table shapes identical
+        b.add_sphere((0, -100.5, -3), 100.0, m.lambertian(color=(.6, .6, .6)))
+        b.add_sphere((0, 0, -3), 1.0, mat)
+        return b.build()
+
+    cam = cam_mod.make_camera((0, 0, 1), (0, 0, -3), vfov=50, aspect=2.0,
+                              focus_dist=4.0)
+    cfg_ref = _cfg(samples=2, max_depth=3)
+    cfg_fix = _cfg(samples=2, max_depth=3, quirks=Quirks.fixed())
+    rays = _rays(cam, cfg_ref, jax.random.key(2))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(3), n, cfg_ref.max_depth)
+    img_i = np.asarray(integ.trace_path(build(True), rays, jax.random.key(3),
+                                        cfg_ref, samples=stream))
+    img_c = np.asarray(integ.trace_path(build(False), rays, jax.random.key(3),
+                                        cfg_ref, samples=stream))
+    np.testing.assert_allclose(img_i, img_c, atol=1e-6)
+    fix_i = np.asarray(integ.trace_path(build(True), rays, jax.random.key(3),
+                                        cfg_fix, samples=stream))
+    fix_c = np.asarray(integ.trace_path(build(False), rays, jax.random.key(3),
+                                        cfg_fix, samples=stream))
+    assert np.abs(fix_i - fix_c).max() > 0.05   # real (u,v) sampling differs

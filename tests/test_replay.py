@@ -269,22 +269,96 @@ def test_replay_distributed_fit_step_matches_wavefront():
                                    rtol=1e-3, atol=1e-6, err_msg=k)
 
 
-def test_replay_hits_rejects_trs_scenes():
-    """replay_hits covers the megakernel scene scope only."""
-    from cudaraytracer_tpu.ops.intersect import replay_hits
-
+def _trs_scene():
+    """Static sphere + rect + runtime-TRS sphere AND triangle (all four
+    winner classes the TRS-aware replay must cover)."""
     b = SceneBuilder()
     m = b.materials
-    b.add_sphere((0, 0, -3), 0.5, m.lambertian(color=(0.5, 0.5, 0.5)))
-    # non-identity rotation routes to the runtime-TRS table
-    b.add_sphere((0, 1, -3), 0.5, m.lambertian(color=(0.5, 0.5, 0.5)),
-                 rotation=(0, 45, 0))
+    b.add_sphere((0, -100.5, -3), 100.0, m.lambertian(color=(.6, .6, .6)))
+    b.add_sphere((-1.2, 0, -3), 0.5, m.metal((0.8, 0.7, 0.3), fuzz=0.1))
+    b.add_sphere((0, 0.1, -3), 0.6, m.lambertian(color=(0.2, 0.4, 0.8)),
+                 rotation=(0, 30, 0), scale=(1.0, 1.5, 1.0))
+    # checker albedo: attenuation = checker(rec.p) gives the TRS triangle a
+    # DIRECT gradient path v0 -> t -> p (with a constant color, v0 grads can
+    # be legitimately zero when the continuation ray misses).  The vertices
+    # are tilted OFF the object z=0 plane: on it, sin(10 * pz) sits exactly
+    # on a checker boundary and kernel-vs-jnp fp noise flips lanes.
+    b.add_triangle((-1.0, -0.5, 0.31), (1.0, -0.5, 0.37), (0, 0.9, 0.44),
+                   m.lambertian(m.textures.checker((.9, .3, .2), (.1, .6, .8))),
+                   position=(1.4, 0.2, -3.4), rotation=(0, -25, 10))
+    b.add_rect(m.diffuse_light(color=(3, 3, 3)), position=(0, 1.8, -3),
+               rotation=(90, 0, 0), scale=(2, 2, 1))
     scene = b.build()
-    from cudaraytracer_tpu.core.rays import make_rays
-    rays = make_rays(jnp.zeros((4, 3)), jnp.asarray([[0.0, 0.0, -1.0]] * 4))
-    try:
-        replay_hits(scene, rays, jnp.zeros((4,), jnp.int32), 1e-3, 1e9,
-                    Quirks.reference())
-        assert False, "expected ValueError for runtime-TRS scenes"
-    except ValueError as e:
-        assert "TRS" in str(e)
+    from cudaraytracer_tpu.core import camera as cam_mod
+    cam = cam_mod.make_camera((0, 0.4, 1.5), (0, 0.2, -3), vfov=50,
+                              aspect=2.0, focus_dist=4.5)
+    return scene, cam
+
+
+def test_mega_winners_and_replay_trs_scene():
+    """TRS sweeps record winners in the extended scene index space
+    ([... | t_spheres | t_triangles]); the replay reproduces the recording
+    radiance through replay_hits' TransformRay'd t recompute."""
+    sc = _trs_scene()
+    scene, _ = sc
+    assert scene.n_t_spheres == 1 and scene.n_t_triangles == 1
+    for quirks in (Quirks.reference(), Quirks.fixed()):
+        cfg = _cfg(quirks=quirks)
+        rays = _rays(sc, cfg, jax.random.key(3))
+        n = rays.origin.shape[0]
+        stream = integ.stream_from_key(jax.random.key(9), n, cfg.max_depth)
+        ref, wref = integ.trace_path(scene, rays, jax.random.key(9), cfg,
+                                     samples=stream, return_winners=True)
+        got, wmega = mk.trace_path_mega(scene, rays, jax.random.key(9), cfg,
+                                        samples=stream, want_winners=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(wmega), np.asarray(wref))
+        base = scene.n_spheres + scene.n_triangles + scene.n_rects
+        w = np.asarray(wref)
+        assert (w == base).any(), "TRS sphere never won a bounce"
+        assert (w == base + 1).any(), "TRS triangle never won a bounce"
+        replay = integ.trace_path(scene, rays, jax.random.key(9), cfg,
+                                  samples=stream, winners=wref)
+        np.testing.assert_allclose(np.asarray(replay), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_mega_diff_trs_gradients_match_wavefront():
+    """engine='mega_diff' (replay backward) now covers runtime-TRS scenes:
+    gradients wrt TRS position/radius and object-space vertices equal the
+    wavefront VJP."""
+    sc = _trs_scene()
+    scene, _ = sc
+    cfg = _cfg(width=32, height=16, samples=1, max_depth=4)
+    rays = _rays(sc, cfg, jax.random.key(5))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(8), n, cfg.max_depth)
+    target = jnp.zeros((n, 3), jnp.float32)
+
+    def build(pos, rad, tv0):
+        return scene._replace(
+            t_spheres=scene.t_spheres._replace(
+                trs=scene.t_spheres.trs._replace(position=pos), radius=rad),
+            t_triangles=scene.t_triangles._replace(v0=tv0))
+
+    def loss_wave(pos, rad, tv0):
+        img = integ.trace_path(build(pos, rad, tv0), rays, jax.random.key(8),
+                               cfg, samples=stream)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_mega(pos, rad, tv0):
+        img = mk.trace_path_mega_diff(build(pos, rad, tv0), rays,
+                                      jax.random.key(8), cfg, samples=stream)
+        return jnp.mean((img - target) ** 2)
+
+    args = (scene.t_spheres.trs.position, scene.t_spheres.radius,
+            scene.t_triangles.v0)
+    g_ref = jax.grad(loss_wave, argnums=(0, 1, 2))(*args)
+    g_got = jax.grad(loss_mega, argnums=(0, 1, 2))(*args)
+    for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        assert np.isfinite(a).all() and np.isfinite(b_).all()
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b_, a, atol=3e-4 * scale, rtol=2e-3)
+        assert np.abs(a).max() > 0.0
