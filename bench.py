@@ -94,30 +94,15 @@ def _big_field_scene():
 
 
 def _tex_scene(aspect: float):
-    """Image-textured workload for BENCH_TEX: a 256x256-texel lambertian
-    globe + an image-textured light over a checker floor — the scene class
-    that used to fall back to the wavefront engine and now renders fused
-    via deferred texturing (ops/megakernel.trace_path_mega_tex)."""
-    import cudaraytracer_tpu as crt
-    from cudaraytracer_tpu.core.camera import make_camera
-
-    rng = np.random.default_rng(11)
-    b = crt.SceneBuilder()
-    m = b.materials
-    t_globe = m.textures.image(rng.integers(0, 256, (256, 256, 3),
-                                            dtype=np.uint8))
-    t_emit = m.textures.image(rng.integers(96, 256, (64, 64, 3),
-                                           dtype=np.uint8))
-    b.add_sphere((0, -100.5, -3), 100.0,
-                 m.lambertian(m.textures.checker((.8, .8, .8), (.2, .3, .2))))
-    b.add_sphere((0, 0, -3), 0.6, m.lambertian(tex_id=t_globe))
-    b.add_sphere((-1.3, 0, -3), 0.5, m.dielectric(1.5))
-    b.add_sphere((1.3, 0, -3), 0.5, m.metal((0.8, 0.7, 0.3), fuzz=0.05))
-    b.add_rect(m.diffuse_light(tex_id=t_emit), position=(0, 1.9, -3),
-               rotation=(90, 0, 0), scale=(2.5, 2.5, 1))
-    cam = make_camera((0, 0.5, 1.5), (0, 0.2, -3), (0, 1, 0), 50.0,
-                      aspect, 0.0, 4.5)
-    return b.build(), cam
+    """Image-textured workload for BENCH_TEX: the headline random-spheres
+    field with ~1 in 5 lambertians (and one big sphere) on a shared image
+    texture — the scene class that used to fall back to the wavefront
+    engine and now renders fused via deferred texturing
+    (ops/megakernel.trace_path_mega_tex).  Deferred texturing wins when the
+    SWEEP dominates (many prims): the replay pays the same per-bounce XLA
+    glue as the wavefront, so on near-empty scenes it is ~neutral."""
+    from cudaraytracer_tpu.models import presets
+    return presets.random_spheres(aspect=aspect, textured=True)
 
 
 def _mega_tables(scene):

@@ -36,14 +36,27 @@ def three_spheres(aspect: float = 16 / 9):
     return b.build(), cam
 
 
-def random_spheres(aspect: float = 16 / 9, seed: int = 7, n: int = 22):
-    """'One Weekend' final scene: n x n grid of small random spheres + 3 big."""
+def random_spheres(aspect: float = 16 / 9, seed: int = 7, n: int = 22,
+                   textured: bool = False):
+    """'One Weekend' final scene: n x n grid of small random spheres + 3 big.
+
+    textured=True swaps ~1 in 5 small lambertians (and the big left sphere)
+    to a shared procedural IMAGE texture — the headline-scale image-texture
+    workload for the fused deferred-texturing path (BENCH_TEX)."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     m = b.materials
     ground = m.lambertian(tex_id=m.textures.checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9)))
+    img_mat = None
+    if textured:
+        jj, ii = np.meshgrid(np.arange(64), np.arange(128), indexing="ij")
+        tex_img = np.stack([(ii * 5 + jj * 3) % 256,
+                            (ii * 11) % 256,
+                            (jj * 7) % 256], -1).astype(np.uint8)
+        img_mat = m.lambertian(tex_id=m.textures.image(tex_img))
     b.add_sphere((0, -1000, 0), 1000.0, ground)
     half = n // 2
+    k = 0
     for a in range(-half, half):
         for c in range(-half, half):
             choose = rng.uniform()
@@ -52,14 +65,18 @@ def random_spheres(aspect: float = 16 / 9, seed: int = 7, n: int = 22):
                 continue
             if choose < 0.8:
                 albedo = rng.uniform(size=3) * rng.uniform(size=3)
-                b.add_sphere(cen, 0.2, m.lambertian(color=albedo))
+                k += 1
+                mat = (img_mat if textured and k % 5 == 0
+                       else m.lambertian(color=albedo))
+                b.add_sphere(cen, 0.2, mat)
             elif choose < 0.95:
                 albedo = 0.5 * (1 + rng.uniform(size=3))
                 b.add_sphere(cen, 0.2, m.metal(albedo, 0.5 * rng.uniform()))
             else:
                 b.add_sphere(cen, 0.2, m.dielectric(1.5))
     b.add_sphere((0, 1, 0), 1.0, m.dielectric(1.5))
-    b.add_sphere((-4, 1, 0), 1.0, m.lambertian(color=(0.4, 0.2, 0.1)))
+    b.add_sphere((-4, 1, 0), 1.0,
+                 img_mat if textured else m.lambertian(color=(0.4, 0.2, 0.1)))
     b.add_sphere((4, 1, 0), 1.0, m.metal((0.7, 0.6, 0.5), 0.0))
     cam = make_camera((13, 2, 3), (0, 0, 0), (0, 1, 0), 20.0, aspect, 0.0, 10.0)
     return b.build(), cam

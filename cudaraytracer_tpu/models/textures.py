@@ -65,6 +65,23 @@ def eval_texture(tex: TextureTable, tex_id: Array, u: Array, v: Array,
     return out
 
 
+def image_texel(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
+    """The IMAGE branch of eval_texture alone (texture.h:65-76): nearest
+    texel at (u, v), bytes / 255 — used by the megakernel's deferred-
+    texturing pass, which needs only the image factor (constant/checker are
+    already evaluated in-kernel).  Must stay line-identical to the IMAGE
+    part of eval_texture."""
+    img = tex.image_id[tex_id]
+    wh = tex.image_wh[img]
+    nx = wh[..., 0].astype(jnp.float32)
+    ny = wh[..., 1].astype(jnp.float32)
+    i = (u * nx).astype(jnp.int32)
+    j = ((1.0 - v) * ny - 0.001).astype(jnp.int32)
+    i = jnp.clip(i, 0, wh[..., 0] - 1)
+    j = jnp.clip(j, 0, wh[..., 1] - 1)
+    return tex.images[img, j, i].astype(jnp.float32) / 255.0
+
+
 class TextureBuilder:
     """Host-side accumulation of textures into a TextureTable."""
 

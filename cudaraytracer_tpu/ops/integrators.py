@@ -303,11 +303,12 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
             return _mk.select_mega(scene, rays, key, cfg, tables, samples)
         if (cfg.integrator == "path" and not _mk.megakernel_supported(scene)
                 and _mk.mega_tex_supported(scene)):
-            # image-texture scenes: fused winner-recording sweep + deferred
-            # texture replay (differentiable, so mega_diff routes here too)
+            # image-texture scenes: fused want_tex kernel + deferred
+            # texture pass; mega_diff pairs it with the replay backward
             tables = aux if isinstance(aux, _mk.MegaTables) else None
-            return _mk.trace_path_mega_tex(scene, rays, key, cfg,
-                                           samples=samples, tables=tables)
+            fn = (_mk.trace_path_mega_tex_diff if cfg.engine == "mega_diff"
+                  else _mk.trace_path_mega_tex)
+            return fn(scene, rays, key, cfg, samples=samples, tables=tables)
         if isinstance(aux, _mk.MegaTables):   # fall back to wavefront
             aux = None
     if cfg.integrator == "path":

@@ -236,6 +236,15 @@ def _mat_lanes(scene: Scene, mat_id: Array) -> Array:
     # (material.h:87); fold it into color0 with a constant tex kind.
     is_metal = kind == _mat.METAL
     c0 = jnp.where(is_metal[:, None], m.albedo[mat_id], t.color0[tex_id])
+    # IMAGE textures can't gather in-kernel: their in-kernel value is the
+    # PLACEHOLDER 1 (mat_decode treats non-checker kinds as constant c0),
+    # and the deferred-texturing pass (trace_path_mega_tex) multiplies the
+    # real texel back in outside the kernel.  Scenes with image textures
+    # never use the plain-mega radiance directly (megakernel_supported
+    # gates them), so the placeholder is invisible elsewhere.  Gated on
+    # ~is_metal: metals don't read textures (their DEFAULT tex_id 0 may
+    # coincidentally point at an image) and c0 just became their albedo.
+    c0 = jnp.where(((tex_kind == _tex.IMAGE) & ~is_metal)[:, None], 1.0, c0)
     tex_kind = jnp.where(is_metal, _tex.CONSTANT, tex_kind)
     aux = jnp.where(is_metal, m.fuzz[mat_id], m.ref_idx[mat_id])
     return jnp.concatenate([
@@ -435,7 +444,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                  integrator: str = "path", lambert_unnorm: bool = True,
                  resume: bool = False, dump_state: bool = False,
                  n_steps: int = 0, f2b: int = 0, mxu: bool = False,
-                 want_winners: bool = False, tri_off: int = 0,
+                 want_winners: bool = False, want_tex: bool = False,
+                 tri_off: int = 0,
                  rect_off: int = 0, tsph_off: int = 0, ttri_off: int = 0):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
@@ -1393,6 +1403,8 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             rg = rg + tg * cg
             rb = rb + tb * cb
 
+            # pre-attenuation throughput, used by the want_tex planes below
+            thr_r, thr_g, thr_b = tr_, tg, tb
             tr_ = jnp.where(continues, tr_ * atr, tr_)
             tg = jnp.where(continues, tg * atg, tg)
             tb = jnp.where(continues, tb * atb, tb)
@@ -1408,6 +1420,29 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                 # -1 = miss/dead; carried so the (unrolled) driver can store
                 # the winner plane per bounce
                 out = out + (jnp.where(alive & hit, wid, -1.0),)
+            if want_tex:
+                # deferred-texturing planes (trace_path_mega_tex): this
+                # step's EMISSION term and AMBIENT+SKY term — split because
+                # the image emission factor g multiplies only the former —
+                # plus the winning hit point (object-space where the winner
+                # is, i.e. for rects/TRS prims, like the carried attrs).
+                # All use the PRE-update throughput, exactly like the
+                # in-kernel accumulation above.
+                ah = alive & hit
+                out = out + (
+                    jnp.where(ah, emr, 0.0) * thr_r,
+                    jnp.where(ah, emg, 0.0) * thr_g,
+                    jnp.where(ah, emb, 0.0) * thr_b,
+                    (jnp.where(absorbed, ambient, 0.0)
+                     + jnp.where(missed, skyr, 0.0)) * thr_r,
+                    (jnp.where(absorbed, ambient, 0.0)
+                     + jnp.where(missed, skyg, 0.0)) * thr_g,
+                    (jnp.where(absorbed, ambient, 0.0)
+                     + jnp.where(missed, skyb, 0.0)) * thr_b,
+                    jnp.where(ah, px, 0.0),
+                    jnp.where(ah, py, 0.0),
+                    jnp.where(ah, pz, 0.0),
+                )
             return out
 
         return jax.lax.cond(jnp.any(carry[12] > 0.0), live, lambda c: c,
@@ -1430,11 +1465,16 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             # Unrolled so each bounce's winner plane is stored at a STATIC
             # leading index (and so the -1 seed can be threaded per step).
             # n_steps is small (max_depth + 1); the math is identical to the
-            # fori_loop path.
+            # fori_loop path.  want_tex adds 9 more per-step planes (em rgb,
+            # ambient+sky rgb, hit point xyz) whose dead-tile seeds are 0.
             neg1 = jnp.full(shape, -1.0, jnp.float32)
+            n_extra = 10 if want_tex else 1
+            zero_p = jnp.zeros(shape, jnp.float32)
+            seeds = (neg1,) + (zero_p,) * (n_extra - 1)
             for step in range(n_steps):
-                stepped = bounce(step, carry + (neg1,))
-                out_ref[3 + step] = stepped[13]
+                stepped = bounce(step, carry + seeds)
+                for j in range(n_extra):
+                    out_ref[3 + step * n_extra + j] = stepped[13 + j]
                 carry = stepped[:13]
         else:
             carry = jax.lax.fori_loop(0, n_steps, bounce, carry)
@@ -1845,47 +1885,300 @@ def trace_path_mega_diff(scene: Scene, rays: Rays, key: jax.Array,
     return _mega_diff(scene, rays, stream, cfg, tables)
 
 
+# _tex_info_table column layout (one row per KERNEL TABLE id, one trailing
+# miss row): everything the per-bounce texture-factor math needs, packed so
+# the reconstruction does ONE row gather per bounce — measured 19x cheaper
+# on v5e than the equivalent ~15 separate small-table gathers
+# (docs/experiments/gather_micro.py: 9.5 ms vs 178 ms at 4.15M indices).
+TI_CLS, TI_FLAM, TI_FLIT, TI_IMG, TI_W, TI_H, TI_A00, TI_GEO = (
+    0, 1, 2, 3, 4, 5, 6, 9)
+TI_COLS = 21
+# class codes for TI_CLS
+_CLS_SPH, _CLS_TRI, _CLS_RECT, _CLS_TSPH, _CLS_TTRI = 0.0, 1.0, 2.0, 3.0, 4.0
+
+
+def _tex_info_table(scene: Scene) -> dict:
+    """Per-SCENE-prim deferred-texturing metadata blocks, keyed by prim
+    class; _assemble_tex_info maps them onto kernel TABLE rows.  Columns:
+    [cls | lambert-image flag | light-image flag | image id | image w, h |
+    texel(0,0) rgb (the quirk-gated lambertian factor, material.h:67) |
+    12 geometry floats (per class, see _tex_uv)]."""
+    m, t = scene.materials, scene.textures
+
+    def block(mat_id, cls, geom):
+        k = mat_id.shape[0]
+        tex_id = m.tex_id[mat_id]
+        kind = m.kind[mat_id]
+        is_img = t.kind[tex_id] == _tex.IMAGE
+        img = t.image_id[tex_id]
+        wh = t.image_wh[img].astype(jnp.float32)
+        zer = jnp.zeros((k,), jnp.float32)
+        att00 = _tex.image_texel(t, tex_id, zer, zer)
+        geom = jnp.concatenate(
+            [geom, jnp.zeros((k, 12 - geom.shape[1]), jnp.float32)], axis=1)
+        return jnp.concatenate([
+            jnp.full((k, 1), cls, jnp.float32),
+            (is_img & (kind == _mat.LAMBERTIAN)).astype(jnp.float32)[:, None],
+            (is_img & (kind == _mat.DIFFUSE_LIGHT)).astype(
+                jnp.float32)[:, None],
+            img.astype(jnp.float32)[:, None],
+            wh,
+            att00,
+            geom], axis=1)
+
+    out = {}
+    if scene.n_spheres:
+        sp = scene.spheres
+        out["sph"] = block(sp.mat, _CLS_SPH, jnp.concatenate(
+            [sp.center, (1.0 / sp.radius)[:, None]], axis=1))
+    if scene.n_triangles:
+        tr = scene.triangles
+        out["tri"] = block(tr.mat, _CLS_TRI, jnp.concatenate(
+            [tr.v0, tr.v1 - tr.v0, tr.v2 - tr.v0], axis=1))
+    if scene.n_rects:
+        out["rect"] = block(scene.rects.mat, _CLS_RECT,
+                            jnp.zeros((scene.n_rects, 0), jnp.float32))
+    if scene.n_t_spheres:
+        ts = scene.t_spheres
+        out["tsph"] = block(ts.mat, _CLS_TSPH, jnp.concatenate(
+            [(1.0 / ts.radius)[:, None], ts.trs.rotation], axis=1))
+    if scene.n_t_triangles:
+        tt = scene.t_triangles
+        out["ttri"] = block(tt.mat, _CLS_TTRI, jnp.concatenate(
+            [tt.v0, tt.v1 - tt.v0, tt.v2 - tt.v0], axis=1))
+    return out
+
+
+def _assemble_tex_info(scene: Scene, tables: MegaTables) -> Array:
+    """(total_table_rows + 1, TI_COLS) info in KERNEL TABLE-id order:
+    [sph_map'd sphere rows | tri_map'd tri rows | rects | t_spheres |
+    t_triangles | one all-zero miss row] — so the reconstruction can gather
+    by the kernel's winner TABLE ids directly (no scene-id remap)."""
+    blocks = _tex_info_table(scene)
+    rows = []
+    s_pad, t_pad = tables.sph.shape[0], tables.tri.shape[0]
+    if scene.n_spheres:
+        rows.append(blocks["sph"][tables.sph_map])
+    else:
+        rows.append(jnp.zeros((s_pad, TI_COLS), jnp.float32))
+    if scene.n_triangles:
+        rows.append(blocks["tri"][tables.tri_map])
+    else:
+        rows.append(jnp.zeros((t_pad, TI_COLS), jnp.float32))
+    for key in ("rect", "tsph", "ttri"):
+        if key in blocks:
+            rows.append(blocks[key])
+    rows.append(jnp.zeros((1, TI_COLS), jnp.float32))   # miss row
+    return jnp.concatenate(rows)
+
+
+def _tex_uv(row: Array, p: Array):
+    """(u, v) per lane from one gathered info row + the recorded hit point,
+    per primitive class — the same definitions ops/intersect.finalize_hits
+    uses: get_sphere_uv's z-theta on the unit normal (texture.h:45-50),
+    Moller-Trumbore barycentrics via the Gram solve of p - v0 against
+    e1/e2, object-plane offsets for rects (rectangle.h:34-35), and the TRS
+    variants on the OBJECT-space p the kernel carries for those winners.
+    All branches are evaluated on every lane (branch-free select); the
+    guards keep non-class lanes finite."""
+    from ..core import vec as _v3
+
+    cls = row[:, TI_CLS]
+    g = row[:, TI_GEO:TI_GEO + 12]
+    # sphere family: unit normal -> z-theta uv
+    nrm_s = (p - g[:, 0:3]) * g[:, 3:4]
+    nrm_ts = _v3.rotate(p * g[:, 0:1], g[:, 1:4])
+    nrm = jnp.where((cls == _CLS_TSPH)[:, None], nrm_ts, nrm_s)
+    phi = jnp.arctan2(nrm[:, 2], nrm[:, 0])
+    theta = jnp.arcsin(jnp.clip(nrm[:, 2], -1.0, 1.0))
+    su = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
+    sv = (theta + jnp.pi / 2.0) / jnp.pi
+    # triangle family: Gram solve of p - v0 = u e1 + v e2
+    q = p - g[:, 0:3]
+    e1, e2 = g[:, 3:6], g[:, 6:9]
+    d00 = jnp.sum(e1 * e1, axis=-1)
+    d01 = jnp.sum(e1 * e2, axis=-1)
+    d11 = jnp.sum(e2 * e2, axis=-1)
+    det = d00 * d11 - d01 * d01
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    q0 = jnp.sum(q * e1, axis=-1)
+    q1 = jnp.sum(q * e2, axis=-1)
+    bu = (d11 * q0 - d01 * q1) * inv
+    bv = (d00 * q1 - d01 * q0) * inv
+    is_b = (cls == _CLS_TRI) | (cls == _CLS_TTRI)
+    is_r = cls == _CLS_RECT
+    u = jnp.where(is_b, bu, su)
+    v = jnp.where(is_b, bv, sv)
+    u = jnp.where(is_r, p[:, 0] + 0.5, u)   # object-space rect p
+    v = jnp.where(is_r, p[:, 1] + 0.5, v)
+    return u, v
+
+
+def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
+                               steps: int, quirks) -> Array:
+    """Reconstruct the radiance from the kernel's want_tex planes, applying
+    the image-texture factors the kernel replaced with placeholder 1:
+
+        L = sum_i (em_i * g_i + other_i) * prod_{j<i} f_j
+
+    where em_i/other_i already carry the in-kernel (placeholder) throughput,
+    f is the winner's lambertian image texel (at u = v = 0 under the
+    lambertian_zero_uv quirk, material.h:67 — precomputed in the info
+    table's att00 columns, zero extra gathers) and g the diffuse-light
+    texel at the real (u, v).  Per bounce this costs ONE info-row gather +
+    ONE image-texel gather + elementwise math.  With no image textures
+    f = g = 1 and this equals the kernel's own accumulation up to fp
+    reassociation (test-pinned).  A dead/absorbed bounce contributes zero
+    to every later term, so multiplying F by that bounce's f is harmless.
+
+    Forward-only companion of the kernel (the planes arrive detached); the
+    differentiable path is trace_path_mega_tex_diff's replay backward."""
+    n = flat.shape[1]
+    info = _assemble_tex_info(scene, tables)
+    miss_row = info.shape[0] - 1
+    out = jnp.zeros((3, n), jnp.float32)
+    big_f = jnp.ones((3, n), jnp.float32)
+    for step in range(steps):
+        base = 3 + 10 * step
+        w_tab = flat[base].astype(jnp.int32)
+        em = flat[base + 1:base + 4]
+        other = flat[base + 4:base + 7]
+        p = flat[base + 7:base + 10].T
+        row = info[jnp.where(w_tab < 0, miss_row, w_tab)]
+        u, v = _tex_uv(row, p)
+        # nearest texel (texture.h:65-76, same math as textures.image_texel)
+        nx, ny = row[:, TI_W], row[:, TI_H]
+        i = jnp.clip((u * nx).astype(jnp.int32), 0,
+                     jnp.maximum(nx.astype(jnp.int32) - 1, 0))
+        j = jnp.clip(((1.0 - v) * ny - 0.001).astype(jnp.int32), 0,
+                     jnp.maximum(ny.astype(jnp.int32) - 1, 0))
+        texel = scene.textures.images[
+            row[:, TI_IMG].astype(jnp.int32), j, i].astype(jnp.float32) / 255.0
+        att = (row[:, TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
+               else texel)
+        f = jnp.where(row[:, TI_FLAM][:, None] > 0.0, att, 1.0)
+        g = jnp.where(row[:, TI_FLIT][:, None] > 0.0, texel, 1.0)
+        out = out + big_f * (em * g.T + other)
+        big_f = big_f * f.T
+    return out
+
+
+def _mega_tex_planes(scene, rays, key, cfg, tables, samples):
+    """Run the want_tex kernel and return flat (3 + 10*(max_depth+1), N)."""
+    from .integrators import stream_from_key
+    n = rays.origin.shape[0]
+    rows = _ray_rows(n)
+    o = jnp.stack([_pad_rays(rays.origin[:, k], rows) for k in range(3)])
+    d = jnp.stack([_pad_rays(rays.direction[:, k], rows) for k in range(3)])
+    injected = samples is not None
+    if not injected and _interpret():
+        samples = stream_from_key(key, n, cfg.max_depth)
+        injected = True
+    planes = (_stream_planes(samples.ball, samples.prob, rows)
+              if injected else None)
+    out = _mega_call(scene, o, d, key, cfg, tables, stream_planes=planes,
+                     want_tex=True)
+    return out.reshape(out.shape[0], -1)[:, :n]
+
+
 def trace_path_mega_tex(scene: Scene, rays: Rays, key: jax.Array,
                         cfg: RenderConfig, samples=None,
                         tables: Optional[MegaTables] = None) -> Array:
-    """Fused path for IMAGE-TEXTURE scenes via DEFERRED texturing.
+    """Fused path for IMAGE-TEXTURE scenes via DEFERRED texturing
+    (engine='mega' routing; the differentiable pairing is
+    trace_path_mega_tex_diff).
 
     Texture values never affect path STRUCTURE — in all four reference
     materials the scatter direction and the continue/absorb events are
     independent of the texture color (lambertian dir = p + n + ball,
     material.h:60-68; metal = reflect + fuzz*ball, :81-92; dielectric uses
     ref_idx only, :104-141; diffuse light never scatters, :146-161); the
-    texture only MULTIPLIES attenuation/emission.  So the fused megakernel
-    runs the whole bounce loop (with its placeholder-black albedo for
-    image-textured materials — the radiance output is discarded), records
-    each bounce's winning primitive id (want_winners), and the radiance is
-    computed by the O(rays x depth) replay
-    (ops/integrators.trace_path(winners=...)): finalize_hits + eval_texture
-    perform the per-lane image gathers in XLA, where gathers are cheap,
-    instead of in the kernel, where per-lane dynamic VMEM indexing does not
-    exist on TPU.  The sweep work — the O(rays x depth x prims) part — stays
-    fused.
+    texture only MULTIPLIES attenuation (lambertian albedo; sampled at
+    u = v = 0 under the reference quirk, material.h:67) and emission
+    (diffuse light at the real u, v).  So the fused kernel runs the whole
+    bounce loop with placeholder-1 albedo for image-textured materials and
+    DUMPS per bounce: the winner id, the emission term, the ambient+sky
+    term, and the hit point (want_tex — 10 planes/step).  A light XLA pass
+    (_deferred_texture_radiance) then multiplies the real texel factors
+    back in: the per-lane image gathers run in XLA, where gathers are
+    cheap, instead of in the kernel, where per-lane dynamic VMEM indexing
+    does not exist on TPU.  The O(rays x depth x prims) sweep work stays
+    fused; the outside pass is O(rays x depth) gathers + ~10 flops.
 
-    Differentiable BY CONSTRUCTION: the replay is the same detached-discrete
-    / attached-continuous estimator engine='mega_diff' uses (winners are
-    detached int32 and the forward-only pallas kernel runs under
-    stop_gradient), so integrators.integrate routes image scenes here for
-    both engine='mega' and engine='mega_diff' — gradients flow to image
-    texels, albedos, and geometry exactly as through the wavefront VJP.
+    Unlike a replay, no sample stream is needed on TPU (the kernel's
+    in-kernel PRNG drives the path; the dumped planes fully determine the
+    radiance) — measured on v5e this made the deferred pass ~5x cheaper
+    than replaying the bounce loop through the wavefront integrator
+    (docs/ROUND3_NOTES.md).  On CPU (interpret) the stream is injected
+    automatically, which doubles as the deterministic parity mode the
+    tests use.
 
     Runs the monolithic kernel only (the compaction drivers do not record
-    winners); mega_tex_supported() gates scene scope.  samples: optional
-    injected SampleStream — otherwise the stream is generated from `key`
-    (the wavefront integrator's exact internal draws) and shared by the
-    recording sweep and the replay."""
-    from .integrators import stream_from_key, trace_path
+    planes); mega_tex_supported() gates scene scope."""
+    if tables is None:
+        tables = build_mega_tables(scene)
+    flat = _mega_tex_planes(scene, rays, key, cfg, tables, samples)
+    return _deferred_texture_radiance(scene, tables, flat,
+                                      cfg.max_depth + 1, cfg.quirks).T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mega_tex_diff(scene, rays, stream, cfg, tables):
+    return trace_path_mega_tex(scene, rays, jax.random.key(0), cfg,
+                               samples=stream, tables=tables)
+
+
+def _mega_tex_diff_fwd(scene, rays, stream, cfg, tables):
+    flat = _mega_tex_planes(scene, rays, jax.random.key(0), cfg, tables,
+                            stream)
+    out = _deferred_texture_radiance(scene, tables, flat, cfg.max_depth + 1,
+                                     cfg.quirks).T
+    winners = jnp.stack([
+        _winners_to_scene(scene, tables,
+                          flat[3 + 10 * s].astype(jnp.int32))
+        for s in range(cfg.max_depth + 1)])
+    return out, (scene, rays, stream, tables, winners)
+
+
+def _mega_tex_diff_bwd(cfg, res, g):
+    # identical estimator to _mega_diff_bwd: differentiate the replay of
+    # the recorded winners on the same stream (texture factors included —
+    # trace_path evaluates eval_texture at the replayed hits); tables are a
+    # redundant packing of scene, so their cotangent is zero
+    from .integrators import trace_path
+    scene, rays, stream, tables, winners = res
+    _, vjp = jax.vjp(
+        lambda sc, ry: trace_path(sc, ry, jax.random.key(0), cfg,
+                                  samples=stream, winners=winners),
+        scene, rays)
+    g_scene, g_rays = vjp(g)
+    return (g_scene, g_rays, jax.tree.map(jnp.zeros_like, stream),
+            jax.tree.map(jnp.zeros_like, tables))
+
+
+_mega_tex_diff.defvjp(_mega_tex_diff_fwd, _mega_tex_diff_bwd)
+
+
+def trace_path_mega_tex_diff(scene: Scene, rays: Rays, key: jax.Array,
+                             cfg: RenderConfig, samples=None,
+                             tables: Optional[MegaTables] = None) -> Array:
+    """DIFFERENTIABLE deferred texturing (engine='mega_diff' routing for
+    image-texture scenes): the want_tex kernel + deferred pass forward, a
+    replay backward through ops/integrators.trace_path(winners=...) sharing
+    one injected stream — the same detached-discrete / attached-continuous
+    estimator as trace_path_mega_diff, with image-texture factors evaluated
+    differentiably in the replay (gradients flow to albedos, geometry, and
+    through the texel selection's piecewise-constant regions).
+
+    The stream is REQUIRED here (unlike the forward-only
+    trace_path_mega_tex): the backward replays the kernel's exact path, so
+    both must consume the same draws."""
+    from .integrators import stream_from_key
     stream = (samples if samples is not None else
               stream_from_key(key, rays.origin.shape[0], cfg.max_depth))
-    # the recording sweep is forward-only (no pallas VJP): detach its inputs
-    sg = jax.lax.stop_gradient((scene, rays, stream, tables))
-    _, winners = trace_path_mega(sg[0], sg[1], key, cfg, tables=sg[3],
-                                 samples=sg[2], want_winners=True)
-    return trace_path(scene, rays, key, cfg, samples=stream, winners=winners)
+    if tables is None:
+        tables = build_mega_tables(scene)
+    return _mega_tex_diff(scene, rays, stream, cfg, tables)
 
 
 def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:
@@ -1901,7 +2194,7 @@ def _stream_planes(ball: Array, prob: Array, rows: int) -> Array:
 
 def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
                state=None, dump_state=False, step_lo=0, n_steps=0,
-               want_winners=False):
+               want_winners=False, want_tex=False):
     """One pallas_call over padded (3, rows, LANES) ray planes.
 
     state: optional (4, rows, LANES) [thr rgb | alive] to RESUME mid-path.
@@ -1916,6 +2209,8 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     rows = o.shape[1]
     injected = stream_planes is not None
     stream_tri = scene.n_triangles > MAX_VMEM_PRIMS
+    want_winners = want_winners or want_tex   # tex planes ride the winner
+    # machinery (unrolled steps, winner-attr carry in every sweep)
     mxu = bool(cfg.mega_mxu) and stream_tri and not want_winners
     if want_winners:
         assert cfg.integrator == "path" and not dump_state and state is None
@@ -1946,7 +2241,8 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         resume=state is not None, dump_state=dump_state,
         n_steps=n_steps if n_steps else (cfg.max_depth + 1 - step_lo),
         f2b=0 if mxu else cfg.mega_f2b_shells, mxu=mxu,
-        want_winners=want_winners, tri_off=tables.sph.shape[0],
+        want_winners=want_winners, want_tex=want_tex,
+        tri_off=tables.sph.shape[0],
         rect_off=tables.sph.shape[0] + tables.tri.shape[0],
         tsph_off=(tables.sph.shape[0] + tables.tri.shape[0]
                   + scene.n_rects),
@@ -2004,7 +2300,9 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         scratch = []
 
     n_steps_eff = n_steps if n_steps else (cfg.max_depth + 1 - step_lo)
-    n_out = 13 if dump_state else (3 + n_steps_eff if want_winners else 3)
+    per_step = 10 if want_tex else 1
+    n_out = 13 if dump_state else (
+        3 + per_step * n_steps_eff if want_winners else 3)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -112,9 +112,9 @@ def test_integrate_routes_image_scenes_to_mega_tex(monkeypatch):
 
 
 def test_mega_tex_gradients_match_wavefront():
-    """Gradients through trace_path_mega_tex (detached winners + replay)
-    equal the full wavefront VJP for material and geometry parameters of an
-    image-textured scene."""
+    """Gradients through trace_path_mega_tex_diff (want_tex forward +
+    replay backward) equal the full wavefront VJP for material and geometry
+    parameters of an image-textured scene."""
     scene, cam = _image_scene()
     cfg = _cfg(width=32, height=16, samples=1, max_depth=4)
     rays = _rays(cam, cfg, jax.random.key(5))
@@ -134,8 +134,8 @@ def test_mega_tex_gradients_match_wavefront():
         sc = scene._replace(
             spheres=scene.spheres._replace(center=centers),
             textures=scene.textures._replace(color0=c0))
-        img = mk.trace_path_mega_tex(sc, rays, jax.random.key(8), cfg,
-                                     samples=stream)
+        img = mk.trace_path_mega_tex_diff(sc, rays, jax.random.key(8), cfg,
+                                          samples=stream)
         return jnp.mean((img - target) ** 2)
 
     args = (scene.spheres.center, scene.textures.color0)
@@ -212,3 +212,25 @@ def test_lambertian_zero_uv_quirk():
     fix_c = np.asarray(integ.trace_path(build(False), rays, jax.random.key(3),
                                         cfg_fix, samples=stream))
     assert np.abs(fix_i - fix_c).max() > 0.05   # real (u,v) sampling differs
+
+
+def test_mega_tex_planes_match_plain_mega_without_images():
+    """Bookkeeping identity: with no image textures every texture factor is
+    1 and the deferred reconstruction L = sum_i (em_i + other_i) * 1 must
+    equal the kernel's own in-kernel accumulation up to fp reassociation
+    (the kernel computes thr*(em+amb+sky) fused; the planes split it)."""
+    from test_megakernel import _mixed_scene, _rays as _mk_rays
+
+    sc = _mixed_scene()
+    scene, _ = sc
+    for quirks in (Quirks.reference(), Quirks.fixed()):
+        cfg = _cfg(quirks=quirks)
+        rays = _mk_rays(sc, cfg, jax.random.key(3))
+        n = rays.origin.shape[0]
+        stream = integ.stream_from_key(jax.random.key(9), n, cfg.max_depth)
+        plain = mk.trace_path_mega(scene, rays, jax.random.key(9), cfg,
+                                   samples=stream)
+        tex = mk.trace_path_mega_tex(scene, rays, jax.random.key(9), cfg,
+                                     samples=stream)
+        np.testing.assert_allclose(np.asarray(tex), np.asarray(plain),
+                                   atol=2e-6, rtol=1e-5)

@@ -286,3 +286,40 @@ def test_sample_sharded_bright_scene_unclipped_mean():
     # the emitter region renders at the clip ceiling in both
     assert (img == 1.0).any() and (ref == 1.0).any()
     assert abs(img.mean() - ref.mean()) < 0.02
+
+
+def test_mega_tex_inside_shard_map():
+    """Image-texture scenes route to the fused deferred-texturing path
+    (trace_path_mega_tex) inside shard_map too: sharded mega == sharded
+    wavefront on the same keys (the winner-recording kernel + the replay
+    both run per-shard)."""
+    from cudaraytracer_tpu.models.scene import SceneBuilder
+    from cudaraytracer_tpu.core.camera import make_camera
+    from cudaraytracer_tpu.ops import megakernel as mk
+
+    b = SceneBuilder()
+    m = b.materials
+    tex = m.textures.image(
+        (np.arange(192) * 77 % 256).astype(np.uint8).reshape(8, 8, 3))
+    b.add_sphere((0, -100.5, -3), 100.0, m.lambertian(color=(.6, .6, .6)))
+    b.add_sphere((0, 0, -3), 1.0, m.lambertian(tex_id=tex))
+    b.add_rect(m.diffuse_light(tex_id=tex), position=(0, 1.8, -3),
+               rotation=(90, 0, 0), scale=(2, 2, 1))
+    scene = b.build()
+    assert not mk.megakernel_supported(scene)
+    assert mk.mega_tex_supported(scene)
+    cam = make_camera((0, 0.3, 1), (0, 0, -3), (0, 1, 0), 50.0, 2.0,
+                      0.0, 4.0)
+    mesh = make_mesh(8, tp=1)
+    for quirks in (crt.Quirks.reference(), crt.Quirks.fixed()):
+        cfg_w = _cfg(integrator="path", samples=1, max_depth=4,
+                     quirks=quirks)
+        cfg_m = _cfg(integrator="path", samples=1, max_depth=4,
+                     engine="mega", quirks=quirks)
+        img_w = np.asarray(render_image_sharded(scene, cam,
+                                                jax.random.key(4), cfg_w,
+                                                mesh))
+        img_m = np.asarray(render_image_sharded(scene, cam,
+                                                jax.random.key(4), cfg_m,
+                                                mesh))
+        np.testing.assert_allclose(img_m, img_w, atol=3e-4)
