@@ -46,8 +46,9 @@ Design notes (see also ops/pallas_intersect.py, whose sweep math this reuses):
     spheres/triangles run in-kernel too (unrolled per primitive — the
     reference TransformRay chain via the shared trs_ray helper).  Scenes
     with image textures render fused through DEFERRED texturing
-    (trace_path_mega_tex: the kernel records winners, an O(rays x depth)
-    replay applies the image gathers in XLA).  The kernel is
+    (trace_path_mega_tex: the kernel dumps per-bounce winner/term/hit-point
+    planes — want_tex — and a light XLA pass multiplies the texel factors
+    back in).  The kernel is
     forward-only but can RECORD each bounce's winning primitive id
     (want_winners); engine='mega_diff' differentiates by replaying those
     winners through ops/integrators.trace_path — see trace_path_mega_diff.
@@ -192,11 +193,12 @@ def megakernel_supported(scene: Scene) -> bool:
 
 
 def mega_tex_supported(scene: Scene) -> bool:
-    """Scenes trace_path_mega_tex (fused sweep + deferred-texture replay)
-    can serve: everything megakernel_supported allows PLUS image textures
-    (the winner recording and ops/intersect.replay_hits cover the full
-    [spheres | triangles | rects | t_spheres | t_triangles] index space).
-    Static-shape information only, like megakernel_supported."""
+    """Scenes trace_path_mega_tex (fused want_tex kernel + deferred-texture
+    pass) can serve: everything megakernel_supported allows PLUS image
+    textures (the winner/plane recording — and replay_hits for the
+    mega_diff backward — cover the full [spheres | triangles | rects |
+    t_spheres | t_triangles] index space).  Static-shape information only,
+    like megakernel_supported."""
     if scene.n_t_spheres > 64 or scene.n_t_triangles > 64:
         return False
     if scene.n_rects > 64:
@@ -1797,6 +1799,13 @@ def select_mega(scene, rays, key, cfg, tables=None, samples=None) -> Array:
     if (cfg.compact_auto and not compact_every and not cfg.compact_after
             and scene.n_triangles >= AUTO_COMPACT_TRIS and is_path):
         compact_every, octants = 2, True
+        if not cfg.mega_f2b_shells:
+            # front-to-back segment shells compound with the octant
+            # compaction at streamed scale: 9.84 -> 8.91 s/frame on the
+            # 124k-tri path-8 field (docs/experiments/big_field_combo.py);
+            # f2b is a bit-exact visit reorder, so results are unchanged
+            import dataclasses
+            cfg = dataclasses.replace(cfg, mega_f2b_shells=8)
     if compact_every > 0 and is_path:
         return trace_path_mega_phased(scene, rays, key, cfg, tables=tables,
                                       compact_every=compact_every,
