@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="three_spheres",
-                    choices=["three_spheres", "random_spheres", "light_box"])
+                    choices=["three_spheres", "random_spheres", "light_box",
+                             "textured_globe"])
     ap.add_argument("--obj", default=None, help="render an OBJ mesh instead")
     ap.add_argument("--scale", type=float, default=1.0, help="OBJ scale")
     ap.add_argument("--width", type=int, default=480)

@@ -2072,8 +2072,15 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
     return out
 
 
-def _mega_tex_planes(scene, rays, key, cfg, tables, samples):
-    """Run the want_tex kernel and return flat (3 + 10*(max_depth+1), N)."""
+def _mega_tex_planes(scene, rays, key, cfg, tables, samples,
+                     padded: bool = False):
+    """Run the want_tex kernel and return flat (3 + 10*(max_depth+1), N).
+
+    padded=True keeps the lane-pad tail (N = rows * LANES): the
+    reconstruction is safe on pad lanes (their winner planes are valid
+    table ids or -1 by construction), and skipping the 93-plane slice lets
+    XLA fuse the kernel output straight into the gather pass — callers then
+    slice the final (3, n) radiance instead."""
     from .integrators import stream_from_key
     n = rays.origin.shape[0]
     rows = _ray_rows(n)
@@ -2087,7 +2094,8 @@ def _mega_tex_planes(scene, rays, key, cfg, tables, samples):
               if injected else None)
     out = _mega_call(scene, o, d, key, cfg, tables, stream_planes=planes,
                      want_tex=True)
-    return out.reshape(out.shape[0], -1)[:, :n]
+    flat = out.reshape(out.shape[0], -1)
+    return flat if padded else flat[:, :n]
 
 
 def trace_path_mega_tex(scene: Scene, rays: Rays, key: jax.Array,
@@ -2126,9 +2134,11 @@ def trace_path_mega_tex(scene: Scene, rays: Rays, key: jax.Array,
     planes); mega_tex_supported() gates scene scope."""
     if tables is None:
         tables = build_mega_tables(scene)
-    flat = _mega_tex_planes(scene, rays, key, cfg, tables, samples)
-    return _deferred_texture_radiance(scene, tables, flat,
-                                      cfg.max_depth + 1, cfg.quirks).T
+    flat = _mega_tex_planes(scene, rays, key, cfg, tables, samples,
+                            padded=True)
+    out = _deferred_texture_radiance(scene, tables, flat,
+                                     cfg.max_depth + 1, cfg.quirks)
+    return out[:, :rays.origin.shape[0]].T
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -32,3 +32,23 @@ def test_animate_driver(tmp_path):
     assert rows[1][0] == "" and float(rows[1][3]) > 0          # build row
     assert rows[2][0] == "0" and float(rows[2][1]) > 0         # frame row
     assert float(rows[2][2]) >= 0                              # update time
+
+
+def test_render_cli_textured_globe(tmp_path):
+    """apps/render.py end-to-end on the image-texture preset: --accel auto
+    must pick the fused deferred-texturing path (engine label 'mega') and
+    write a valid PNG."""
+    out = tmp_path / "globe.png"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "apps", "render.py"), "--cpu",
+         "--scene", "textured_globe", "--width", "64", "--height", "32",
+         "--spp", "1", "--max-depth", "3", "--quirks", "fixed",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mega" in r.stdout
+    from cudaraytracer_tpu.utils.image import read_png
+    img = read_png(str(out))
+    assert img.shape[0] == 32 and img.shape[1] == 64
+    assert img.max() > 0
