@@ -28,7 +28,7 @@ import numpy as np
 from ..core import rng as _rng
 from ..core import vec as v3
 from ..core.rays import Rays
-from .textures import TextureBuilder, TextureTable, eval_texture
+from .textures import TextureBuilder, TextureTable
 
 Array = jnp.ndarray
 
@@ -52,11 +52,88 @@ class ScatterResult(NamedTuple):
     attenuation: Array  # f32[N,3]
 
 
+class DecodedMaterials(NamedTuple):
+    """Per-lane material + texture fields, decoded by ONE row gather.
+
+    Separate small-table gathers measured 19x slower than a row gather on
+    v5e (docs/experiments/gather_micro.py: 178 ms vs 9.5 ms at 4.15M
+    indices), and the per-bounce material/texture decode — ~17 gather ops
+    across emitted + scatter — was the dominant per-bounce glue of the
+    wavefront engine and the mega_diff replay backward.  decode_materials
+    packs the material table and its textures' fields into one (M, 16) f32
+    table and gathers one row per lane; int fields round-trip exactly
+    (values << 2^24).  Gradients to albedo/color0/color1 flow through the
+    concat + gather (VJP: slice + scatter-add), identical in value to the
+    separate-gather form."""
+
+    kind: Array      # f32[N]   material kind (LAMBERTIAN..DIFFUSE_LIGHT)
+    fuzz: Array      # f32[N]
+    ref_idx: Array   # f32[N]
+    albedo: Array    # f32[N,3] metal albedo color
+    tex_kind: Array  # f32[N]
+    c0: Array        # f32[N,3] constant color / checker even
+    c1: Array        # f32[N,3] checker odd
+    img: Array       # i32[N]   image row (0 = dummy)
+    wh: Array        # i32[N,2] image (w, h)
+
+
+def decode_materials(mat: MaterialTable, tex: TextureTable,
+                     mat_id: Array) -> DecodedMaterials:
+    """One (M, 16)-row gather replacing the per-field material/texture
+    gathers (see DecodedMaterials)."""
+    tid = mat.tex_id
+    img = tex.image_id[tid]
+    tbl = jnp.concatenate([
+        mat.kind.astype(jnp.float32)[:, None],
+        mat.fuzz[:, None],
+        mat.ref_idx[:, None],
+        mat.albedo,
+        tex.kind[tid].astype(jnp.float32)[:, None],
+        tex.color0[tid],
+        tex.color1[tid],
+        img.astype(jnp.float32)[:, None],
+        tex.image_wh[img].astype(jnp.float32),
+    ], axis=1)                                   # (M, 16)
+    row = tbl[mat_id]
+    return DecodedMaterials(
+        kind=row[..., 0], fuzz=row[..., 1], ref_idx=row[..., 2],
+        albedo=row[..., 3:6], tex_kind=row[..., 6], c0=row[..., 7:10],
+        c1=row[..., 10:13], img=row[..., 13].astype(jnp.int32),
+        wh=row[..., 14:16].astype(jnp.int32))
+
+
+def eval_texture_dec(dec: DecodedMaterials, tex: TextureTable, u: Array,
+                     v: Array, p: Array) -> Array:
+    """textures.eval_texture on pre-decoded rows — line-for-line the same
+    math (texture.h:12-76), minus the per-field gathers."""
+    import jax.numpy as _jnp
+    from . import textures as _tx
+    sines = (_jnp.sin(10.0 * p[..., 0]) * _jnp.sin(10.0 * p[..., 1])
+             * _jnp.sin(10.0 * p[..., 2]))
+    checker = _jnp.where((sines < 0.0)[..., None], dec.c1, dec.c0)
+    nx = dec.wh[..., 0].astype(_jnp.float32)
+    ny = dec.wh[..., 1].astype(_jnp.float32)
+    i = _jnp.clip((u * nx).astype(_jnp.int32), 0, dec.wh[..., 0] - 1)
+    j = _jnp.clip(((1.0 - v) * ny - 0.001).astype(_jnp.int32), 0,
+                  dec.wh[..., 1] - 1)
+    texel = tex.images[dec.img, j, i].astype(_jnp.float32) / 255.0
+    out = _jnp.where((dec.tex_kind == float(_tx.CHECKER))[..., None],
+                     checker, dec.c0)
+    return _jnp.where((dec.tex_kind == float(_tx.IMAGE))[..., None],
+                      texel, out)
+
+
 def emitted(mat: MaterialTable, tex: TextureTable, mat_id: Array, u: Array,
-            v: Array, p: Array) -> Array:
-    """Material::emitted — nonzero only for DIFFUSE_LIGHT (material.h:153-155)."""
-    val = eval_texture(tex, mat.tex_id[mat_id], u, v, p)
-    is_light = mat.kind[mat_id] == DIFFUSE_LIGHT
+            v: Array, p: Array,
+            dec: DecodedMaterials | None = None) -> Array:
+    """Material::emitted — nonzero only for DIFFUSE_LIGHT (material.h:153-155).
+
+    dec: optional pre-decoded rows (decode_materials), shared with scatter
+    so a bounce pays ONE row gather."""
+    if dec is None:
+        dec = decode_materials(mat, tex, mat_id)
+    val = eval_texture_dec(dec, tex, u, v, p)
+    is_light = dec.kind == float(DIFFUSE_LIGHT)
     return jnp.where(is_light[..., None], val, 0.0)
 
 
@@ -75,19 +152,25 @@ def scatter(mat: MaterialTable, tex: TextureTable, mat_id: Array, r_in: Rays,
             p: Array, normal: Array, u: Array, v: Array, key: jax.Array,
             dielectric_reference_cosine: bool = True,
             ball: Array | None = None, prob: Array | None = None,
-            lambertian_zero_uv: bool = True) -> ScatterResult:
+            lambertian_zero_uv: bool = True,
+            dec: DecodedMaterials | None = None) -> ScatterResult:
     """Branch-free scatter for a batch of hits.
 
     All four material models are evaluated with shared random draws and the
-    result is selected by ``mat.kind[mat_id]`` — no data-dependent control flow,
+    result is selected by the material kind — no data-dependent control flow,
     so XLA fuses the whole thing into one elementwise pass over the ray batch.
 
     ball/prob: optional INJECTED samples (f32[N,3] unit-ball vector and f32[N]
     uniform) replacing the key-derived draws — the sample-sequence-injection
     mode used for deterministic cross-renderer comparison.
+
+    dec: optional pre-decoded material rows (decode_materials), shared with
+    emitted so a bounce pays ONE row gather for all material/texture fields.
     """
     n = mat_id.shape[0]
-    kind = mat.kind[mat_id]
+    if dec is None:
+        dec = decode_materials(mat, tex, mat_id)
+    kind = dec.kind
     if ball is None or prob is None:
         ball, prob = scatter_draws(key, n)
 
@@ -98,20 +181,20 @@ def scatter(mat: MaterialTable, tex: TextureTable, mat_id: Array, r_in: Rays,
     # material.h:67 samples the texture at u = v = 0 (quirk; only IMAGE
     # textures ever read u/v); Quirks.fixed() uses the hit's real (u, v)
     if lambertian_zero_uv:
-        lam_att = eval_texture(tex, mat.tex_id[mat_id], jnp.zeros_like(u),
-                               jnp.zeros_like(v), p)
+        lam_att = eval_texture_dec(dec, tex, jnp.zeros_like(u),
+                                   jnp.zeros_like(v), p)
     else:
-        lam_att = eval_texture(tex, mat.tex_id[mat_id], u, v, p)
+        lam_att = eval_texture_dec(dec, tex, u, v, p)
 
     # --- METAL (material.h:81-92) ---
     reflected = v3.reflect(v3.unit_vector(d_in), normal)
-    fuzz = mat.fuzz[mat_id][..., None]
+    fuzz = dec.fuzz[..., None]
     met_dir = reflected + fuzz * ball
-    met_att = mat.albedo[mat_id]
+    met_att = dec.albedo
     met_ok = v3.dot(met_dir, normal) > 0.0
 
     # --- DIELECTRIC (material.h:104-141) ---
-    ri = mat.ref_idx[mat_id]
+    ri = dec.ref_idx
     d_dot_n = v3.dot(d_in, normal)
     d_len = v3.length(d_in)
     exiting = d_dot_n > 0.0

@@ -199,13 +199,17 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         else:
             hits = _intersect(bscene, rays, cfg, isect_fn, aux)
 
+        # one material/texture row gather serves emitted AND scatter
+        dec = _mat.decode_materials(bscene.materials, bscene.textures,
+                                    hits.mat)
         emitted = _mat.emitted(bscene.materials, bscene.textures, hits.mat,
-                               hits.u, hits.v, hits.p)
+                               hits.u, hits.v, hits.p, dec=dec)
         sc = _mat.scatter(bscene.materials, bscene.textures, hits.mat, rays,
                           hits.p, hits.normal, hits.u, hits.v, bounce_key,
                           cfg.quirks.dielectric_reference_cosine,
                           ball=ball, prob=prob,
-                          lambertian_zero_uv=cfg.quirks.lambertian_zero_uv)
+                          lambertian_zero_uv=cfg.quirks.lambertian_zero_uv,
+                          dec=dec)
         sky = background_sky(rays.direction)
 
         can_recurse = step < cfg.max_depth          # render.h:57 depth > 0
@@ -255,12 +259,14 @@ def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                   intersect_fn=None, aux=None) -> Array:
     """LambertShade (render.h:70-87), the reference's active integrator."""
     hits = _intersect(scene, rays, cfg, _split_fns(intersect_fn)[0], aux)
+    dec = _mat.decode_materials(scene.materials, scene.textures, hits.mat)
     emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
-                           hits.u, hits.v, hits.p)
+                           hits.u, hits.v, hits.p, dec=dec)
     sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,
                       hits.p, hits.normal, hits.u, hits.v, key,
                       cfg.quirks.dielectric_reference_cosine,
-                      lambertian_zero_uv=cfg.quirks.lambertian_zero_uv)
+                      lambertian_zero_uv=cfg.quirks.lambertian_zero_uv,
+                      dec=dec)
     direction = rays.direction if cfg.quirks.lambert_unnormalized_dot \
         else v3.unit_vector(rays.direction)
     t = jnp.maximum(v3.dot(direction, hits.normal), 0.0)      # render.h:80-81

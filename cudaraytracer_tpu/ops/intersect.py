@@ -457,6 +457,34 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks)
 
 
+def _prim_rows(scene: Scene, tri_override=None) -> Array:
+    """Unified per-primitive row table for finalize_hits/replay_hits:
+    [spheres | triangles] x 13 f32 columns — sphere rows [center(3),
+    radius(1), pad(8), mat], triangle rows [v0(3), v1(3), v2(3), normal(3),
+    mat].  ONE row gather per bounce replaces the per-type field gathers
+    (separate small-table gathers measured 19x slower on v5e,
+    docs/experiments/gather_micro.py).  Differentiable: the concat's VJP is
+    a slice, the gather's a scatter-add — same gradients as the per-field
+    form up to fp summation order."""
+    n_s, n_t = scene.n_spheres, scene.n_triangles
+    blocks = []
+    if n_s:
+        sp = scene.spheres
+        blocks.append(jnp.concatenate([
+            sp.center, sp.radius[:, None],
+            jnp.zeros((n_s, 8), jnp.float32),
+            sp.mat.astype(jnp.float32)[:, None]], axis=1))
+    if n_t:
+        tv0, tv1, tv2, tnorm = (tri_override if tri_override is not None else
+                                (scene.triangles.v0, scene.triangles.v1,
+                                 scene.triangles.v2, scene.triangles.normal))
+        blocks.append(jnp.concatenate([
+            tv0, tv1, tv2, tnorm,
+            scene.triangles.mat.astype(jnp.float32)[:, None]], axis=1))
+    return jnp.concatenate(blocks) if blocks else jnp.zeros((1, 13),
+                                                            jnp.float32)
+
+
 def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
                   t_min, t_max, quirks: Quirks, tri_override=None) -> Hits:
     """Reconstruct the full hit record for the winning primitive only."""
@@ -472,16 +500,21 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
     vv = jnp.zeros((n,), jnp.float32)
     mat = jnp.zeros((n,), jnp.int32)
 
+    if n_s or n_t:
+        row = _prim_rows(scene, tri_override)[
+            jnp.clip(idx, 0, max(n_s + n_t - 1, 0))]
+        row_mat = row[..., 12].astype(jnp.int32)
     if n_s:
-        si = jnp.clip(idx, 0, n_s - 1)
-        center = scene.spheres.center[si]
-        radius = scene.spheres.radius[si]
+        center = row[..., 0:3]
         is_s = hit & (best_idx < n_s)
         # sphere.h:40 — normal = p / radius in object space => (p - c)/r world.
         # Double-where the INPUT: non-winner lanes pair p (possibly inf at
-        # t = BIG) with a clipped sphere, and the masked-out 1/r^2 radius
+        # t = BIG) with another prim's row, and the masked-out 1/r^2 radius
         # partial would be inf — 0 cotangent * inf = NaN in the backward.
+        # The radius column holds triangle data on non-sphere rows, so it is
+        # double-where'd too (it can be 0 there).
         p_in = jnp.where(is_s[..., None], p, center)
+        radius = jnp.where(is_s, row[..., 3], 1.0)
         s_norm = (p_in - center) / radius[..., None]
         # get_sphere_uv (texture.h:45-50) on the unit normal; reference leaves
         # sphere u,v uninitialized (never set in Sphere::collision_detection) —
@@ -494,20 +527,18 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         normal = jnp.where(is_s[..., None], s_norm, normal)
         u = jnp.where(is_s, s_u, u)
         vv = jnp.where(is_s, s_v, vv)
-        mat = jnp.where(is_s, scene.spheres.mat[si], mat)
+        mat = jnp.where(is_s, row_mat, mat)
 
     if n_t:
-        tv0, tv1, tv2, tnorm = (tri_override if tri_override is not None else
-                                (scene.triangles.v0, scene.triangles.v1,
-                                 scene.triangles.v2, scene.triangles.normal))
-        ti = jnp.clip(idx - n_s, 0, n_t - 1)
         is_t = hit & (best_idx >= n_s) & (best_idx < n_s + n_t)
-        _, tt, tu, tv = _tri_single(rays, tv0[ti], tv1[ti], tv2[ti], tnorm[ti],
+        tnorm_r = row[..., 9:12]
+        _, tt, tu, tv = _tri_single(rays, row[..., 0:3], row[..., 3:6],
+                                    row[..., 6:9], tnorm_r,
                                     t_min, t_max, quirks)
-        normal = jnp.where(is_t[..., None], tnorm[ti], normal)
+        normal = jnp.where(is_t[..., None], tnorm_r, normal)
         u = jnp.where(is_t, tu, u)
         vv = jnp.where(is_t, tv, vv)
-        mat = jnp.where(is_t, scene.triangles.mat[ti], mat)
+        mat = jnp.where(is_t, row_mat, mat)
 
     if n_r:
         valid, rt, ru, rv, rp, rn = rect_candidates(rays, scene.rects, t_min, t_max)
@@ -594,19 +625,18 @@ def replay_hits(scene: Scene, rays: Rays, winner: Array, t_min, t_max,
     idx = jnp.maximum(winner, 0)
     best_t = jnp.full((n,), BIG)
 
+    if n_s or n_t:
+        # one unified row gather for both prim types (see _prim_rows)
+        row = _prim_rows(scene, tri_override)[
+            jnp.clip(idx, 0, max(n_s + n_t - 1, 0))]
     if n_s:
-        si = jnp.clip(idx, 0, n_s - 1)
-        ts = _sphere_single(rays, scene.spheres.center[si],
-                            scene.spheres.radius[si], t_min, t_max)
+        ts = _sphere_single(rays, row[..., 0:3], row[..., 3], t_min, t_max)
         is_s = hit & (winner < n_s)
         best_t = jnp.where(is_s, ts, best_t)
 
     if n_t:
-        tv0, tv1, tv2, tnorm = (tri_override if tri_override is not None else
-                                (scene.triangles.v0, scene.triangles.v1,
-                                 scene.triangles.v2, scene.triangles.normal))
-        ti = jnp.clip(idx - n_s, 0, n_t - 1)
-        _, tt, _, _ = _tri_single(rays, tv0[ti], tv1[ti], tv2[ti], tnorm[ti],
+        _, tt, _, _ = _tri_single(rays, row[..., 0:3], row[..., 3:6],
+                                  row[..., 6:9], row[..., 9:12],
                                   t_min, t_max, quirks)
         is_t = hit & (winner >= n_s) & (winner < n_s + n_t)
         best_t = jnp.where(is_t, tt, best_t)

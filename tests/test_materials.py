@@ -146,3 +146,47 @@ def test_image_texture():
     out = eval_texture(tex, ids, u, v, jnp.zeros((2, 3)))
     np.testing.assert_allclose(out[0], [1, 0, 0], atol=1e-6)
     np.testing.assert_allclose(out[1], [0, 0, 1], atol=1e-6)
+
+
+def test_decoded_materials_match_per_field_eval():
+    """decode_materials + eval_texture_dec must be value-identical to the
+    per-field eval_texture path (the row gather packs the same f32 values)
+    for constant, checker, AND image textures across all material kinds."""
+    import jax
+    from cudaraytracer_tpu.models import materials as mats
+
+    tb = TextureBuilder()
+    t_const = tb.constant((0.2, 0.4, 0.6))
+    t_chk = tb.checker((0.9, 0.9, 0.9), (0.1, 0.2, 0.1))
+    t_img = tb.image((np.arange(60) * 9 % 256).astype(np.uint8
+                                                      ).reshape(4, 5, 3))
+    mb = mats.MaterialBuilder(tb)
+    ids = [mb.lambertian(tex_id=t_const), mb.lambertian(tex_id=t_chk),
+           mb.lambertian(tex_id=t_img), mb.metal((0.8, 0.7, 0.3), 0.2),
+           mb.dielectric(1.5), mb.diffuse_light(tex_id=t_img)]
+    mat = mb.build()
+    tex = tb.build()
+    n = 64
+    rng = np.random.default_rng(3)
+    mat_id = jnp.asarray(rng.integers(0, len(ids), n), jnp.int32)
+    u = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    v = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+
+    dec = mats.decode_materials(mat, tex, mat_id)
+    got = np.asarray(mats.eval_texture_dec(dec, tex, u, v, p))
+    ref = np.asarray(eval_texture(tex, mat.tex_id[mat_id], u, v, p))
+    np.testing.assert_array_equal(got, ref)
+
+    # decoded scalar fields round-trip exactly
+    np.testing.assert_array_equal(np.asarray(dec.kind),
+                                  np.asarray(mat.kind[mat_id], np.float32))
+    np.testing.assert_array_equal(np.asarray(dec.fuzz),
+                                  np.asarray(mat.fuzz[mat_id]))
+    np.testing.assert_array_equal(np.asarray(dec.albedo),
+                                  np.asarray(mat.albedo[mat_id]))
+
+    # emitted with/without a shared decode agree exactly
+    e1 = np.asarray(mats.emitted(mat, tex, mat_id, u, v, p))
+    e2 = np.asarray(mats.emitted(mat, tex, mat_id, u, v, p, dec=dec))
+    np.testing.assert_array_equal(e1, e2)
