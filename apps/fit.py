@@ -35,8 +35,8 @@ def main(argv=None):
                          "backward that gathers only those winners "
                          "(cfg.mega_replay_bwd; exact grads, no re-sweep). "
                          "Default since the v5e fit-step measurement "
-                         "(bench.py BENCH_FIT=1): 0.249 s/step vs the full "
-                         "wavefront's 0.396 s (1.59x).")
+                         "(bench.py BENCH_FIT=1): 0.171 s/step vs the full "
+                         "wavefront's 0.374 s (2.2x).")
     ap.add_argument("--out", default="/tmp/fit")
     ap.add_argument("--checkpoint-every", type=int, default=25,
                     help="save params every N steps (0 disables)")

@@ -110,7 +110,7 @@ class RenderConfig:
     # unsupported scenes fall back to wavefront automatically.
     # 'mega_diff': DIFFERENTIABLE hybrid — megakernel forward driven by an
     # injected sample stream, wavefront backward replaying the same stream
-    # (exact gradients, ~13x faster forward; path integrator only).
+    # (exact gradients, fused forward; path integrator only).
     engine: str = "wavefront"
     # engine='mega' only: after this many bounces, SORT the wavefront (dead
     # rays last, alive rays in Morton order of their scatter origin) and
