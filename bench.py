@@ -94,15 +94,30 @@ def _big_field_scene():
 
 
 def _tex_scene(aspect: float):
-    """Image-textured workload for BENCH_TEX: the headline random-spheres
-    field with ~1 in 5 lambertians (and one big sphere) on a shared image
-    texture — the scene class that used to fall back to the wavefront
+    """Image-textured workload for BENCH_TEX: the OBJ bunny with a 128x128
+    image texture — the scene class that used to fall back to the wavefront
     engine and now renders fused via deferred texturing
-    (ops/megakernel.trace_path_mega_tex).  Deferred texturing wins when the
-    SWEEP dominates (many prims): the replay pays the same per-bounce XLA
-    glue as the wavefront, so on near-empty scenes it is ~neutral."""
-    from cudaraytracer_tpu.models import presets
-    return presets.random_spheres(aspect=aspect, textured=True)
+    (ops/megakernel.trace_path_mega_tex).  MESH scale is where the fused
+    path wins (2.8x measured): the wavefront pays per-prim sweeps there;
+    at few-hundred-prim scale the (round-3 consolidated) wavefront is
+    ~at parity with the deferred pass (docs/ROUND3_NOTES.md)."""
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.core.camera import make_camera
+    from cudaraytracer_tpu.utils.obj_loader import face_normals, load_obj
+
+    pts, faces = load_obj("/root/reference/CudaTest/objects/small_bunny.obj")
+    pts *= 10.0
+    b = crt.SceneBuilder()
+    jj, ii = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+    tex_img = np.stack([(ii * 5 + jj * 3) % 256, (ii * 11) % 256,
+                        (jj * 7) % 256], -1).astype(np.uint8)
+    mat = b.materials.lambertian(
+        tex_id=b.materials.textures.image(tex_img))
+    b.add_mesh(pts, faces, mat, normals=face_normals(pts, faces),
+               reverse_winding=True)
+    cam = make_camera((0, 0.4, 2.6), (0, 0.3, 0), (0, 1, 0), 40.0,
+                      aspect, 0.0, 10.0)
+    return b.build(), cam
 
 
 def _mega_tables(scene):
@@ -316,18 +331,19 @@ def main() -> int:
         secondary["big_field_tris"] = int(bscene.n_triangles)
 
     if os.environ.get("BENCH_TEX", "0") == "1":
-        # image-texture scene (960x540x8 path-8): fused deferred texturing
-        # (engine='mega' -> trace_path_mega_tex) vs the wavefront engine it
-        # used to fall back to (opt-in: the wavefront leg compiles slowly).
+        # image-textured bunny (1280x720x8 path-8, fixed quirks): fused
+        # deferred texturing (engine='mega' -> trace_path_mega_tex) vs the
+        # wavefront engine it used to fall back to (opt-in: the wavefront
+        # leg compiles slowly).
         import dataclasses
-        tscene, tcam = _tex_scene(960 / 540)
-        tcfg = dataclasses.replace(cfg, width=960, height=540, samples=8,
-                                   engine="mega")
+        tscene, tcam = _tex_scene(1280 / 720)
+        tcfg = dataclasses.replace(cfg, width=1280, height=720, samples=8,
+                                   engine="mega", quirks=crt.Quirks.fixed())
         tdt = _timed_render(tscene, tcam, tcfg, None, n_iters,
                             _mega_tables(tscene))
         secondary["tex_scene_mega_sec"] = round(tdt, 4)
         secondary["tex_scene_mega_rays_per_sec"] = round(
-            960 * 540 * 8 / tdt, 1)
+            1280 * 720 * 8 / tdt, 1)
         wtcfg = dataclasses.replace(tcfg, engine="wavefront")
         wtdt = _timed_render(tscene, tcam, wtcfg, pallas_intersector(wtcfg),
                              n_iters)
