@@ -3,13 +3,15 @@ the fused megakernel.
 
 Texture values never affect path structure (scatter directions and
 continue/absorb events are texture-independent in all four reference
-materials), so the fused kernel records per-bounce winners with a
-placeholder albedo and an O(rays x depth) replay applies the image gathers
-in XLA.  These tests pin (a) value parity with the wavefront integrator on
-image-textured scenes under both quirk profiles, (b) that the engine router
-sends such scenes to the fused path for both 'mega' and 'mega_diff', and
-(c) gradient parity with the wavefront VJP (the replay is differentiable by
-construction).
+materials), so the fused kernel runs with a placeholder albedo, DUMPS
+per-bounce winner/term/hit-point planes (want_tex), and a light XLA pass
+multiplies the image-texel factors back in.  These tests pin (a) value
+parity with the wavefront integrator on image-textured scenes under both
+quirk profiles, (b) that the engine router sends such scenes to the fused
+path for both 'mega' and 'mega_diff', (c) gradient parity with the
+wavefront VJP (trace_path_mega_tex_diff pairs the want_tex forward with
+the replay backward), and (d) the no-image bookkeeping identity
+(reconstruction == in-kernel accumulation).
 """
 
 import jax
