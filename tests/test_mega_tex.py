@@ -236,3 +236,74 @@ def test_mega_tex_planes_match_plain_mega_without_images():
                                      samples=stream)
         np.testing.assert_allclose(np.asarray(tex), np.asarray(plain),
                                    atol=2e-6, rtol=1e-5)
+
+
+def test_fuzz_mega_tex_matches_wavefront_random_scenes():
+    """Randomized gate for deferred texturing: random scenes mixing
+    image-textured lambertians, an image-textured light, checker/constant
+    materials, metal/dielectric, runtime-TRS prims, and rects — one
+    injected stream, both quirk profiles; integrate(engine='mega') (routed
+    to trace_path_mega_tex) must match the wavefront to f32 tolerance with
+    a small near-tie/texel-boundary budget."""
+    import dataclasses
+    from cudaraytracer_tpu.core.rays import make_rays
+
+    rng = np.random.default_rng(23)
+    for scene_i in range(2):
+        b = SceneBuilder()
+        m = b.materials
+        t_img1 = m.textures.image(rng.integers(0, 256, (7, 9, 3),
+                                               dtype=np.uint8))
+        t_img2 = m.textures.image(rng.integers(32, 256, (12, 5, 3),
+                                               dtype=np.uint8))
+        mats = [m.lambertian(tex_id=t_img1),
+                m.lambertian(m.textures.checker((.8, .8, .8), (.2, .3, .2))),
+                m.metal(tuple(rng.uniform(0.5, 1.0, 3)),
+                        float(rng.uniform(0, 0.3))),
+                m.dielectric(1.5),
+                m.diffuse_light(tex_id=t_img2)]
+        for k in range(6):
+            b.add_sphere(rng.uniform(-3, 3, 3) - [0, 0, 5],
+                         float(rng.uniform(0.3, 1.0)), mats[k % 4])
+        for k in range(6):
+            v0 = rng.uniform(-3, 3, 3) - [0, 0, 5]
+            v1 = v0 + rng.uniform(-1.5, 1.5, 3)
+            v2 = v0 + rng.uniform(-1.5, 1.5, 3)
+            n = np.cross(v1 - v0, v2 - v0)
+            n /= max(np.linalg.norm(n), 1e-12)
+            b.add_triangle(v0, v1, v2, mats[k % 4], normal=n)
+        # image-textured light rect + a runtime-TRS image sphere/triangle
+        b.add_rect(mats[4], position=(0, 4.0, -5), rotation=(90, 0, 0),
+                   scale=(3, 3, 1))
+        b.add_sphere((0.5, 0.4, -4.0), 0.5, mats[0],
+                     rotation=(0, 40, 0), scale=(1.0, 1.3, 1.0))
+        b.add_triangle((-0.8, -0.4, 0.2), (0.8, -0.4, 0.25), (0, 0.7, 0.31),
+                       mats[0], position=(-1.2, 0.3, -4.2),
+                       rotation=(10, -30, 0))
+        scene = b.build()
+        assert not mk.megakernel_supported(scene)
+        assert mk.mega_tex_supported(scene)
+
+        n_rays = 1024
+        o = np.tile(np.array([[0, 0.5, 2.0]], np.float32), (n_rays, 1))
+        d = np.stack([rng.uniform(-0.8, 0.8, n_rays),
+                      rng.uniform(-0.6, 0.8, n_rays),
+                      -np.ones(n_rays)], 1).astype(np.float32)
+        rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+        stream = integ.stream_from_key(jax.random.key(3), n_rays, 6)
+        for quirks in (Quirks.reference(), Quirks.fixed()):
+            cfg = _cfg(samples=1, max_depth=6, quirks=quirks,
+                       engine="mega")
+            ref = np.asarray(integ.trace_path(
+                scene, rays, jax.random.key(3),
+                dataclasses.replace(cfg, engine="wavefront"),
+                samples=stream))
+            got = np.asarray(integ.integrate(scene, rays, jax.random.key(3),
+                                             cfg, samples=stream))
+            assert ref.mean() > 0.01
+            dmax = np.abs(got - ref).max(axis=1)
+            # budget: winner near-ties + texel-boundary flips on the random
+            # (noise) textures, both O(1) on a flipped lane
+            n_bad = int((dmax > 1e-3).sum())
+            assert n_bad <= max(4, n_rays // 100), (
+                scene_i, str(quirks), n_bad, float(dmax.max()))
