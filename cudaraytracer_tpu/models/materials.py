@@ -111,14 +111,19 @@ def eval_texture_dec(dec: DecodedMaterials, tex: TextureTable, u: Array,
     sines = (_jnp.sin(10.0 * p[..., 0]) * _jnp.sin(10.0 * p[..., 1])
              * _jnp.sin(10.0 * p[..., 2]))
     checker = _jnp.where((sines < 0.0)[..., None], dec.c1, dec.c0)
+    out = _jnp.where((dec.tex_kind == float(_tx.CHECKER))[..., None],
+                     checker, dec.c0)
+    if tex.images.shape[0] == 1:
+        # no image textures registered (row 0 is the builder's dummy, so
+        # IMAGE kind cannot occur) — statically skip the per-lane texel
+        # gather, which costs per INDEX even into the (1,1,1,3) dummy
+        return out
     nx = dec.wh[..., 0].astype(_jnp.float32)
     ny = dec.wh[..., 1].astype(_jnp.float32)
     i = _jnp.clip((u * nx).astype(_jnp.int32), 0, dec.wh[..., 0] - 1)
     j = _jnp.clip(((1.0 - v) * ny - 0.001).astype(_jnp.int32), 0,
                   dec.wh[..., 1] - 1)
     texel = tex.images[dec.img, j, i].astype(_jnp.float32) / 255.0
-    out = _jnp.where((dec.tex_kind == float(_tx.CHECKER))[..., None],
-                     checker, dec.c0)
     return _jnp.where((dec.tex_kind == float(_tx.IMAGE))[..., None],
                       texel, out)
 

@@ -48,6 +48,13 @@ def eval_texture(tex: TextureTable, tex_id: Array, u: Array, v: Array,
     # CHECKER (texture.h:30-38)
     sines = jnp.sin(10.0 * p[..., 0]) * jnp.sin(10.0 * p[..., 1]) * jnp.sin(10.0 * p[..., 2])
     checker = jnp.where((sines < 0.0)[..., None], c1, c0)
+    out = jnp.where((kind == CHECKER)[..., None], checker, c0)
+
+    if tex.images.shape[0] == 1:
+        # no image textures registered (row 0 is the builder's dummy, so
+        # IMAGE kind cannot occur) — statically skip the per-lane texel
+        # gather, which costs per INDEX even into the (1,1,1,3) dummy
+        return out
 
     # IMAGE (texture.h:65-76)
     img = tex.image_id[tex_id]
@@ -59,10 +66,7 @@ def eval_texture(tex: TextureTable, tex_id: Array, u: Array, v: Array,
     i = jnp.clip(i, 0, wh[..., 0] - 1)
     j = jnp.clip(j, 0, wh[..., 1] - 1)
     texel = tex.images[img, j, i].astype(jnp.float32) / 255.0
-
-    out = jnp.where((kind == CHECKER)[..., None], checker, c0)
-    out = jnp.where((kind == IMAGE)[..., None], texel, out)
-    return out
+    return jnp.where((kind == IMAGE)[..., None], texel, out)
 
 
 def image_texel(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
