@@ -485,6 +485,46 @@ def _prim_rows(scene: Scene, tri_override=None) -> Array:
                                                             jnp.float32)
 
 
+def _xform_rows(scene: Scene) -> Array:
+    """Unified row table for the transform-tested classes
+    [rects | t_spheres | t_triangles] x 23 f32 columns:
+    [trs.position(3), trs.rotation(3), trs.scale(3), mat(1),
+     {rect: object-normal z (+-1) | t_sphere: radius | t_triangle: 0}(1),
+     t_triangle v0(3), v1(3), v2(3), object normal(3)].
+
+    Same rationale as _prim_rows: finalize_hits/replay_hits gather ONE row
+    per winner and recompute that prim's continuous quantities on a
+    per-lane TransformRay'd ray (_transform_rays_single) — O(rays) per
+    bounce — instead of re-running the full (rays x prims) candidate
+    sweeps and ~12 separate small-table gathers (separate gathers measured
+    19x slower than one row gather, docs/experiments/gather_micro.py)."""
+    blocks = []
+    n_r, n_ts, n_tt = scene.n_rects, scene.n_t_spheres, scene.n_t_triangles
+    if n_r:
+        rc = scene.rects
+        # rectangle.h:23 flipNormal selects the -z object normal
+        nz = jnp.where(rc.flip, -1.0, 1.0).astype(jnp.float32)
+        blocks.append(jnp.concatenate([
+            rc.trs.position, rc.trs.rotation, rc.trs.scale,
+            rc.mat.astype(jnp.float32)[:, None], nz[:, None],
+            jnp.zeros((n_r, 12), jnp.float32)], axis=1))
+    if n_ts:
+        tsph = scene.t_spheres
+        blocks.append(jnp.concatenate([
+            tsph.trs.position, tsph.trs.rotation, tsph.trs.scale,
+            tsph.mat.astype(jnp.float32)[:, None], tsph.radius[:, None],
+            jnp.zeros((n_ts, 12), jnp.float32)], axis=1))
+    if n_tt:
+        ttri = scene.t_triangles
+        blocks.append(jnp.concatenate([
+            ttri.trs.position, ttri.trs.rotation, ttri.trs.scale,
+            ttri.mat.astype(jnp.float32)[:, None],
+            jnp.zeros((n_tt, 1), jnp.float32),
+            ttri.v0, ttri.v1, ttri.v2, ttri.normal], axis=1))
+    return jnp.concatenate(blocks) if blocks else jnp.zeros((1, 23),
+                                                            jnp.float32)
+
+
 def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
                   t_min, t_max, quirks: Quirks, tri_override=None) -> Hits:
     """Reconstruct the full hit record for the winning primitive only."""
@@ -540,50 +580,89 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         vv = jnp.where(is_t, tv, vv)
         mat = jnp.where(is_t, row_mat, mat)
 
-    if n_r:
-        valid, rt, ru, rv, rp, rn = rect_candidates(rays, scene.rects, t_min, t_max)
-        ri = jnp.clip(idx - n_s - n_t, 0, n_r - 1)
-        # upper bound matters: t_sphere/t_triangle winners (idx >= base)
-        # must not inherit the clipped last rect's u/v/p
-        is_r = hit & (best_idx >= n_s + n_t) & (best_idx < n_s + n_t + n_r)
-        rows = jnp.arange(n)
-        normal = jnp.where(is_r[..., None], rn[rows, ri], normal)
-        u = jnp.where(is_r, ru[rows, ri], u)
-        vv = jnp.where(is_r, rv[rows, ri], vv)
-        # reference rec.p is the object-space point (hitable.h never maps back)
-        p = jnp.where(is_r[..., None], rp[rows, ri], p)
-        mat = jnp.where(is_r, scene.rects.mat[ri], mat)
-
     base = n_s + n_t + n_r
     n_ts, n_tt = scene.n_t_spheres, scene.n_t_triangles
+    n_x = n_r + n_ts + n_tt
+    if n_x:
+        # ONE row gather + ONE per-lane TransformRay for all three
+        # transform-tested classes (see _xform_rows); recompute the winner's
+        # continuous quantities instead of re-sweeping every candidate.
+        xrow = _xform_rows(scene)[jnp.clip(idx - n_s - n_t, 0, n_x - 1)]
+        x_rot = xrow[..., 3:6]
+        xo, xd, _ = _transform_rays_single(rays, xrow[..., 0:3], x_rot,
+                                           xrow[..., 6:9])
+        x_mat = xrow[..., 9].astype(jnp.int32)
+    if n_r:
+        # upper bound matters: t_sphere/t_triangle winners (idx >= base)
+        # must not inherit a rect's u/v/p
+        is_r = hit & (best_idx >= n_s + n_t) & (best_idx < base)
+        # rectangle.h:22-44 on the TransformRay'd ray; the plane division is
+        # double-where'd (edge-on dz == 0 never wins, but an unguarded inf
+        # would NaN the backward)
+        dz = xd[..., 2]
+        tz = -xo[..., 2] / jnp.where(dz != 0.0, dz, 1.0)
+        rx = xo[..., 0] + tz * xd[..., 0]
+        ry = xo[..., 1] + tz * xd[..., 1]
+        r_obj_n = jnp.concatenate([jnp.zeros_like(xo[..., 0:2]),
+                                   xrow[..., 10:11]], axis=-1)
+        normal = jnp.where(is_r[..., None], v3.rotate(r_obj_n, x_rot), normal)
+        u = jnp.where(is_r, rx + 0.5, u)
+        vv = jnp.where(is_r, ry + 0.5, vv)
+        # reference rec.p is the object-space point (hitable.h never maps back)
+        p = jnp.where(is_r[..., None], xo + tz[..., None] * xd, p)
+        mat = jnp.where(is_r, x_mat, mat)
+
     if n_ts:
-        _, tst, tsp, tsn = t_sphere_candidates(rays, scene.t_spheres,
-                                               t_min, t_max)
-        si = jnp.clip(idx - base, 0, n_ts - 1)
         is_ts = hit & (best_idx >= base) & (best_idx < base + n_ts)
-        rows = jnp.arange(n)
-        normal = jnp.where(is_ts[..., None], tsn[rows, si], normal)
+        # sphere.h:27-55 on the transformed ray (native-parameterization
+        # windows); non-tsph lanes pair with a row whose col-10 may be 0 —
+        # double-where the radius so the masked 1/r normal stays finite
+        r = jnp.where(is_ts, xrow[..., 10], 1.0)
+        b = jnp.sum(xo * xd, axis=-1)
+        a = jnp.sum(xd * xd, axis=-1)
+        c = jnp.sum(xo * xo, axis=-1) - r * r
+        disc = b * b - a * c
+        disc_safe = jnp.where(disc > 0.0, disc, 1.0)
+        sq = jnp.where(disc > 0.0, jnp.sqrt(disc_safe), 0.0)
+        t0 = (-b - sq) / a
+        t1 = (-b + sq) / a
+        # root CHOICE re-derived like the sweep (far-root fallback so a
+        # recorded winner never produces an overflow t)
+        ok0 = (disc > 0.0) & (t0 < t_max) & (t0 > t_min)
+        ts_nat = jnp.where(ok0, t0, t1)
+        ps = xo + ts_nat[..., None] * xd
+        tsn_w = v3.rotate(ps / r[..., None], x_rot)
+        normal = jnp.where(is_ts[..., None], tsn_w, normal)
         # reference rec.p stays in object space (hitable.h never maps back)
-        p = jnp.where(is_ts[..., None], tsp[rows, si], p)
+        p = jnp.where(is_ts[..., None], ps, p)
         # same defined uv as static spheres (get_sphere_uv on the unit normal;
         # the reference leaves sphere u,v uninitialized)
-        tsn_w = tsn[rows, si]
         ts_phi = jnp.arctan2(tsn_w[..., 2], tsn_w[..., 0])
         ts_theta = _safe_arcsin(tsn_w[..., 2])
         u = jnp.where(is_ts, 1.0 - (ts_phi + jnp.pi) / (2.0 * jnp.pi), u)
         vv = jnp.where(is_ts, (ts_theta + jnp.pi / 2.0) / jnp.pi, vv)
-        mat = jnp.where(is_ts, scene.t_spheres.mat[si], mat)
+        mat = jnp.where(is_ts, x_mat, mat)
     if n_tt:
-        _, ttt, ttu, ttv, ttp, ttn = t_triangle_candidates(
-            rays, scene.t_triangles, t_min, t_max, quirks)
-        ti2 = jnp.clip(idx - base - n_ts, 0, n_tt - 1)
         is_tt = hit & (best_idx >= base + n_ts)
-        rows = jnp.arange(n)
-        normal = jnp.where(is_tt[..., None], ttn[rows, ti2], normal)
-        p = jnp.where(is_tt[..., None], ttp[rows, ti2], p)
-        u = jnp.where(is_tt, ttu[rows, ti2], u)
-        vv = jnp.where(is_tt, ttv[rows, ti2], vv)
-        mat = jnp.where(is_tt, scene.t_triangles.mat[ti2], mat)
+        # Moller-Trumbore on the object-space vertices (triangle.h:57-100
+        # semantics; validity is NOT re-applied — the winner already passed)
+        tv0 = xrow[..., 11:14]
+        e1 = xrow[..., 14:17] - tv0
+        e2 = xrow[..., 17:20] - tv0
+        hh = jnp.cross(xd, e2)
+        det = jnp.sum(e1 * hh, axis=-1)
+        f = 1.0 / jnp.where(jnp.abs(det) >= TRI_EPSILON, det, 1.0)
+        s = xo - tv0
+        ttu = f * jnp.sum(s * hh, axis=-1)
+        q = jnp.cross(s, e1)
+        ttv = f * jnp.sum(xd * q, axis=-1)
+        ttt = f * jnp.sum(e2 * q, axis=-1)
+        normal = jnp.where(is_tt[..., None],
+                           v3.rotate(xrow[..., 20:23], x_rot), normal)
+        p = jnp.where(is_tt[..., None], xo + ttt[..., None] * xd, p)
+        u = jnp.where(is_tt, ttu, u)
+        vv = jnp.where(is_tt, ttv, vv)
+        mat = jnp.where(is_tt, x_mat, mat)
 
     return Hits(hit, t, p, normal, u, vv, mat, best_idx)
 
@@ -641,28 +720,26 @@ def replay_hits(scene: Scene, rays: Rays, winner: Array, t_min, t_max,
         is_t = hit & (winner >= n_s) & (winner < n_s + n_t)
         best_t = jnp.where(is_t, tt, best_t)
 
+    base = n_s + n_t + n_r
+    n_ts, n_tt = scene.n_t_spheres, scene.n_t_triangles
+    n_x = n_r + n_ts + n_tt
+    if n_x:
+        # one row gather + one per-lane TransformRay shared by all three
+        # transform-tested classes (see _xform_rows)
+        xrow = _xform_rows(scene)[jnp.clip(idx - n_s - n_t, 0, n_x - 1)]
+        o, d, raw_len = _transform_rays_single(rays, xrow[..., 0:3],
+                                               xrow[..., 3:6], xrow[..., 6:9])
     if n_r:
         # raw per-rect plane t (no validity mask — see docstring), rescaled
         # into the caller's raw-direction parameterization exactly as
         # rect_candidates does
-        o, d, raw_len = _transform_rays_nc(rays, scene.rects.trs)
         dz = d[..., 2]
         tz = -o[..., 2] / jnp.where(dz != 0.0, dz, 1.0)
-        t_cmp = tz / raw_len
-        ri = jnp.clip(idx - n_s - n_t, 0, n_r - 1)
-        rows = jnp.arange(n)
-        is_r = hit & (winner >= n_s + n_t) & (winner < n_s + n_t + n_r)
-        best_t = jnp.where(is_r, t_cmp[rows, ri], best_t)
+        is_r = hit & (winner >= n_s + n_t) & (winner < base)
+        best_t = jnp.where(is_r, tz / raw_len, best_t)
 
-    base = n_s + n_t + n_r
-    n_ts, n_tt = scene.n_t_spheres, scene.n_t_triangles
     if n_ts:
-        si = jnp.clip(idx - base, 0, n_ts - 1)
-        tsph = scene.t_spheres
-        o, d, raw_len = _transform_rays_single(
-            rays, tsph.trs.position[si], tsph.trs.rotation[si],
-            tsph.trs.scale[si])
-        r = tsph.radius[si]
+        r = xrow[..., 10]
         b = jnp.sum(o * d, axis=-1)
         a = jnp.sum(d * d, axis=-1)
         c = jnp.sum(o * o, axis=-1) - r * r
@@ -678,17 +755,13 @@ def replay_hits(scene: Scene, rays: Rays, winner: Array, t_min, t_max,
         is_ts = hit & (winner >= base) & (winner < base + n_ts)
         best_t = jnp.where(is_ts, ts_ / raw_len, best_t)
     if n_tt:
-        ti = jnp.clip(idx - base - n_ts, 0, n_tt - 1)
-        ttri = scene.t_triangles
-        o, d, raw_len = _transform_rays_single(
-            rays, ttri.trs.position[ti], ttri.trs.rotation[ti],
-            ttri.trs.scale[ti])
-        e1 = ttri.v1[ti] - ttri.v0[ti]
-        e2 = ttri.v2[ti] - ttri.v0[ti]
+        tv0 = xrow[..., 11:14]
+        e1 = xrow[..., 14:17] - tv0
+        e2 = xrow[..., 17:20] - tv0
         h = jnp.cross(d, e2)
         a = jnp.sum(e1 * h, axis=-1)
         f = 1.0 / jnp.where(jnp.abs(a) >= TRI_EPSILON, a, 1.0)
-        s = o - ttri.v0[ti]
+        s = o - tv0
         q = jnp.cross(s, e1)
         tt = f * jnp.sum(e2 * q, axis=-1)
         is_tt = hit & (winner >= base + n_ts)

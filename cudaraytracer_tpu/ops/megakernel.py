@@ -1992,19 +1992,19 @@ def _tex_uv(row: Array, p: Array):
     guards keep non-class lanes finite."""
     from ..core import vec as _v3
 
-    cls = row[:, TI_CLS]
-    g = row[:, TI_GEO:TI_GEO + 12]
+    cls = row[..., TI_CLS]
+    g = row[..., TI_GEO:TI_GEO + 12]
     # sphere family: unit normal -> z-theta uv
-    nrm_s = (p - g[:, 0:3]) * g[:, 3:4]
-    nrm_ts = _v3.rotate(p * g[:, 0:1], g[:, 1:4])
-    nrm = jnp.where((cls == _CLS_TSPH)[:, None], nrm_ts, nrm_s)
-    phi = jnp.arctan2(nrm[:, 2], nrm[:, 0])
-    theta = jnp.arcsin(jnp.clip(nrm[:, 2], -1.0, 1.0))
+    nrm_s = (p - g[..., 0:3]) * g[..., 3:4]
+    nrm_ts = _v3.rotate(p * g[..., 0:1], g[..., 1:4])
+    nrm = jnp.where((cls == _CLS_TSPH)[..., None], nrm_ts, nrm_s)
+    phi = jnp.arctan2(nrm[..., 2], nrm[..., 0])
+    theta = jnp.arcsin(jnp.clip(nrm[..., 2], -1.0, 1.0))
     su = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
     sv = (theta + jnp.pi / 2.0) / jnp.pi
     # triangle family: Gram solve of p - v0 = u e1 + v e2
-    q = p - g[:, 0:3]
-    e1, e2 = g[:, 3:6], g[:, 6:9]
+    q = p - g[..., 0:3]
+    e1, e2 = g[..., 3:6], g[..., 6:9]
     d00 = jnp.sum(e1 * e1, axis=-1)
     d01 = jnp.sum(e1 * e2, axis=-1)
     d11 = jnp.sum(e2 * e2, axis=-1)
@@ -2018,8 +2018,8 @@ def _tex_uv(row: Array, p: Array):
     is_r = cls == _CLS_RECT
     u = jnp.where(is_b, bu, su)
     v = jnp.where(is_b, bv, sv)
-    u = jnp.where(is_r, p[:, 0] + 0.5, u)   # object-space rect p
-    v = jnp.where(is_r, p[:, 1] + 0.5, v)
+    u = jnp.where(is_r, p[..., 0] + 0.5, u)   # object-space rect p
+    v = jnp.where(is_r, p[..., 1] + 0.5, v)
     return u, v
 
 
@@ -2045,31 +2045,34 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
     n = flat.shape[1]
     info = _assemble_tex_info(scene, tables)
     miss_row = info.shape[0] - 1
-    out = jnp.zeros((3, n), jnp.float32)
-    big_f = jnp.ones((3, n), jnp.float32)
-    for step in range(steps):
-        base = 3 + 10 * step
-        w_tab = flat[base].astype(jnp.int32)
-        em = flat[base + 1:base + 4]
-        other = flat[base + 4:base + 7]
-        p = flat[base + 7:base + 10].T
-        row = info[jnp.where(w_tab < 0, miss_row, w_tab)]
-        u, v = _tex_uv(row, p)
-        # nearest texel (texture.h:65-76, same math as textures.image_texel)
-        nx, ny = row[:, TI_W], row[:, TI_H]
-        i = jnp.clip((u * nx).astype(jnp.int32), 0,
-                     jnp.maximum(nx.astype(jnp.int32) - 1, 0))
-        j = jnp.clip(((1.0 - v) * ny - 0.001).astype(jnp.int32), 0,
-                     jnp.maximum(ny.astype(jnp.int32) - 1, 0))
-        texel = scene.textures.images[
-            row[:, TI_IMG].astype(jnp.int32), j, i].astype(jnp.float32) / 255.0
-        att = (row[:, TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
-               else texel)
-        f = jnp.where(row[:, TI_FLAM][:, None] > 0.0, att, 1.0)
-        g = jnp.where(row[:, TI_FLIT][:, None] > 0.0, texel, 1.0)
-        out = out + big_f * (em * g.T + other)
-        big_f = big_f * f.T
-    return out
+    # Batched over ALL steps: TPU gathers pay per OP, not per byte, at
+    # small-table scale (docs/experiments/gather_micro.py), and the render
+    # driver calls this per 131k-ray chunk — one (steps, n)-index info
+    # gather + one texel gather replace 2 x steps separate gathers.
+    planes = flat[3:3 + 10 * steps].reshape(steps, 10, n)
+    w_tab = planes[:, 0].astype(jnp.int32)              # (steps, n)
+    em = jnp.moveaxis(planes[:, 1:4], 1, 2)             # (steps, n, 3)
+    other = jnp.moveaxis(planes[:, 4:7], 1, 2)
+    p = jnp.moveaxis(planes[:, 7:10], 1, 2)
+    row = info[jnp.where(w_tab < 0, miss_row, w_tab)]   # (steps, n, TI_COLS)
+    u, v = _tex_uv(row, p)
+    # nearest texel (texture.h:65-76, same math as textures.image_texel)
+    nx, ny = row[..., TI_W], row[..., TI_H]
+    i = jnp.clip((u * nx).astype(jnp.int32), 0,
+                 jnp.maximum(nx.astype(jnp.int32) - 1, 0))
+    j = jnp.clip(((1.0 - v) * ny - 0.001).astype(jnp.int32), 0,
+                 jnp.maximum(ny.astype(jnp.int32) - 1, 0))
+    texel = scene.textures.images[
+        row[..., TI_IMG].astype(jnp.int32), j, i].astype(jnp.float32) / 255.0
+    att = (row[..., TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
+           else texel)
+    f = jnp.where(row[..., TI_FLAM][..., None] > 0.0, att, 1.0)
+    g = jnp.where(row[..., TI_FLIT][..., None] > 0.0, texel, 1.0)
+    # L = sum_i (em_i*g_i + other_i) * prod_{j<i} f_j — exclusive cumprod
+    big_f = jnp.concatenate([jnp.ones((1, n, 3), jnp.float32),
+                             jnp.cumprod(f[:-1], axis=0)])
+    out = jnp.sum(big_f * (em * g + other), axis=0)     # (n, 3)
+    return out.T
 
 
 def _mega_tex_planes(scene, rays, key, cfg, tables, samples,
