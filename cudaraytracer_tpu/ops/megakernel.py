@@ -1981,45 +1981,69 @@ def _assemble_tex_info(scene: Scene, tables: MegaTables) -> Array:
     return jnp.concatenate(rows)
 
 
-def _tex_uv(row: Array, p: Array):
-    """(u, v) per lane from one gathered info row + the recorded hit point,
-    per primitive class — the same definitions ops/intersect.finalize_hits
-    uses: get_sphere_uv's z-theta on the unit normal (texture.h:45-50),
-    Moller-Trumbore barycentrics via the Gram solve of p - v0 against
-    e1/e2, object-plane offsets for rects (rectangle.h:34-35), and the TRS
-    variants on the OBJECT-space p the kernel carries for those winners.
-    All branches are evaluated on every lane (branch-free select); the
-    guards keep non-class lanes finite."""
-    from ..core import vec as _v3
+def _rotate_cm(x, y, z, ax, ay, az):
+    """core/vec.rotate (vec3.h:200-217 — degrees, negated-Z quirk) on
+    COMPONENT-MAJOR operands: rotates (x, y, z) by euler angles
+    (ax, ay, az), returning the 3 components.  Same math as
+    vec.rotation_matrix_euler_deg, kept unstacked so (steps, n) component
+    planes never relayout into a minor-dim-3 array (see _tex_uv)."""
+    k = float(np.pi) / 180.0
+    rx, ry, rz = k * ax, k * ay, -k * az
+    sx, cx = jnp.sin(rx), jnp.cos(rx)
+    sy, cy = jnp.sin(ry), jnp.cos(ry)
+    sz, cz = jnp.sin(rz), jnp.cos(rz)
+    ox = cy * cz * x + (-cy * sz) * y + sy * z
+    oy = ((sx * sy * cz + cx * sz) * x + (-sx * sy * sz + cx * cz) * y
+          + (-sx * cy) * z)
+    oz = ((-cx * sy * cz + sx * sz) * x + (cx * sy * sz + sx * cz) * y
+          + (cx * cy) * z)
+    return ox, oy, oz
 
-    cls = row[..., TI_CLS]
-    g = row[..., TI_GEO:TI_GEO + 12]
-    # sphere family: unit normal -> z-theta uv
-    nrm_s = (p - g[..., 0:3]) * g[..., 3:4]
-    nrm_ts = _v3.rotate(p * g[..., 0:1], g[..., 1:4])
-    nrm = jnp.where((cls == _CLS_TSPH)[..., None], nrm_ts, nrm_s)
-    phi = jnp.arctan2(nrm[..., 2], nrm[..., 0])
-    theta = jnp.arcsin(jnp.clip(nrm[..., 2], -1.0, 1.0))
+
+def _tex_uv(rowT: Array, p: Array):
+    """(u, v) per lane from the gathered info rows + the recorded hit
+    points, per primitive class — the same definitions
+    ops/intersect.finalize_hits uses: get_sphere_uv's z-theta on the unit
+    normal (texture.h:45-50), Moller-Trumbore barycentrics via the Gram
+    solve of p - v0 against e1/e2, object-plane offsets for rects
+    (rectangle.h:34-35), and the TRS variants on the OBJECT-space p the
+    kernel carries for those winners.  All branches are evaluated on every
+    lane (branch-free select); the guards keep non-class lanes finite.
+
+    COMPONENT-MAJOR: rowT is (TI_COLS, steps, n), p is (steps, 3, n) — n
+    stays on lanes through every op (a minor-dim-3 layout runs the VPU at
+    3/128 lane utilization; see _deferred_texture_radiance)."""
+    cls = rowT[TI_CLS]
+    g = lambda k: rowT[TI_GEO + k]
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    # sphere family: unit normal -> z-theta uv (only x/z components used)
+    is_ts = cls == _CLS_TSPH
+    nts = _rotate_cm(px * g(0), py * g(0), pz * g(0), g(1), g(2), g(3))
+    nrm_x = jnp.where(is_ts, nts[0], (px - g(0)) * g(3))
+    nrm_z = jnp.where(is_ts, nts[2], (pz - g(2)) * g(3))
+    phi = jnp.arctan2(nrm_z, nrm_x)
+    theta = jnp.arcsin(jnp.clip(nrm_z, -1.0, 1.0))
     su = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
     sv = (theta + jnp.pi / 2.0) / jnp.pi
     # triangle family: Gram solve of p - v0 = u e1 + v e2
-    q = p - g[..., 0:3]
-    e1, e2 = g[..., 3:6], g[..., 6:9]
-    d00 = jnp.sum(e1 * e1, axis=-1)
-    d01 = jnp.sum(e1 * e2, axis=-1)
-    d11 = jnp.sum(e2 * e2, axis=-1)
+    qx, qy, qz = px - g(0), py - g(1), pz - g(2)
+    e1x, e1y, e1z = g(3), g(4), g(5)
+    e2x, e2y, e2z = g(6), g(7), g(8)
+    d00 = e1x * e1x + e1y * e1y + e1z * e1z
+    d01 = e1x * e2x + e1y * e2y + e1z * e2z
+    d11 = e2x * e2x + e2y * e2y + e2z * e2z
     det = d00 * d11 - d01 * d01
     inv = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    q0 = jnp.sum(q * e1, axis=-1)
-    q1 = jnp.sum(q * e2, axis=-1)
+    q0 = qx * e1x + qy * e1y + qz * e1z
+    q1 = qx * e2x + qy * e2y + qz * e2z
     bu = (d11 * q0 - d01 * q1) * inv
     bv = (d00 * q1 - d01 * q0) * inv
     is_b = (cls == _CLS_TRI) | (cls == _CLS_TTRI)
     is_r = cls == _CLS_RECT
     u = jnp.where(is_b, bu, su)
     v = jnp.where(is_b, bv, sv)
-    u = jnp.where(is_r, p[..., 0] + 0.5, u)   # object-space rect p
-    v = jnp.where(is_r, p[..., 1] + 0.5, v)
+    u = jnp.where(is_r, px + 0.5, u)   # object-space rect p
+    v = jnp.where(is_r, py + 0.5, v)
     return u, v
 
 
@@ -2041,7 +2065,17 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
     to every later term, so multiplying F by that bounce's f is harmless.
 
     Forward-only companion of the kernel (the planes arrive detached); the
-    differentiable path is trace_path_mega_tex_diff's replay backward."""
+    differentiable path is trace_path_mega_tex_diff's replay backward.
+
+    COMPONENT-MAJOR layout discipline: every elementwise op here runs on
+    (steps, n) / (3, steps, n) arrays with n ON LANES.  The first cut did
+    the math in (steps, n, 3) — minor dim 3 on a 128-lane VPU — which both
+    relayouted em/other/p out of the kernel's plane dump (moveaxis) and ran
+    the arithmetic at 3/128 lane utilization.  Only two relayouts remain:
+    the info-row gather output (steps, n, TI_COLS) -> (TI_COLS, steps, n)
+    and the texel gather (steps, n, 3) -> (3, steps, n), both unavoidable
+    (gathers produce row-minor output).  Bit-identical to the row-minor
+    form (same ops, same reduce order)."""
     n = flat.shape[1]
     info = _assemble_tex_info(scene, tables)
     miss_row = info.shape[0] - 1
@@ -2051,28 +2085,29 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
     # gather + one texel gather replace 2 x steps separate gathers.
     planes = flat[3:3 + 10 * steps].reshape(steps, 10, n)
     w_tab = planes[:, 0].astype(jnp.int32)              # (steps, n)
-    em = jnp.moveaxis(planes[:, 1:4], 1, 2)             # (steps, n, 3)
-    other = jnp.moveaxis(planes[:, 4:7], 1, 2)
-    p = jnp.moveaxis(planes[:, 7:10], 1, 2)
+    em = jnp.swapaxes(planes[:, 1:4], 0, 1)             # (3, steps, n)
+    other = jnp.swapaxes(planes[:, 4:7], 0, 1)
+    p = planes[:, 7:10]                                 # (steps, 3, n)
     row = info[jnp.where(w_tab < 0, miss_row, w_tab)]   # (steps, n, TI_COLS)
-    u, v = _tex_uv(row, p)
+    rowT = jnp.transpose(row, (2, 0, 1))                # (TI_COLS, steps, n)
+    u, v = _tex_uv(rowT, p)
     # nearest texel (texture.h:65-76, same math as textures.image_texel)
-    nx, ny = row[..., TI_W], row[..., TI_H]
+    nx, ny = rowT[TI_W], rowT[TI_H]
     i = jnp.clip((u * nx).astype(jnp.int32), 0,
                  jnp.maximum(nx.astype(jnp.int32) - 1, 0))
     j = jnp.clip(((1.0 - v) * ny - 0.001).astype(jnp.int32), 0,
                  jnp.maximum(ny.astype(jnp.int32) - 1, 0))
-    texel = scene.textures.images[
-        row[..., TI_IMG].astype(jnp.int32), j, i].astype(jnp.float32) / 255.0
-    att = (row[..., TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
+    texel = jnp.transpose(scene.textures.images[
+        rowT[TI_IMG].astype(jnp.int32), j, i],
+        (2, 0, 1)).astype(jnp.float32) / 255.0          # (3, steps, n)
+    att = (rowT[TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
            else texel)
-    f = jnp.where(row[..., TI_FLAM][..., None] > 0.0, att, 1.0)
-    g = jnp.where(row[..., TI_FLIT][..., None] > 0.0, texel, 1.0)
+    f = jnp.where(rowT[TI_FLAM][None] > 0.0, att, 1.0)
+    g = jnp.where(rowT[TI_FLIT][None] > 0.0, texel, 1.0)
     # L = sum_i (em_i*g_i + other_i) * prod_{j<i} f_j — exclusive cumprod
-    big_f = jnp.concatenate([jnp.ones((1, n, 3), jnp.float32),
-                             jnp.cumprod(f[:-1], axis=0)])
-    out = jnp.sum(big_f * (em * g + other), axis=0)     # (n, 3)
-    return out.T
+    big_f = jnp.concatenate([jnp.ones((3, 1, n), jnp.float32),
+                             jnp.cumprod(f[:, :-1], axis=1)], axis=1)
+    return jnp.sum(big_f * (em * g + other), axis=1)    # (3, n)
 
 
 def _mega_tex_planes(scene, rays, key, cfg, tables, samples,
