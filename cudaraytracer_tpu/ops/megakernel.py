@@ -2075,39 +2075,64 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
     the info-row gather output (steps, n, TI_COLS) -> (TI_COLS, steps, n)
     and the texel gather (steps, n, 3) -> (3, steps, n), both unavoidable
     (gathers produce row-minor output).  Bit-identical to the row-minor
-    form (same ops, same reduce order)."""
+    form (same ops, same reduce order).
+
+    CHUNKED over lanes: a per-lane row gather's output materializes
+    (8, 128)-tiled — TI_COLS pads to 128 lanes, so at full-frame scale
+    (4.15M rays x 9 bounces) the buffer is ~19 GB and the compile OOMs a
+    16 GB v5e (measured; XLA only sometimes fuses it away).  The
+    lane-independent body therefore runs under lax.map in <= 2^18-lane
+    chunks (~1.2 GB peak), which also matches the render driver's own
+    chunk size — for render-pipeline callers the map is a single step."""
     n = flat.shape[1]
     info = _assemble_tex_info(scene, tables)
     miss_row = info.shape[0] - 1
-    # Batched over ALL steps: TPU gathers pay per OP, not per byte, at
-    # small-table scale (docs/experiments/gather_micro.py), and the render
-    # driver calls this per 131k-ray chunk — one (steps, n)-index info
-    # gather + one texel gather replace 2 x steps separate gathers.
+    # Batched over ALL steps: TPU gathers pay per OP (~3.5 ms/M-index on
+    # v5e), not per byte, at small-table scale (docs/experiments/
+    # gather_micro.py) — one (steps, n)-index info gather + one texel
+    # gather replace 2 x steps separate gathers.
     planes = flat[3:3 + 10 * steps].reshape(steps, 10, n)
-    w_tab = planes[:, 0].astype(jnp.int32)              # (steps, n)
-    em = jnp.swapaxes(planes[:, 1:4], 0, 1)             # (3, steps, n)
-    other = jnp.swapaxes(planes[:, 4:7], 0, 1)
-    p = planes[:, 7:10]                                 # (steps, 3, n)
-    row = info[jnp.where(w_tab < 0, miss_row, w_tab)]   # (steps, n, TI_COLS)
-    rowT = jnp.transpose(row, (2, 0, 1))                # (TI_COLS, steps, n)
-    u, v = _tex_uv(rowT, p)
-    # nearest texel (texture.h:65-76, same math as textures.image_texel)
-    nx, ny = rowT[TI_W], rowT[TI_H]
-    i = jnp.clip((u * nx).astype(jnp.int32), 0,
-                 jnp.maximum(nx.astype(jnp.int32) - 1, 0))
-    j = jnp.clip(((1.0 - v) * ny - 0.001).astype(jnp.int32), 0,
-                 jnp.maximum(ny.astype(jnp.int32) - 1, 0))
-    texel = jnp.transpose(scene.textures.images[
-        rowT[TI_IMG].astype(jnp.int32), j, i],
-        (2, 0, 1)).astype(jnp.float32) / 255.0          # (3, steps, n)
-    att = (rowT[TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
-           else texel)
-    f = jnp.where(rowT[TI_FLAM][None] > 0.0, att, 1.0)
-    g = jnp.where(rowT[TI_FLIT][None] > 0.0, texel, 1.0)
-    # L = sum_i (em_i*g_i + other_i) * prod_{j<i} f_j — exclusive cumprod
-    big_f = jnp.concatenate([jnp.ones((3, 1, n), jnp.float32),
-                             jnp.cumprod(f[:, :-1], axis=1)], axis=1)
-    return jnp.sum(big_f * (em * g + other), axis=1)    # (3, n)
+
+    def body(pl_c):
+        n_c = pl_c.shape[-1]
+        w_tab = pl_c[:, 0].astype(jnp.int32)            # (steps, c)
+        em = jnp.swapaxes(pl_c[:, 1:4], 0, 1)           # (3, steps, c)
+        other = jnp.swapaxes(pl_c[:, 4:7], 0, 1)
+        p = pl_c[:, 7:10]                               # (steps, 3, c)
+        row = info[jnp.where(w_tab < 0, miss_row, w_tab)]
+        rowT = jnp.transpose(row, (2, 0, 1))            # (TI_COLS, steps, c)
+        u, v = _tex_uv(rowT, p)
+        # nearest texel (texture.h:65-76, same math as textures.image_texel)
+        nx, ny = rowT[TI_W], rowT[TI_H]
+        i = jnp.clip((u * nx).astype(jnp.int32), 0,
+                     jnp.maximum(nx.astype(jnp.int32) - 1, 0))
+        j = jnp.clip(((1.0 - v) * ny - 0.001).astype(jnp.int32), 0,
+                     jnp.maximum(ny.astype(jnp.int32) - 1, 0))
+        texel = jnp.transpose(scene.textures.images[
+            rowT[TI_IMG].astype(jnp.int32), j, i],
+            (2, 0, 1)).astype(jnp.float32) / 255.0      # (3, steps, c)
+        att = (rowT[TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
+               else texel)
+        f = jnp.where(rowT[TI_FLAM][None] > 0.0, att, 1.0)
+        g = jnp.where(rowT[TI_FLIT][None] > 0.0, texel, 1.0)
+        # L = sum_i (em_i*g_i + other_i) * prod_{j<i} f_j — excl. cumprod
+        big_f = jnp.concatenate([jnp.ones((3, 1, n_c), jnp.float32),
+                                 jnp.cumprod(f[:, :-1], axis=1)], axis=1)
+        return jnp.sum(big_f * (em * g + other), axis=1)    # (3, c)
+
+    CH = 1 << 18
+    if n <= CH:
+        return body(planes)
+    k = -(-n // CH)
+    pad = k * CH - n
+    # pad lanes carry winner plane 0 (a valid table id) — body is total on
+    # any id, and the caller slices the pad back off
+    padded = (planes if not pad else
+              jnp.concatenate([planes, jnp.zeros((steps, 10, pad),
+                                                 jnp.float32)], axis=-1))
+    chunked = jnp.moveaxis(padded.reshape(steps, 10, k, CH), 2, 0)
+    out = jax.lax.map(body, chunked)                    # (k, 3, CH)
+    return jnp.moveaxis(out, 0, 1).reshape(3, k * CH)[:, :n]
 
 
 def _mega_tex_planes(scene, rays, key, cfg, tables, samples,
