@@ -102,6 +102,12 @@ MAX_STREAM_PRIMS = 1 << 20
 # ceiling) default to inter-phase octant compaction in integrate() when
 # cfg.compact_auto: measured 1.67x at 124k tris, a loss below ~VMEM scale.
 AUTO_COMPACT_TRIS = 1 << 16
+# Lane-chunk size of _deferred_texture_radiance's lax.map pass (a per-lane
+# row gather materializes (8,128)-tiled — ~19 GB unchunked at full-frame
+# scale); matches the render driver's default ray_chunk so the map is a
+# single step for render-pipeline callers.  Module-level so tests can
+# shrink it to exercise the pad + reassembly path on CPU.
+_TEX_CHUNK = 1 << 18
 
 # Sphere table lanes: geometry 0..4, material 5..13.
 S_CX, S_CY, S_CZ, S_R2, S_INVR = 0, 1, 2, 3, 4
@@ -2074,8 +2080,10 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
     the arithmetic at 3/128 lane utilization.  Only two relayouts remain:
     the info-row gather output (steps, n, TI_COLS) -> (TI_COLS, steps, n)
     and the texel gather (steps, n, 3) -> (3, steps, n), both unavoidable
-    (gathers produce row-minor output).  Bit-identical to the row-minor
-    form (same ops, same reduce order).
+    (gathers produce row-minor output).  Identical to the row-minor form up
+    to fp reassociation across the _TEX_CHUNK boundary (~1e-6 abs, measured):
+    lanes processed in different chunks than they would be unchunked see
+    reassociated reductions.
 
     CHUNKED over lanes: a per-lane row gather's output materializes
     (8, 128)-tiled — TI_COLS pads to 128 lanes, so at full-frame scale
@@ -2120,7 +2128,7 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
                                  jnp.cumprod(f[:, :-1], axis=1)], axis=1)
         return jnp.sum(big_f * (em * g + other), axis=1)    # (3, c)
 
-    CH = 1 << 18
+    CH = _TEX_CHUNK
     if n <= CH:
         return body(planes)
     k = -(-n // CH)

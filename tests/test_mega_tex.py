@@ -307,3 +307,23 @@ def test_fuzz_mega_tex_matches_wavefront_random_scenes():
             n_bad = int((dmax > 1e-3).sum())
             assert n_bad <= max(4, n_rays // 100), (
                 scene_i, str(quirks), n_bad, float(dmax.max()))
+
+
+def test_tex_chunked_reconstruction_matches_unchunked(monkeypatch):
+    """_deferred_texture_radiance's lax.map chunked path (n > _TEX_CHUNK):
+    shrink the module chunk size so a small render crosses the boundary and
+    exercises the pad + reassembly — results must match the unchunked form
+    up to fp reassociation across the chunk boundary (ADVICE r3)."""
+    scene, cam = _image_scene()
+    cfg = _cfg(width=48, height=24, samples=2)   # 2304 lanes
+    rays = _rays(cam, cfg, jax.random.key(2))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(6), n, cfg.max_depth)
+    ref = mk.trace_path_mega_tex(scene, rays, jax.random.key(6), cfg,
+                                 samples=stream)
+    # chunk size NOT a multiple of n: exercises the zero-pad tail too
+    monkeypatch.setattr(mk, "_TEX_CHUNK", 1000)
+    got = mk.trace_path_mega_tex(scene, rays, jax.random.key(6), cfg,
+                                 samples=stream)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
