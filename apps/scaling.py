@@ -9,7 +9,7 @@ which is exactly what VERDICT r01 asked to start measuring.  On a real
 multi-chip slice the same harness runs unchanged with --platform tpu.
 
 Usage:
-    python apps/scaling.py [--devices 8] [--out SCALING_r02.json]
+    python apps/scaling.py [--devices 8] [--out SCALING_r04.json]
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
-    ap.add_argument("--out", default="SCALING_r02.json")
+    ap.add_argument("--out", default="SCALING_r04.json")
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=128)
@@ -79,18 +79,27 @@ def main() -> int:
             "rerun with --platform tpu on a real slice for true numbers")
 
     # ---- strong scaling of the sharded forward render over dp ----
+    # Both engines: the default wavefront AND the production fused megakernel
+    # (interpret-mode pallas on CPU — absolute numbers are proxies, the
+    # dp-ratios are the signal; VERDICT r3 weak #6).
+    import dataclasses
     dps = [d for d in (1, 2, 4, 8) if d <= args.devices]
-    t_ref = None
-    for dp in dps:
-        mesh = make_mesh(dp, tp=1)
-        t = timeit(lambda: render_image_sharded_jit(
-            scene, cam, jax.random.key(0), cfg, mesh))
-        if t_ref is None:
-            t_ref = t
-        eff = t_ref / (dp * t)
-        report["render_strong_scaling"][f"dp{dp}"] = {
-            "sec_per_frame": round(t, 4), "efficiency": round(eff, 3)}
-        print(f"render dp={dp}: {t:.3f}s efficiency {eff:.2f}", flush=True)
+    for engine, rkey in (("wavefront", "render_strong_scaling"),
+                         ("mega", "render_strong_scaling_mega")):
+        ecfg = dataclasses.replace(cfg, engine=engine)
+        report[rkey] = {}
+        t_ref = None
+        for dp in dps:
+            mesh = make_mesh(dp, tp=1)
+            t = timeit(lambda: render_image_sharded_jit(
+                scene, cam, jax.random.key(0), ecfg, mesh))
+            if t_ref is None:
+                t_ref = t
+            eff = t_ref / (dp * t)
+            report[rkey][f"dp{dp}"] = {
+                "sec_per_frame": round(t, 4), "efficiency": round(eff, 3)}
+            print(f"render[{engine}] dp={dp}: {t:.3f}s efficiency {eff:.2f}",
+                  flush=True)
 
     # ---- fit step: post-hoc grad pmean vs per-bounce overlapped buckets ----
     mesh = make_mesh(args.devices, tp=2 if args.devices % 2 == 0 else 1)

@@ -77,29 +77,61 @@ class DecodedMaterials(NamedTuple):
     wh: Array        # i32[N,2] image (w, h)
 
 
-def decode_materials(mat: MaterialTable, tex: TextureTable,
-                     mat_id: Array) -> DecodedMaterials:
-    """One (M, 16)-row gather replacing the per-field material/texture
-    gathers (see DecodedMaterials)."""
+def decode_materials(mat: MaterialTable, tex: TextureTable, mat_id: Array,
+                     consolidate: bool | None = None) -> DecodedMaterials:
+    """Per-lane material/texture decode, backend-specialized (both forms are
+    value-identical; pinned by test_decode_materials_row_vs_field_forms).
+
+    consolidate=True (default on TPU): TWO row gathers replace the ~17
+    per-field gathers — an (M, 11) f32 gather for the DIFFERENTIABLE
+    columns and an (M, 5) int32 gather for the static ones.  TPU gathers
+    pay per OP, not per byte, at small-table scale (19x measured,
+    docs/experiments/gather_micro.py), and this was the round-3 5.9x
+    wavefront win.  The f32/int split matters for the backward pass: an
+    int gather has no VJP, so kind/tex-kind/image-id columns add nothing
+    to the backward program (the round-3 single (M, 16) f32 table made the
+    gather VJP scatter cotangents for all 16 columns).
+
+    consolidate=False (default on CPU): plain per-field gathers.  On
+    XLA:CPU the consolidated form measured ~25% SLOWER grad steps — the
+    fused cotangent-assembly loop for the wide row (one kLoop add_any
+    producing (N, 11)) beats the per-field form's independently-fused
+    small cotangents — the root cause of the SCALING_r03 fit-step
+    regression.  Gather cost models are opposite on the two backends, so
+    the decode form follows the backend (a trace-time, value-neutral
+    choice)."""
+    if consolidate is None:
+        consolidate = jax.default_backend() == "tpu"
+    if not consolidate:
+        tid = mat.tex_id[mat_id]
+        img = tex.image_id[tid]
+        return DecodedMaterials(
+            kind=mat.kind[mat_id].astype(jnp.float32), fuzz=mat.fuzz[mat_id],
+            ref_idx=mat.ref_idx[mat_id], albedo=mat.albedo[mat_id],
+            tex_kind=tex.kind[tid].astype(jnp.float32), c0=tex.color0[tid],
+            c1=tex.color1[tid], img=img, wh=tex.image_wh[img])
     tid = mat.tex_id
     img = tex.image_id[tid]
-    tbl = jnp.concatenate([
-        mat.kind.astype(jnp.float32)[:, None],
+    ftbl = jnp.concatenate([
         mat.fuzz[:, None],
         mat.ref_idx[:, None],
         mat.albedo,
-        tex.kind[tid].astype(jnp.float32)[:, None],
         tex.color0[tid],
         tex.color1[tid],
-        img.astype(jnp.float32)[:, None],
-        tex.image_wh[img].astype(jnp.float32),
-    ], axis=1)                                   # (M, 16)
-    row = tbl[mat_id]
+    ], axis=1)                                   # (M, 11) f32
+    itbl = jnp.concatenate([
+        mat.kind[:, None],
+        tex.kind[tid][:, None],
+        img[:, None],
+        tex.image_wh[img],
+    ], axis=1)                                   # (M, 5) int32
+    frow = ftbl[mat_id]
+    irow = itbl[mat_id]
     return DecodedMaterials(
-        kind=row[..., 0], fuzz=row[..., 1], ref_idx=row[..., 2],
-        albedo=row[..., 3:6], tex_kind=row[..., 6], c0=row[..., 7:10],
-        c1=row[..., 10:13], img=row[..., 13].astype(jnp.int32),
-        wh=row[..., 14:16].astype(jnp.int32))
+        kind=irow[..., 0].astype(jnp.float32), fuzz=frow[..., 0],
+        ref_idx=frow[..., 1], albedo=frow[..., 2:5],
+        tex_kind=irow[..., 1].astype(jnp.float32), c0=frow[..., 5:8],
+        c1=frow[..., 8:11], img=irow[..., 2], wh=irow[..., 3:5])
 
 
 def eval_texture_dec(dec: DecodedMaterials, tex: TextureTable, u: Array,

@@ -457,32 +457,41 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks)
 
 
-def _prim_rows(scene: Scene, tri_override=None) -> Array:
-    """Unified per-primitive row table for finalize_hits/replay_hits:
-    [spheres | triangles] x 13 f32 columns — sphere rows [center(3),
-    radius(1), pad(8), mat], triangle rows [v0(3), v1(3), v2(3), normal(3),
-    mat].  ONE row gather per bounce replaces the per-type field gathers
-    (separate small-table gathers measured 19x slower on v5e,
-    docs/experiments/gather_micro.py).  Differentiable: the concat's VJP is
-    a slice, the gather's a scatter-add — same gradients as the per-field
+def _prim_rows(scene: Scene, tri_override=None) -> tuple[Array, Array]:
+    """Unified per-primitive row tables for finalize_hits/replay_hits:
+    (f32 geometry rows, i32 material ids) over [spheres | triangles] —
+    sphere rows [center(3), radius(1), pad...], triangle rows [v0(3),
+    v1(3), v2(3), normal(3)].  ONE f32 row gather per bounce replaces the
+    per-type field gathers (separate small-table gathers measured 19x
+    slower on v5e, docs/experiments/gather_micro.py).
+
+    The material id rides a SEPARATE int32 table: an int gather has no
+    VJP, while packing mat into the f32 table (the round-3 form) made the
+    gather's backward scatter-add a cotangent column for it — part of the
+    SCALING_r03 CPU fit-step regression (XLA:CPU scatter cost scales with
+    row width).  The f32 width is also minimal per scene: 4 when only
+    spheres exist, 12 otherwise.  Differentiable: the concat's VJP is a
+    slice, the gather's a scatter-add — same gradients as the per-field
     form up to fp summation order."""
     n_s, n_t = scene.n_spheres, scene.n_triangles
-    blocks = []
+    width = 4 if not n_t else 12
+    blocks, mats = [], []
     if n_s:
         sp = scene.spheres
-        blocks.append(jnp.concatenate([
-            sp.center, sp.radius[:, None],
-            jnp.zeros((n_s, 8), jnp.float32),
-            sp.mat.astype(jnp.float32)[:, None]], axis=1))
+        cols = [sp.center, sp.radius[:, None]]
+        if width > 4:
+            cols.append(jnp.zeros((n_s, width - 4), jnp.float32))
+        blocks.append(jnp.concatenate(cols, axis=1))
+        mats.append(sp.mat)
     if n_t:
         tv0, tv1, tv2, tnorm = (tri_override if tri_override is not None else
                                 (scene.triangles.v0, scene.triangles.v1,
                                  scene.triangles.v2, scene.triangles.normal))
-        blocks.append(jnp.concatenate([
-            tv0, tv1, tv2, tnorm,
-            scene.triangles.mat.astype(jnp.float32)[:, None]], axis=1))
-    return jnp.concatenate(blocks) if blocks else jnp.zeros((1, 13),
-                                                            jnp.float32)
+        blocks.append(jnp.concatenate([tv0, tv1, tv2, tnorm], axis=1))
+        mats.append(scene.triangles.mat)
+    if not blocks:
+        return jnp.zeros((1, 12), jnp.float32), jnp.zeros((1,), jnp.int32)
+    return jnp.concatenate(blocks), jnp.concatenate(mats)
 
 
 def _xform_rows(scene: Scene) -> Array:
@@ -541,9 +550,10 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
     mat = jnp.zeros((n,), jnp.int32)
 
     if n_s or n_t:
-        row = _prim_rows(scene, tri_override)[
-            jnp.clip(idx, 0, max(n_s + n_t - 1, 0))]
-        row_mat = row[..., 12].astype(jnp.int32)
+        prow, pmat = _prim_rows(scene, tri_override)
+        cidx = jnp.clip(idx, 0, max(n_s + n_t - 1, 0))
+        row = prow[cidx]
+        row_mat = pmat[cidx]
     if n_s:
         center = row[..., 0:3]
         is_s = hit & (best_idx < n_s)
@@ -705,8 +715,9 @@ def replay_hits(scene: Scene, rays: Rays, winner: Array, t_min, t_max,
     best_t = jnp.full((n,), BIG)
 
     if n_s or n_t:
-        # one unified row gather for both prim types (see _prim_rows)
-        row = _prim_rows(scene, tri_override)[
+        # one unified row gather for both prim types (see _prim_rows);
+        # replay only needs geometry — the int mat table is unused here
+        row = _prim_rows(scene, tri_override)[0][
             jnp.clip(idx, 0, max(n_s + n_t - 1, 0))]
     if n_s:
         ts = _sphere_single(rays, row[..., 0:3], row[..., 3], t_min, t_max)

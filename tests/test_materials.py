@@ -190,3 +190,29 @@ def test_decoded_materials_match_per_field_eval():
     e1 = np.asarray(mats.emitted(mat, tex, mat_id, u, v, p))
     e2 = np.asarray(mats.emitted(mat, tex, mat_id, u, v, p, dec=dec))
     np.testing.assert_array_equal(e1, e2)
+
+
+def test_decode_materials_row_vs_field_forms():
+    """The backend-specialized decode forms (consolidate=True row gathers vs
+    consolidate=False per-field gathers) are value-IDENTICAL on every field
+    — the trace-time backend choice must be invisible (SCALING_r03 fix)."""
+    from cudaraytracer_tpu.models import materials as mats
+
+    tb = TextureBuilder()
+    t_const = tb.constant((0.2, 0.4, 0.6))
+    t_chk = tb.checker((0.9, 0.9, 0.9), (0.1, 0.2, 0.1))
+    t_img = tb.image((np.arange(60) * 9 % 256).astype(np.uint8
+                                                      ).reshape(4, 5, 3))
+    mb = mats.MaterialBuilder(tb)
+    ids = [mb.lambertian(tex_id=t_const), mb.lambertian(tex_id=t_chk),
+           mb.lambertian(tex_id=t_img), mb.metal((0.8, 0.7, 0.3), 0.2),
+           mb.dielectric(1.5), mb.diffuse_light(tex_id=t_img)]
+    mat = mb.build()
+    tex = tb.build()
+    rng = np.random.default_rng(11)
+    mat_id = jnp.asarray(rng.integers(0, len(ids), 97), jnp.int32)
+    row = mats.decode_materials(mat, tex, mat_id, consolidate=True)
+    fld = mats.decode_materials(mat, tex, mat_id, consolidate=False)
+    for name in row._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(row, name)),
+                                      np.asarray(getattr(fld, name)), name)
