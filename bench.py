@@ -1,31 +1,41 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric (BASELINE.md): camera rays/sec/chip on a 1080p path-traced
-render at depth 8 on the "One Weekend" random-spheres scene (~500 spheres,
-BASELINE config[1] geometry at config[4] resolution), rendered with the
-FUSED MEGAKERNEL engine (ops/megakernel.py) by default.  rays = width *
-height * samples (camera samples; each traces up to max_depth+1 bounces).
+Headline metric (BASELINE.md): camera rays/sec/chip on a 1080p 100spp
+path-traced render at depth 8 on the "One Weekend" random-spheres scene
+(~500 spheres, BASELINE config[1] geometry at config[4] resolution and the
+BASELINE.json-stated 100spp), rendered with the FUSED MEGAKERNEL engine
+(ops/megakernel.py) by default.  rays = width * height * samples (camera
+samples; each traces up to max_depth+1 bounces).
 
 vs_baseline: ratio against the value recorded in BASELINE_SELF.json — the
 reference publishes no numbers (BASELINE.md), so the baseline is the ROUND-1
 self-measured figure and is FROZEN: it only changes when BENCH_UPDATE_BASELINE=1
 is set explicitly (round-1's silent first-write is gone).
 
-Secondary metrics ride in the same JSON line under "secondary":
-  * mesh_scene_sec — OBJ mesh frame time (BASELINE config[2] analog).
-  * wavefront_rays_per_sec — the differentiable engine on the same headline
-    workload (BENCH_WAVEFRONT=1; slow TPU compile, opt-in).
+The default run measures the WHOLE system (VERDICT r3: every BASELINE.md
+headline metric appears in the driver-visible line).  Secondary metrics
+ride in the same JSON line under "secondary":
+  * mesh_scene[_fixed]_sec — OBJ mesh frame time (BASELINE config[2]).
+  * big_field_sec — 124k-tri HBM-streamed field, path-8 fixed quirks
+    (streaming + auto octant compaction; the coherence-frontier metric).
+  * tex_scene_mega_sec — image-textured mesh through fused deferred
+    texturing (the reference's active-integrator-shaped workload).
+  * fit_step_wavefront_sec / fit_step_mega_diff_sec — differentiable
+    training-step time (BASELINE config[3] analog).
   * bwd_fwd_ratio / bwd_fwd_ratio_geom — backward/forward time ratio for
-    albedo and GEOMETRY (sphere-center) gradients (BENCH_BWD=1, opt-in:
-    grad programs compile slowly through the TPU tunnel).
+    albedo and GEOMETRY (sphere-center) gradients (a BASELINE.md headline).
+  * secondary["vs"] — per-metric ratio against the frozen records in
+    BASELINE_SELF.json["secondary_baseline"] (ratios > 1 mean faster for
+    *_rays_per_sec / *_ratio metrics and SLOWER for *_sec metrics; they
+    are plain value ratios, value / recorded).
 
-Env knobs: BENCH_ENGINE (mega|wavefront), BENCH_SPP, BENCH_WIDTH/HEIGHT,
-BENCH_CHUNK, BENCH_SCENE (random_spheres|three_spheres|mesh), BENCH_ITERS,
-BENCH_MESH=0 to skip the mesh secondary, BENCH_BIG=1 (124k-tri streamed
-field + auto octant compaction), BENCH_BWD=1, BENCH_FIT=1 (training-step
-time: wavefront vs mega_diff replay backward), BENCH_TEX=1 (image-texture
-scene: fused deferred texturing vs the wavefront fallback it replaced),
-BENCH_WAVEFRONT=1, BENCH_UPDATE_BASELINE=1.
+Env knobs (legs default ON; set =0 to skip during iteration):
+BENCH_MESH, BENCH_BIG, BENCH_TEX, BENCH_FIT, BENCH_BWD.  Opt-in extras:
+BENCH_WAVEFRONT=1 (wavefront engine on the headline workload — slow TPU
+compile), BENCH_TEX_WAVEFRONT=1 (the wavefront leg of the tex comparison),
+BENCH_UPDATE_BASELINE=1.  Shape/engine overrides: BENCH_ENGINE
+(mega|wavefront), BENCH_SPP, BENCH_WIDTH/HEIGHT, BENCH_CHUNK, BENCH_SCENE
+(random_spheres|three_spheres|mesh), BENCH_ITERS.
 """
 
 from __future__ import annotations
@@ -268,7 +278,10 @@ def main() -> int:
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    spp = int(os.environ.get("BENCH_SPP", 16))
+    # 100spp: the BASELINE.json-stated headline config (VERDICT r3 weak #7
+    # flagged the 16spp drift).  rays/s is ~spp-invariant; the chunked
+    # render driver keeps memory flat (rays generate per 2^17-lane chunk).
+    spp = int(os.environ.get("BENCH_SPP", 100))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
     scene_name = os.environ.get("BENCH_SCENE", "random_spheres")
     engine = os.environ.get("BENCH_ENGINE", "mega")
@@ -318,9 +331,9 @@ def main() -> int:
         secondary["mesh_scene_fixed_rays_per_sec"] = round(
             1280 * 720 * 8 / fdt, 1)
 
-    if os.environ.get("BENCH_BIG", "0") == "1":
+    if os.environ.get("BENCH_BIG", "1") == "1":
         # 25-bunny 124k-tri streamed field, path-8 fixed quirks: exercises
-        # HBM streaming + the auto octant compaction (opt-in: ~2 min).
+        # HBM streaming + the auto octant compaction (~2 min).
         import dataclasses
         bscene, bcam = _big_field_scene()
         bcfg = dataclasses.replace(cfg, width=1280, height=720, samples=8,
@@ -330,11 +343,10 @@ def main() -> int:
         secondary["big_field_sec"] = round(bdt, 4)
         secondary["big_field_tris"] = int(bscene.n_triangles)
 
-    if os.environ.get("BENCH_TEX", "0") == "1":
+    if os.environ.get("BENCH_TEX", "1") == "1":
         # image-textured bunny (1280x720x8 path-8, fixed quirks): fused
-        # deferred texturing (engine='mega' -> trace_path_mega_tex) vs the
-        # wavefront engine it used to fall back to (opt-in: the wavefront
-        # leg compiles slowly).
+        # deferred texturing (engine='mega' -> trace_path_mega_tex); the
+        # wavefront comparison leg stays opt-in (slow compile).
         import dataclasses
         tscene, tcam = _tex_scene(1280 / 720)
         tcfg = dataclasses.replace(cfg, width=1280, height=720, samples=8,
@@ -344,10 +356,11 @@ def main() -> int:
         secondary["tex_scene_mega_sec"] = round(tdt, 4)
         secondary["tex_scene_mega_rays_per_sec"] = round(
             1280 * 720 * 8 / tdt, 1)
-        wtcfg = dataclasses.replace(tcfg, engine="wavefront")
-        wtdt = _timed_render(tscene, tcam, wtcfg, pallas_intersector(wtcfg),
-                             n_iters)
-        secondary["tex_scene_wavefront_sec"] = round(wtdt, 4)
+        if os.environ.get("BENCH_TEX_WAVEFRONT", "0") == "1":
+            wtcfg = dataclasses.replace(tcfg, engine="wavefront")
+            wtdt = _timed_render(tscene, tcam, wtcfg,
+                                 pallas_intersector(wtcfg), n_iters)
+            secondary["tex_scene_wavefront_sec"] = round(wtdt, 4)
 
     if os.environ.get("BENCH_WAVEFRONT", "0") == "1":
         import dataclasses
@@ -356,12 +369,12 @@ def main() -> int:
                             n_iters)
         secondary["wavefront_rays_per_sec"] = round(rays / wdt, 1)
 
-    if os.environ.get("BENCH_FIT", "0") == "1":  # opt-in: grad compiles
+    if os.environ.get("BENCH_FIT", "1") == "1":
         wdt_f, mdt_f = _fit_step_times()
         secondary["fit_step_wavefront_sec"] = round(wdt_f, 4)
         secondary["fit_step_mega_diff_sec"] = round(mdt_f, 4)
 
-    if os.environ.get("BENCH_BWD", "0") == "1":  # opt-in: slow grad compiles
+    if os.environ.get("BENCH_BWD", "1") == "1":
         from cudaraytracer_tpu.models import presets
         ts, tcam = presets.three_spheres(aspect=1.0)
         alb, geo = _bwd_fwd_ratios(ts, tcam, cfg)
@@ -380,6 +393,16 @@ def main() -> int:
             record = {}
     prior = record.get("camera_rays_per_sec")
     vs = value / float(prior) if prior else 1.0
+    # per-metric comparisons against the frozen secondary_baseline block
+    # (plain value ratios; see module docstring for direction semantics)
+    sec_base = record.get("secondary_baseline", {})
+    vs_sec = {}
+    for k, v in secondary.items():
+        b = sec_base.get(k)
+        if isinstance(b, (int, float)) and isinstance(v, (int, float)) and b:
+            vs_sec[k] = round(v / b, 4)
+    if vs_sec:
+        secondary["vs"] = vs_sec
     if os.environ.get("BENCH_UPDATE_BASELINE", "0") == "1":
         record.update({
             "camera_rays_per_sec": value,

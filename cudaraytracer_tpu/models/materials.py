@@ -82,22 +82,21 @@ def decode_materials(mat: MaterialTable, tex: TextureTable, mat_id: Array,
     """Per-lane material/texture decode, backend-specialized (both forms are
     value-identical; pinned by test_decode_materials_row_vs_field_forms).
 
-    consolidate=True (default on TPU): TWO row gathers replace the ~17
-    per-field gathers — an (M, 11) f32 gather for the DIFFERENTIABLE
-    columns and an (M, 5) int32 gather for the static ones.  TPU gathers
-    pay per OP, not per byte, at small-table scale (19x measured,
-    docs/experiments/gather_micro.py), and this was the round-3 5.9x
-    wavefront win.  The f32/int split matters for the backward pass: an
-    int gather has no VJP, so kind/tex-kind/image-id columns add nothing
-    to the backward program (the round-3 single (M, 16) f32 table made the
-    gather VJP scatter cotangents for all 16 columns).
+    consolidate=True (default on TPU): ONE (M, 16) f32 row gather replaces
+    the ~17 per-field gathers.  TPU gathers pay per OP (~3.5 ms/M-index),
+    not per byte, at small-table scale (19x measured, docs/experiments/
+    gather_micro.py) — the round-3 5.9x wavefront win.  A round-4 variant
+    that split the static columns into a second int32 gather (narrower f32
+    row, no VJP for int columns) measured 1.8x SLOWER on the TPU wavefront
+    headline (9.0M -> 5.0M rays/s): the extra gather op costs more than
+    the narrower scatter saves.  One op wins on TPU.
 
     consolidate=False (default on CPU): plain per-field gathers.  On
-    XLA:CPU the consolidated form measured ~25% SLOWER grad steps — the
-    fused cotangent-assembly loop for the wide row (one kLoop add_any
-    producing (N, 11)) beats the per-field form's independently-fused
-    small cotangents — the root cause of the SCALING_r03 fit-step
-    regression.  Gather cost models are opposite on the two backends, so
+    XLA:CPU the consolidated form measured ~36% SLOWER grad steps — the
+    backward scatters cotangent columns even for the int-derived fields
+    and assembles the wide cotangent row in one kLoop add_any fusion
+    (profiled: that single fusion carried the whole SCALING_r03 fit-step
+    regression).  Gather cost models are opposite on the two backends, so
     the decode form follows the backend (a trace-time, value-neutral
     choice)."""
     if consolidate is None:
@@ -112,26 +111,23 @@ def decode_materials(mat: MaterialTable, tex: TextureTable, mat_id: Array,
             c1=tex.color1[tid], img=img, wh=tex.image_wh[img])
     tid = mat.tex_id
     img = tex.image_id[tid]
-    ftbl = jnp.concatenate([
+    tbl = jnp.concatenate([
+        mat.kind.astype(jnp.float32)[:, None],
         mat.fuzz[:, None],
         mat.ref_idx[:, None],
         mat.albedo,
+        tex.kind[tid].astype(jnp.float32)[:, None],
         tex.color0[tid],
         tex.color1[tid],
-    ], axis=1)                                   # (M, 11) f32
-    itbl = jnp.concatenate([
-        mat.kind[:, None],
-        tex.kind[tid][:, None],
-        img[:, None],
-        tex.image_wh[img],
-    ], axis=1)                                   # (M, 5) int32
-    frow = ftbl[mat_id]
-    irow = itbl[mat_id]
+        img.astype(jnp.float32)[:, None],
+        tex.image_wh[img].astype(jnp.float32),
+    ], axis=1)                                   # (M, 16)
+    row = tbl[mat_id]
     return DecodedMaterials(
-        kind=irow[..., 0].astype(jnp.float32), fuzz=frow[..., 0],
-        ref_idx=frow[..., 1], albedo=frow[..., 2:5],
-        tex_kind=irow[..., 1].astype(jnp.float32), c0=frow[..., 5:8],
-        c1=frow[..., 8:11], img=irow[..., 2], wh=irow[..., 3:5])
+        kind=row[..., 0], fuzz=row[..., 1], ref_idx=row[..., 2],
+        albedo=row[..., 3:6], tex_kind=row[..., 6], c0=row[..., 7:10],
+        c1=row[..., 10:13], img=row[..., 13].astype(jnp.int32),
+        wh=row[..., 14:16].astype(jnp.int32))
 
 
 def eval_texture_dec(dec: DecodedMaterials, tex: TextureTable, u: Array,

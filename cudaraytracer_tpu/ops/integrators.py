@@ -300,6 +300,12 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         # wavefront integrators rather than the forward-only fused kernel.
         use_mega = _mk.megakernel_supported(scene) and not (
             cfg.engine == "mega_diff" and cfg.integrator != "path")
+        # the 'normal' integrator never reads textures, so image-texture
+        # scenes run the plain fused kernel (mega_tex_supported == the
+        # megakernel gate minus the image restriction)
+        if (not use_mega and cfg.integrator == "normal"
+                and cfg.engine == "mega" and _mk.mega_tex_supported(scene)):
+            use_mega = True
         if use_mega:
             tables = aux if isinstance(aux, _mk.MegaTables) else None
             if cfg.engine == "mega_diff":
@@ -307,10 +313,14 @@ def integrate(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                                                 samples=samples,
                                                 tables=tables)
             return _mk.select_mega(scene, rays, key, cfg, tables, samples)
-        if (cfg.integrator == "path" and not _mk.megakernel_supported(scene)
-                and _mk.mega_tex_supported(scene)):
+        if (cfg.integrator in ("path", "lambert")
+                and not _mk.megakernel_supported(scene)
+                and _mk.mega_tex_supported(scene)
+                and not (cfg.engine == "mega_diff"
+                         and cfg.integrator != "path")):
             # image-texture scenes: fused want_tex kernel + deferred
-            # texture pass; mega_diff pairs it with the replay backward
+            # texture pass (path: per-bounce planes; lambert: two
+            # pseudo-steps); mega_diff pairs path with the replay backward
             tables = aux if isinstance(aux, _mk.MegaTables) else None
             fn = (_mk.trace_path_mega_tex_diff if cfg.engine == "mega_diff"
                   else _mk.trace_path_mega_tex)

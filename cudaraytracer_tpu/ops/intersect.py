@@ -457,24 +457,30 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks)
 
 
-def _prim_rows(scene: Scene, tri_override=None) -> tuple[Array, Array]:
+def _prim_rows(scene: Scene, tri_override=None,
+               consolidate: bool | None = None) -> tuple[Array, Array]:
     """Unified per-primitive row tables for finalize_hits/replay_hits:
-    (f32 geometry rows, i32 material ids) over [spheres | triangles] —
-    sphere rows [center(3), radius(1), pad...], triangle rows [v0(3),
+    (f32 geometry rows, i32-or-f32 material ids) over [spheres|triangles]
+    — sphere rows [center(3), radius(1), pad...], triangle rows [v0(3),
     v1(3), v2(3), normal(3)].  ONE f32 row gather per bounce replaces the
     per-type field gathers (separate small-table gathers measured 19x
     slower on v5e, docs/experiments/gather_micro.py).
 
-    The material id rides a SEPARATE int32 table: an int gather has no
-    VJP, while packing mat into the f32 table (the round-3 form) made the
-    gather's backward scatter-add a cotangent column for it — part of the
-    SCALING_r03 CPU fit-step regression (XLA:CPU scatter cost scales with
-    row width).  The f32 width is also minimal per scene: 4 when only
-    spheres exist, 12 otherwise.  Differentiable: the concat's VJP is a
-    slice, the gather's a scatter-add — same gradients as the per-field
-    form up to fp summation order."""
+    Backend-specialized like decode_materials (same measured trade, same
+    SCALING_r03 root cause): on TPU (consolidate=True) the mat id is
+    PACKED as a 13th f32 column and the returned mat array is a cast of
+    that column — one gather op total (adding a second int gather measured
+    a net loss on the TPU wavefront headline).  On CPU the mat id rides a
+    separate int32 table (no VJP — the f32-packed form scatter-adds a
+    cotangent column for it) and the f32 width is minimal per scene (4
+    when sphere-only).  Values identical either way; differentiable: the
+    concat's VJP is a slice, the gather's a scatter-add — same gradients
+    as the per-field form up to fp summation order."""
+    if consolidate is None:
+        consolidate = jax.default_backend() == "tpu"
     n_s, n_t = scene.n_spheres, scene.n_triangles
-    width = 4 if not n_t else 12
+    tri_w = 12 if n_t else 4
+    width = max(4, tri_w)
     blocks, mats = [], []
     if n_s:
         sp = scene.spheres
@@ -490,8 +496,13 @@ def _prim_rows(scene: Scene, tri_override=None) -> tuple[Array, Array]:
         blocks.append(jnp.concatenate([tv0, tv1, tv2, tnorm], axis=1))
         mats.append(scene.triangles.mat)
     if not blocks:
-        return jnp.zeros((1, 12), jnp.float32), jnp.zeros((1,), jnp.int32)
-    return jnp.concatenate(blocks), jnp.concatenate(mats)
+        return jnp.zeros((1, width), jnp.float32), jnp.zeros((1,), jnp.int32)
+    geom = jnp.concatenate(blocks)
+    mat = jnp.concatenate(mats)
+    if consolidate:
+        return jnp.concatenate(
+            [geom, mat.astype(jnp.float32)[:, None]], axis=1), None
+    return geom, mat
 
 
 def _xform_rows(scene: Scene) -> Array:
@@ -553,7 +564,10 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         prow, pmat = _prim_rows(scene, tri_override)
         cidx = jnp.clip(idx, 0, max(n_s + n_t - 1, 0))
         row = prow[cidx]
-        row_mat = pmat[cidx]
+        # consolidated (TPU) form: mat rides the f32 row's last column;
+        # split (CPU) form: separate int32 gather (no VJP)
+        row_mat = (row[..., -1].astype(jnp.int32) if pmat is None
+                   else pmat[cidx])
     if n_s:
         center = row[..., 0:3]
         is_s = hit & (best_idx < n_s)

@@ -102,6 +102,11 @@ MAX_STREAM_PRIMS = 1 << 20
 # ceiling) default to inter-phase octant compaction in integrate() when
 # cfg.compact_auto: measured 1.67x at 124k tris, a loss below ~VMEM scale.
 AUTO_COMPACT_TRIS = 1 << 16
+# Octant-compaction key layout (trace_path_mega_phased): Morton bits above
+# this shift form the coarse origin cell (18 -> 4 bits/axis, a 16^3 grid),
+# then 3 direction-octant bits, then fine Morton.  Module-level so
+# experiments can sweep the cell granularity.
+_OCT_COARSE_SHIFT = 18
 # Lane-chunk size of _deferred_texture_radiance's lax.map pass (a per-lane
 # row gather materializes (8,128)-tiled — ~19 GB unchunked at full-frame
 # scale); matches the render driver's default ray_chunk so the map is a
@@ -1508,13 +1513,13 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     else:
         s_t = jnp.full(shape, BIG, jnp.float32)
         s_at = tuple(jnp.zeros(shape, jnp.float32)
-                     for _ in range(4 + N_MAT_COMPS))
+                     for _ in range(4 + N_MAT_COMPS + want_winners))
     if has_tri:
         t_t, t_at = tri_sweep(ox, oy, oz, dx, dy, dz)
     else:
         t_t = jnp.full(shape, BIG, jnp.float32)
         t_at = tuple(jnp.zeros(shape, jnp.float32)
-                     for _ in range(3 + N_MAT_COMPS))
+                     for _ in range(3 + N_MAT_COMPS + want_winners))
     tri_w = t_t < s_t
     t = jnp.where(tri_w, t_t, s_t)
     if n_rects:
@@ -1539,11 +1544,18 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         ny = jnp.where(rect_w, r_at[4], ny)
         nz = jnp.where(rect_w, r_at[5], nz)
         m = [jnp.where(rect_w, r_at[6 + k], m[k]) for k in range(N_MAT_COMPS)]
+    wid = None
+    if want_winners:      # winner TABLE id (see bounce loop; lambert tex)
+        wid = jnp.where(tri_w, t_at[3 + N_MAT_COMPS] + float(tri_off),
+                        s_at[4 + N_MAT_COMPS])
+        if n_rects:
+            wid = jnp.where(rect_w, r_at[6 + N_MAT_COMPS] + float(rect_off),
+                            wid)
     if n_tsph or n_ttri:
         # compare against the UNCLAMPED t (ts_ is 0 on misses, which would
         # shadow any TRS hit there); p/n/m merge like the rect overrides
-        (t, px, py, pz, nx, ny, nz, m, _) = trs_merge(
-            t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz)
+        (t, px, py, pz, nx, ny, nz, m, wid) = trs_merge(
+            t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz, wid)
     hit = t < BIG_CUT
     inv_dlen = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
     sky_t = 0.5 * (dy * inv_dlen + 1.0)
@@ -1567,6 +1579,40 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     out_ref[0] = jnp.where(hit, litr, skyr)
     out_ref[1] = jnp.where(hit, litg, skyg)
     out_ref[2] = jnp.where(hit, litb, skyb)
+    if want_tex:
+        # Deferred texturing for LambertShade as TWO pseudo-steps of the
+        # path reconstruction L = sum_i (em_i g_i + other_i) prod_{j<i} f_j
+        # (trace_path_mega_tex docstring):
+        #   step 0: em = emitted (placeholder-1 for image lights, g
+        #           multiplies the real texel back), other = miss-sky,
+        #           f_0 = the winner's attenuation texel;
+        #   step 1: em = 0, other = att * t * sky * 0.2 (placeholder-1
+        #           att) — picking up exactly one factor f_0.
+        # Unlike the path integrator, LambertShade's att term applies to
+        # LIGHT materials too (scatter's lam_att, material.h:63), so the
+        # reconstruction's f must gate on lambertian OR light rows —
+        # integrators route with att_includes_light=True.
+        miss = ~hit
+        out_ref[3] = jnp.where(hit, wid, -1.0)
+        out_ref[4] = jnp.where(hit, emr, 0.0)
+        out_ref[5] = jnp.where(hit, emg, 0.0)
+        out_ref[6] = jnp.where(hit, emb, 0.0)
+        out_ref[7] = jnp.where(miss, skyr, 0.0)
+        out_ref[8] = jnp.where(miss, skyg, 0.0)
+        out_ref[9] = jnp.where(miss, skyb, 0.0)
+        out_ref[10] = jnp.where(hit, px, 0.0)
+        out_ref[11] = jnp.where(hit, py, 0.0)
+        out_ref[12] = jnp.where(hit, pz, 0.0)
+        out_ref[13] = jnp.full(shape, -1.0, jnp.float32)
+        out_ref[14] = jnp.zeros(shape, jnp.float32)
+        out_ref[15] = jnp.zeros(shape, jnp.float32)
+        out_ref[16] = jnp.zeros(shape, jnp.float32)
+        out_ref[17] = jnp.where(hit, litr - emr, 0.0)
+        out_ref[18] = jnp.where(hit, litg - emg, 0.0)
+        out_ref[19] = jnp.where(hit, litb - emb, 0.0)
+        out_ref[20] = jnp.zeros(shape, jnp.float32)
+        out_ref[21] = jnp.zeros(shape, jnp.float32)
+        out_ref[22] = jnp.zeros(shape, jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -1774,8 +1820,9 @@ def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
             oct_ = (((d2[0] < 0).astype(jnp.int32) << 2)
                     | ((d2[1] < 0).astype(jnp.int32) << 1)
                     | (d2[2] < 0).astype(jnp.int32))
-            skey = (((code >> 18) << 18) | (oct_ << 15)
-                    | ((code >> 3) & 0x7FFF))
+            cs = _OCT_COARSE_SHIFT
+            skey = (((code >> cs) << cs) | (oct_ << (cs - 3))
+                    | ((code >> 3) & ((1 << (cs - 3)) - 1)))
             order = jnp.argsort(
                 jnp.where(alive, skey, jnp.int32(2 ** 31 - 2)))
         else:
@@ -2054,7 +2101,8 @@ def _tex_uv(rowT: Array, p: Array):
 
 
 def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
-                               steps: int, quirks) -> Array:
+                               steps: int, quirks,
+                               att_includes_light: bool = False) -> Array:
     """Reconstruct the radiance from the kernel's want_tex planes, applying
     the image-texture factors the kernel replaced with placeholder 1:
 
@@ -2121,7 +2169,14 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
             (2, 0, 1)).astype(jnp.float32) / 255.0      # (3, steps, c)
         att = (rowT[TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
                else texel)
-        f = jnp.where(rowT[TI_FLAM][None] > 0.0, att, 1.0)
+        # f: the attenuation factor.  The path integrator's throughput only
+        # multiplies image-LAMBERTIAN albedos (lights never scatter);
+        # LambertShade's att term (scatter's lam_att, material.h:63) applies
+        # to image-textured LIGHTS too — att_includes_light adds them.
+        f_flag = rowT[TI_FLAM]
+        if att_includes_light:
+            f_flag = f_flag + rowT[TI_FLIT]
+        f = jnp.where(f_flag[None] > 0.0, att, 1.0)
         g = jnp.where(rowT[TI_FLIT][None] > 0.0, texel, 1.0)
         # L = sum_i (em_i*g_i + other_i) * prod_{j<i} f_j — excl. cumprod
         big_f = jnp.concatenate([jnp.ones((3, 1, n_c), jnp.float32),
@@ -2158,7 +2213,9 @@ def _mega_tex_planes(scene, rays, key, cfg, tables, samples,
     o = jnp.stack([_pad_rays(rays.origin[:, k], rows) for k in range(3)])
     d = jnp.stack([_pad_rays(rays.direction[:, k], rows) for k in range(3)])
     injected = samples is not None
-    if not injected and _interpret():
+    if cfg.integrator == "lambert":     # lambert draws no samples at all
+        injected, samples = False, None
+    elif not injected and _interpret():
         samples = stream_from_key(key, n, cfg.max_depth)
         injected = True
     planes = (_stream_planes(samples.ball, samples.prob, rows)
@@ -2202,13 +2259,19 @@ def trace_path_mega_tex(scene: Scene, rays: Rays, key: jax.Array,
     tests use.
 
     Runs the monolithic kernel only (the compaction drivers do not record
-    planes); mega_tex_supported() gates scene scope."""
+    planes); mega_tex_supported() gates scene scope.  Serves integrator
+    'path' (one plane-set per bounce) AND 'lambert' (render.h:70-87 as two
+    reconstruction pseudo-steps — see the kernel's lambert want_tex
+    epilogue; the att factor then also applies to image-textured lights,
+    scatter's lam_att, material.h:63)."""
     if tables is None:
         tables = build_mega_tables(scene)
+    lam = cfg.integrator == "lambert"
     flat = _mega_tex_planes(scene, rays, key, cfg, tables, samples,
                             padded=True)
     out = _deferred_texture_radiance(scene, tables, flat,
-                                     cfg.max_depth + 1, cfg.quirks)
+                                     2 if lam else cfg.max_depth + 1,
+                                     cfg.quirks, att_includes_light=lam)
     return out[:, :rays.origin.shape[0]].T
 
 
@@ -2303,7 +2366,10 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     # machinery (unrolled steps, winner-attr carry in every sweep)
     mxu = bool(cfg.mega_mxu) and stream_tri and not want_winners
     if want_winners:
-        assert cfg.integrator == "path" and not dump_state and state is None
+        # want_tex serves path AND lambert (2 pseudo-step plane dump);
+        # bare want_winners (replay recording) is path-only
+        ok_integ = ("path", "lambert") if want_tex else ("path",)
+        assert cfg.integrator in ok_integ and not dump_state and state is None
     if mxu and tables.tri_coef.shape[0] != N_Q * tables.tri.shape[0]:
         raise ValueError(
             "cfg.mega_mxu requires coefficient tables: rebuild with "
@@ -2390,6 +2456,8 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         scratch = []
 
     n_steps_eff = n_steps if n_steps else (cfg.max_depth + 1 - step_lo)
+    if cfg.integrator == "lambert":
+        n_steps_eff = 2        # the lambert want_tex pseudo-steps
     per_step = 10 if want_tex else 1
     n_out = 13 if dump_state else (
         3 + per_step * n_steps_eff if want_winners else 3)

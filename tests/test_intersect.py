@@ -412,3 +412,29 @@ def test_fuzz_cross_engine_consistency():
             np.testing.assert_allclose(np.asarray(got.t)[hit],
                                        np.asarray(ref.t)[hit],
                                        rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_prim_rows_consolidated_vs_split_forms():
+    """_prim_rows' backend-specialized forms (TPU: mat packed as a 13th f32
+    column, one gather; CPU: separate int32 mat table) must be
+    value-identical, and finalize_hits must produce identical hit records
+    through either (SCALING_r03 fix; see models/materials.decode_materials
+    for the same pattern)."""
+    import numpy as np
+    from cudaraytracer_tpu.models.scene import SceneBuilder
+    from cudaraytracer_tpu.ops import intersect as isect
+
+    b = SceneBuilder()
+    m = b.materials
+    b.add_sphere((0, -100.5, -1), 100.0, m.lambertian(color=(0.5, 0.5, 0.5)))
+    b.add_sphere((0, 0, -1), 0.5, m.metal((0.8, 0.6, 0.2), 0.1))
+    b.add_triangle((-1, 0, -2), (1, 0, -2), (0, 1, -2),
+                   m.lambertian(color=(0.8, 0.2, 0.2)))
+    scene = b.build()
+
+    cons, mat_c = isect._prim_rows(scene, consolidate=True)
+    split, mat_s = isect._prim_rows(scene, consolidate=False)
+    assert mat_c is None
+    np.testing.assert_array_equal(np.asarray(cons[:, :-1]), np.asarray(split))
+    np.testing.assert_array_equal(np.asarray(cons[:, -1]).astype(np.int32),
+                                  np.asarray(mat_s))

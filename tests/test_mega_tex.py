@@ -327,3 +327,40 @@ def test_tex_chunked_reconstruction_matches_unchunked(monkeypatch):
                                  samples=stream)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_mega_tex_lambert_matches_wavefront_both_quirks():
+    """Image-texture scenes under integrator='lambert' (the reference's
+    ACTIVE integrator, render.h:119-120) render fused via the two
+    pseudo-step deferred reconstruction — must match the wavefront
+    lambert_shade.  Covers image-textured lambertians AND lights (whose
+    att term, scatter's lam_att, also picks up the texel factor)."""
+    import dataclasses
+    scene, cam = _image_scene()
+    for quirks in (Quirks.reference(), Quirks.fixed()):
+        cfg = _cfg(quirks=quirks, integrator="lambert")
+        rays = _rays(cam, cfg, jax.random.key(3))
+        ref = integ.lambert_shade(scene, rays, jax.random.key(9), cfg)
+        got = mk.trace_path_mega_tex(scene, rays, jax.random.key(9), cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+        # engine routing: integrate() must pick the fused path
+        mcfg = dataclasses.replace(cfg, engine="mega")
+        via_router = integ.integrate(scene, rays, jax.random.key(9), mcfg)
+        np.testing.assert_allclose(np.asarray(via_router), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_mega_normal_image_scene_matches_wavefront():
+    """integrator='normal' never reads textures, so image-texture scenes
+    run the PLAIN fused kernel (no deferred pass) — must match the
+    wavefront shade_normal, and integrate() must route there."""
+    import dataclasses
+    scene, cam = _image_scene()
+    cfg = _cfg(integrator="normal")
+    rays = _rays(cam, cfg, jax.random.key(5))
+    ref = integ.shade_normal(scene, rays, jax.random.key(2), cfg)
+    mcfg = dataclasses.replace(cfg, engine="mega")
+    got = integ.integrate(scene, rays, jax.random.key(2), mcfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
