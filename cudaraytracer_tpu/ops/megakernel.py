@@ -163,6 +163,7 @@ class MegaTables(NamedTuple):
     sph: Array       # f32[S_pad, 128]
     sph_box: Array   # f32[S_chunks_pad, 128] lanes 0..5 = lo.xyz, hi.xyz
     sph_super: Array  # f32[S_supers_pad, 128] per-SUPER_T middle-level boxes
+    sph_seg: Array   # f32[S_segs_pad, 128] per-SEG_T segment boxes (streaming)
     tri: Array       # f32[T_pad, 128]
     tri_box: Array   # f32[T_chunks_pad, 128]
     tri_super: Array  # f32[T_supers_pad, 128] per-SUPER_T middle-level boxes
@@ -194,7 +195,7 @@ def megakernel_supported(scene: Scene) -> bool:
         return False   # TRS prims evaluate unrolled per bounce, like rects
     if scene.n_rects > 64:   # rects evaluate unrolled per bounce
         return False
-    if scene.n_spheres > MAX_VMEM_PRIMS:
+    if scene.n_spheres > MAX_STREAM_PRIMS:   # HBM streaming above 8k
         return False
     if scene.n_triangles > MAX_STREAM_PRIMS:   # HBM streaming above 8k
         return False
@@ -214,7 +215,7 @@ def mega_tex_supported(scene: Scene) -> bool:
         return False
     if scene.n_rects > 64:
         return False
-    if scene.n_spheres > MAX_VMEM_PRIMS:
+    if scene.n_spheres > MAX_STREAM_PRIMS:
         return False
     if scene.n_triangles > MAX_STREAM_PRIMS:
         return False
@@ -313,9 +314,15 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
 
     # spheres get the same two-level cull as VMEM-resident triangles once
     # big enough (SPH_SUPER_MIN); pad to SUPER_T then (repeat-last rows keep
-    # chunk boxes tight and lose first-wins only on exact-t duplicates)
-    sph_two_level = n_s > SPH_SUPER_MIN
-    sph_mult = SUPER_T if sph_two_level else PRIM_CHUNK
+    # chunk boxes tight and lose first-wins only on exact-t duplicates).
+    # Above MAX_VMEM_PRIMS the sphere table streams from HBM through a
+    # per-SEG_T segment DMA exactly like triangles (round 4 — the 8,192
+    # ceiling VERDICT r3 flagged; the reference's sphere scenes are bounded
+    # only by device heap, createScene.h:31-38 + kernel.cu:65).
+    stream_sph = n_s > MAX_VMEM_PRIMS
+    sph_two_level = n_s > SPH_SUPER_MIN or stream_sph
+    sph_mult = (SEG_T if stream_sph
+                else SUPER_T if sph_two_level else PRIM_CHUNK)
     if n_s:
         sp = scene.spheres
         center, radius, smat = sp.center, sp.radius, sp.mat
@@ -338,10 +345,14 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
                               center + radius[:, None], SUPER_T, sph_mult)
                      if sph_two_level
                      else jnp.zeros((8, LANES), jnp.float32))
+        sph_seg = (boxes_of(center - radius[:, None],
+                            center + radius[:, None], SEG_T, sph_mult)
+                   if stream_sph else jnp.zeros((8, LANES), jnp.float32))
     else:
         sph = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
         sph_box = jnp.zeros((8, LANES), jnp.float32)
         sph_super = jnp.zeros((8, LANES), jnp.float32)
+        sph_seg = jnp.zeros((8, LANES), jnp.float32)
         sph_map = jnp.zeros((PRIM_CHUNK,), jnp.int32)
 
     if n_t:
@@ -436,8 +447,9 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
     else:
         ttri = jnp.zeros((8, LANES), jnp.float32)
 
-    return MegaTables(sph, sph_box, sph_super, tri, tri_box, tri_super,
-                      tri_seg, rect, tsph, ttri, tri_coef, sph_map, tri_map)
+    return MegaTables(sph, sph_box, sph_super, sph_seg, tri, tri_box,
+                      tri_super, tri_seg, rect, tsph, ttri, tri_coef,
+                      sph_map, tri_map)
 
 
 # ---------------------------------------------------------------------------
@@ -454,6 +466,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                  ambient: float, backface_only: bool, no_t_clip: bool,
                  back_culling: bool, die_ref_cosine: bool, injected: bool,
                  stream_tri: bool = False, n_tri_segs: int = 0,
+                 stream_sph: bool = False, n_sph_segs: int = 0,
                  integrator: str = "path", lambert_unnorm: bool = True,
                  resume: bool = False, dump_state: bool = False,
                  n_steps: int = 0, f2b: int = 0, mxu: bool = False,
@@ -462,6 +475,7 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
                  rect_off: int = 0, tsph_off: int = 0, ttri_off: int = 0):
     rest = list(rest)
     tri_seg_ref = rest.pop(0) if stream_tri else None
+    sph_seg_ref = rest.pop(0) if stream_sph else None
     tri_coef_ref = rest.pop(0) if mxu else None   # HBM (N_Q*T_pad, 128)
     st_ref = rest.pop(0) if resume else None    # (4,R,L): thr rgb + alive
     uni_ref = rest.pop(0) if injected else None
@@ -475,6 +489,10 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     # (no chunk culling there) and adds feature + sweep-state scratch.
     box_scratch = box_sem = coef_scratch = coef_sem = None
     feat_scratch = sweep_scratch = None
+    sph_scratch = sph_box_scratch = sph_dma_sem = sph_box_sem = None
+    if stream_sph:    # sphere streaming scratch rides at the tail
+        (sph_scratch, sph_box_scratch, sph_dma_sem, sph_box_sem) = rest[-4:]
+        rest = rest[:-4]
     if mxu:
         (tri_scratch, coef_scratch, dma_sem, coef_sem, feat_scratch,
          sweep_scratch) = rest
@@ -582,53 +600,122 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         attrs = tuple(jnp.zeros(shape, jnp.float32)
                       for _ in range(4 + N_MAT_COMPS + want_winners))
 
-        def body(j, carry):
+        def s_chunk_math(src_ref, base_local, idx_base, carry):
+            """Sphere quadratic over one PRIM_CHUNK chunk read from src_ref
+            at sublane base_local, merged with global prim index idx_base
+            (src_ref is the VMEM table, or the streaming scratch)."""
             best_t, attrs = carry
-            base = j * PRIM_CHUNK
-            reachable = slab(sph_box_ref, j, ox, oy, oz, inv_dx, inv_dy,
+            cx = comp(src_ref, base_local, S_CX)
+            cy = comp(src_ref, base_local, S_CY)
+            cz = comp(src_ref, base_local, S_CZ)
+            r2 = comp(src_ref, base_local, S_R2)
+            ocx = o3x - cx
+            ocy = o3y - cy
+            ocz = o3z - cz
+            b = ocx * d3x + ocy * d3y + ocz * d3z
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            disc = b * b - a3 * c
+            hit = disc > 0.0
+            sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
+            t0 = (-b - sq) * (1.0 / a3)
+            t1 = (-b + sq) * (1.0 / a3)
+            ok0 = hit & (t0 < t_max) & (t0 > t_min)
+            ok1 = hit & (t1 < t_max) & (t1 > t_min)
+            t3 = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
+            tmin, wmask, take = merge(best_t, t3, idx_base)
+            reads = ([lambda v=cx: v, lambda v=cy: v, lambda v=cz: v,
+                      lambda: comp(src_ref, base_local, S_INVR)]
+                     + [functools.partial(comp, src_ref, base_local,
+                                          S_MAT + k)
+                        for k in range(N_MAT_COMPS)])
+            if want_winners:   # winner TABLE row as one more carried attr
+                reads.append(
+                    lambda: (piota + idx_base).astype(jnp.float32))
+            attrs = pick_attrs(wmask, take, reads, attrs)
+            return jnp.where(take, tmin, best_t), attrs
+
+        def s_chunk_run(src_ref, chunk_global, base_local, carry,
+                        box_ref=None, box_row=None):
+            if box_ref is None:
+                box_ref, box_row = sph_box_ref, chunk_global
+            best_t, _ = carry
+            reachable = slab(box_ref, box_row, ox, oy, oz, inv_dx, inv_dy,
                              inv_dz, best_t, t_min)
             if alive_f is not None:
                 reachable &= alive_f > 0.0
+            return jax.lax.cond(
+                jnp.any(reachable),
+                functools.partial(s_chunk_math, src_ref, base_local,
+                                  chunk_global * PRIM_CHUNK),
+                lambda c: c, carry)
 
-            def run(carry):
-                best_t, attrs = carry
-                cx = comp(sph_ref, base, S_CX)
-                cy = comp(sph_ref, base, S_CY)
-                cz = comp(sph_ref, base, S_CZ)
-                r2 = comp(sph_ref, base, S_R2)
-                ocx = o3x - cx
-                ocy = o3y - cy
-                ocz = o3z - cz
-                b = ocx * d3x + ocy * d3y + ocz * d3z
-                c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = b * b - a3 * c
-                hit = disc > 0.0
-                sq = jnp.sqrt(jnp.where(hit, disc, 0.0))
-                t0 = (-b - sq) * (1.0 / a3)
-                t1 = (-b + sq) * (1.0 / a3)
-                ok0 = hit & (t0 < t_max) & (t0 > t_min)
-                ok1 = hit & (t1 < t_max) & (t1 > t_min)
-                t3 = jnp.where(ok0, t0, jnp.where(ok1, t1, BIG))
-                tmin, wmask, take = merge(best_t, t3, base)
-                reads = ([lambda v=cx: v, lambda v=cy: v, lambda v=cz: v,
-                          lambda: comp(sph_ref, base, S_INVR)]
-                         + [functools.partial(comp, sph_ref, base, S_MAT + k)
-                            for k in range(N_MAT_COMPS)])
-                if want_winners:   # winner TABLE row as one more carried attr
-                    reads.append(
-                        lambda: (piota + base).astype(jnp.float32))
-                attrs = pick_attrs(wmask, take, reads, attrs)
-                return jnp.where(take, tmin, best_t), attrs
+        chunks_per_super = SUPER_T // PRIM_CHUNK
 
-            return jax.lax.cond(jnp.any(reachable), run, lambda c: c,
-                                (best_t, attrs))
+        if stream_sph:
+            # HBM streaming (mirrors tri_sweep): per segment, a top-level
+            # AABB test gates the DMA of the sphere rows AND their chunk
+            # boxes into scratch; supers then gate chunks inside.
+            chunks_per_seg = SEG_T // PRIM_CHUNK
+            supers_per_seg = SEG_T // SUPER_T
+
+            def seg_body(s, carry):
+                best_t, _ = carry
+                seg_reach = slab(sph_seg_ref, s, ox, oy, oz, inv_dx,
+                                 inv_dy, inv_dz, best_t, t_min)
+                if alive_f is not None:
+                    seg_reach &= alive_f > 0.0
+
+                def run_seg(carry):
+                    dma = pltpu.make_async_copy(
+                        sph_ref.at[pl.ds(s * SEG_T, SEG_T), :],
+                        sph_scratch, sph_dma_sem)
+                    dmb = pltpu.make_async_copy(
+                        sph_box_ref.at[pl.ds(s * chunks_per_seg,
+                                             chunks_per_seg), :],
+                        sph_box_scratch, sph_box_sem)
+                    dma.start()
+                    dmb.start()
+                    dma.wait()
+                    dmb.wait()
+
+                    def super_body(u, carry):
+                        best_t, _ = carry
+                        ug = s * supers_per_seg + u
+                        sreach = slab(sph_super_ref, ug, ox, oy, oz,
+                                      inv_dx, inv_dy, inv_dz, best_t,
+                                      t_min)
+                        if alive_f is not None:
+                            sreach &= alive_f > 0.0
+
+                        def run_super(carry):
+                            def body(j, carry):
+                                cl = u * chunks_per_super + j
+                                return s_chunk_run(
+                                    sph_scratch, s * chunks_per_seg + cl,
+                                    cl * PRIM_CHUNK, carry,
+                                    box_ref=sph_box_scratch, box_row=cl)
+                            return jax.lax.fori_loop(0, chunks_per_super,
+                                                     body, carry)
+
+                        return jax.lax.cond(jnp.any(sreach), run_super,
+                                            lambda c: c, carry)
+
+                    return jax.lax.fori_loop(0, supers_per_seg, super_body,
+                                             carry)
+
+                return jax.lax.cond(jnp.any(seg_reach), run_seg,
+                                    lambda c: c, carry)
+
+            return jax.lax.fori_loop(0, n_sph_segs, seg_body,
+                                     (best_t, attrs))
+
+        def body(j, carry):
+            return s_chunk_run(sph_ref, j, j * PRIM_CHUNK, carry)
 
         if not n_sph_supers:
             return jax.lax.fori_loop(0, n_sph_chunks, body, (best_t, attrs))
 
         # two-level: one box per SUPER_T spheres gates its 16 chunks
-        chunks_per_super = SUPER_T // PRIM_CHUNK
-
         def super_body(u, carry):
             best_t, _ = carry
             sreach = slab(sph_super_ref, u, ox, oy, oz, inv_dx, inv_dy,
@@ -1850,7 +1937,8 @@ def select_mega(scene, rays, key, cfg, tables=None, samples=None) -> Array:
     compact_every = cfg.compact_every
     octants = None   # None -> trace_path_mega_phased uses cfg.compact_octants
     if (cfg.compact_auto and not compact_every and not cfg.compact_after
-            and scene.n_triangles >= AUTO_COMPACT_TRIS and is_path):
+            and max(scene.n_triangles, scene.n_spheres) >= AUTO_COMPACT_TRIS
+            and is_path):
         compact_every, octants = 2, True
         if not cfg.mega_f2b_shells:
             # front-to-back segment shells compound with the octant
@@ -2362,6 +2450,7 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     rows = o.shape[1]
     injected = stream_planes is not None
     stream_tri = scene.n_triangles > MAX_VMEM_PRIMS
+    stream_sph = scene.n_spheres > MAX_VMEM_PRIMS
     want_winners = want_winners or want_tex   # tex planes ride the winner
     # machinery (unrolled steps, winner-attr carry in every sweep)
     mxu = bool(cfg.mega_mxu) and stream_tri and not want_winners
@@ -2392,6 +2481,8 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
         die_ref_cosine=q.dielectric_reference_cosine,
         injected=injected, stream_tri=stream_tri,
         n_tri_segs=tables.tri.shape[0] // SEG_T if stream_tri else 0,
+        stream_sph=stream_sph,
+        n_sph_segs=tables.sph.shape[0] // SEG_T if stream_sph else 0,
         integrator=cfg.integrator,
         lambert_unnorm=q.lambert_unnormalized_dot,
         resume=state is not None, dump_state=dump_state,
@@ -2410,14 +2501,18 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
                                     memory_space=pltpu.VMEM)
     tile3 = lambda k: pl.BlockSpec((k, TILE_ROWS, LANES), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)
-    # streaming: triangle data AND chunk boxes stay in HBM (chunk boxes are
-    # 512 B / 8 prims — 33 MB at the 1M-tri ceiling) and ride per-segment
-    # DMAs; only seg/super boxes are VMEM-resident.
+    # streaming: primitive data AND chunk boxes stay in HBM (chunk boxes
+    # are 512 B / 8 prims — 33 MB at the 1M-tri ceiling) and ride
+    # per-segment DMAs; only seg/super boxes are VMEM-resident.
     tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_tri
                 else full(tables.tri.shape))
     tri_box_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_tri
                     else full(tables.tri_box.shape))
-    in_specs = [full(tables.sph.shape), full(tables.sph_box.shape),
+    sph_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_sph
+                else full(tables.sph.shape))
+    sph_box_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_sph
+                    else full(tables.sph_box.shape))
+    in_specs = [sph_spec, sph_box_spec,
                 full(tables.sph_super.shape),
                 tri_spec, tri_box_spec,
                 full(tables.tri_super.shape), full(tables.rect.shape),
@@ -2426,10 +2521,14 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
     args = [tables.sph, tables.sph_box, tables.sph_super, tables.tri,
             tables.tri_box, tables.tri_super, tables.rect, tables.tsph,
             tables.ttri, o, d]
-    # kernel consumes *rest as (tri_seg, [tri_coef], [state], [uni], seed)
+    # kernel consumes *rest as (tri_seg, [sph_seg], [tri_coef], [state],
+    # [uni], seed)
     if stream_tri:
         in_specs.append(full(tables.tri_seg.shape))
         args.append(tables.tri_seg)
+    if stream_sph:
+        in_specs.append(full(tables.sph_seg.shape))
+        args.append(tables.sph_seg)
     if mxu:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(tables.tri_coef)
@@ -2454,6 +2553,10 @@ def _mega_call(scene, o, d, key, cfg, tables, stream_planes=None,
                    pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     else:
         scratch = []
+    if stream_sph:    # sphere streaming scratch rides at the tail
+        scratch += [pltpu.VMEM((SEG_T, LANES), jnp.float32),
+                    pltpu.VMEM((SEG_T // PRIM_CHUNK, LANES), jnp.float32),
+                    pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
 
     n_steps_eff = n_steps if n_steps else (cfg.max_depth + 1 - step_lo)
     if cfg.integrator == "lambert":

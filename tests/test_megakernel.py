@@ -779,3 +779,50 @@ def test_fuzz_mega_matches_wavefront_random_scenes():
             # bounce diverges that ray's remaining recording)
             mism = float((np.asarray(wref) != np.asarray(wmega)).mean())
             assert mism <= 0.005, (scene_i, str(quirks), mism)
+
+
+def test_mega_streaming_large_sphere_field():
+    """> MAX_VMEM_PRIMS spheres: the sphere table stays in HBM and streams
+    through VMEM scratch by in-kernel DMA with per-segment culling (round
+    4 — parity with triangle streaming; the reference's sphere scenes are
+    bounded only by device heap, createScene.h:31-38).  Results must match
+    the jnp brute-force path."""
+    from cudaraytracer_tpu.core.rays import make_rays
+
+    rng = np.random.default_rng(3)
+    nx, nz = 96, 96                      # 9216 spheres > 8192
+    xs = np.linspace(-12, 12, nx)
+    zs = np.linspace(-24, -2, nz)
+    X, Z = np.meshgrid(xs, zs)
+    Y = 0.25 * np.sin(X * 0.9) * np.cos(Z * 0.7)
+    centers = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1).astype(
+        np.float32)
+    b = SceneBuilder()
+    m = b.materials
+    mats = [m.lambertian(color=(0.7, 0.3, 0.3)),
+            m.metal((0.9, 0.9, 0.9), 0.05),
+            m.lambertian(m.textures.checker((0.9, 0.9, 0.9),
+                                            (0.1, 0.1, 0.1)))]
+    for i, c in enumerate(centers):
+        b.add_sphere(c, 0.11, mats[i % 3])
+    scene = b.build()
+    assert scene.n_spheres > mk.MAX_VMEM_PRIMS
+    assert mk.megakernel_supported(scene)
+
+    nr = 512
+    o = np.tile(np.array([[0, 3.0, 2.0]], np.float32), (nr, 1))
+    d = np.stack([rng.uniform(-0.8, 0.8, nr), -np.ones(nr),
+                  rng.uniform(-2.0, -0.5, nr)], 1).astype(np.float32)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d))
+    cfg = _cfg(width=16, height=32, samples=1, max_depth=4)
+    stream = integ.stream_from_key(jax.random.key(5), nr, cfg.max_depth)
+    ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(5), cfg,
+                                      samples=stream))
+    tables = mk.build_mega_tables(scene,
+                                  sph_order=mk.mega_sphere_order(
+                                      scene.spheres.center))
+    assert tables.sph.shape[0] % mk.SEG_T == 0
+    got = np.asarray(mk.trace_path_mega(scene, rays, jax.random.key(5), cfg,
+                                        tables=tables, samples=stream))
+    assert ref.mean() > 0.01      # rays actually hit the field
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-4)
