@@ -113,12 +113,29 @@ def _pmean_cotangent_tree(tree, axis_names):
     return jax.tree.unflatten(treedef, out)
 
 
+def _accepts_alive(fn) -> bool:
+    """Does this intersect_fn take the optional alive-mask kwarg?  Sniffed
+    by signature (trace-time only) so 3-arg custom intersectors keep
+    working unchanged."""
+    import inspect
+    try:
+        return "alive" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def _intersect(scene: Scene, rays: Rays, cfg: RenderConfig, intersect_fn=None,
-               aux=None):
+               aux=None, alive=None):
     """intersect_fn(scene, rays, aux) lets callers swap the brute-force path
     for BVH traversal (aux = FlatBVH pytree) or a Pallas kernel; aux flows as
-    a traced operand so per-frame updates don't retrigger compilation."""
+    a traced operand so per-frame updates don't retrigger compilation.
+
+    alive: optional mask forwarded to intersectors that accept it (the
+    Pallas sweeps skip fully dead ray tiles); others ignore it — dead
+    lanes' hits are masked out downstream either way."""
     if intersect_fn is not None:
+        if alive is not None and _accepts_alive(intersect_fn):
+            return intersect_fn(scene, rays, aux, alive=alive)
         return intersect_fn(scene, rays, aux)
     return _isect.intersect_scene(scene, rays, cfg.t_min, cfg.t_max, cfg.quirks)
 
@@ -154,9 +171,11 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     ambient = jnp.float32(cfg.quirks.ambient_on_absorb)
     primary_fn, bounce_fn = _split_fns(intersect_fn)
 
-    def make_bounce(isect_fn):
+    def make_bounce(isect_fn, use_alive=True):
+        # use_alive=False for the unrolled primary step (all lanes alive —
+        # an alive input there would only add a pointless kernel operand)
         def bounce(carry, xs):
-            return _bounce_body(carry, xs, isect_fn)
+            return _bounce_body(carry, xs, isect_fn, use_alive)
         return bounce
 
     def _step_xs(step):
@@ -175,7 +194,7 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
             xs.append(winners[lo:hi])
         return tuple(xs) if len(xs) > 1 else xs[0]
 
-    def _bounce_body(carry, xs, isect_fn):
+    def _bounce_body(carry, xs, isect_fn, use_alive=True):
         ball = prob = win = None
         if isinstance(xs, tuple):
             it = iter(xs)
@@ -197,7 +216,8 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
             hits = _isect.replay_hits(bscene, rays, win, cfg.t_min,
                                       cfg.t_max, cfg.quirks)
         else:
-            hits = _intersect(bscene, rays, cfg, isect_fn, aux)
+            hits = _intersect(bscene, rays, cfg, isect_fn, aux,
+                              alive=alive if use_alive else None)
 
         # one material/texture row gather serves emitted AND scatter
         dec = _mat.decode_materials(bscene.materials, bscene.textures,
@@ -243,7 +263,8 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         carry, ys = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)), carry,
                                  _scan_xs(0, cfg.max_depth + 1))
     else:
-        carry, y0 = jax.checkpoint(make_bounce(primary_fn))(carry, _step_xs(0))
+        carry, y0 = jax.checkpoint(make_bounce(primary_fn, use_alive=False))(
+            carry, _step_xs(0))
         ys = y0[None] if return_winners else None
         if cfg.max_depth >= 1:
             carry, ys1 = jax.lax.scan(jax.checkpoint(make_bounce(bounce_fn)),

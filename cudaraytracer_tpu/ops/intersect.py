@@ -408,7 +408,8 @@ def intersect_scene_bvh(scene: Scene, rays: Rays, bvh, t_min: float = 1e-3,
 def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
                            t_max: float = float(BIG),
                            quirks: Quirks = Quirks(),
-                           coherent: bool = False) -> Hits:
+                           coherent: bool = False,
+                           alive: Array | None = None) -> Hits:
     """Closest-hit via the fused Pallas kernels (ops/pallas_intersect.py):
     sphere and triangle sweeps run fully in VMEM with no (rays x prims)
     HBM materialization; rects (rare) stay on the jnp path.  Differentiable
@@ -417,7 +418,13 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     coherent=True enables tiled chunk-box culling for the sphere sweep too
     (right for primary/camera rays rendered in swizzled screen blocks; wrong
     for incoherent path bounces).  Triangle sweeps always cull — mesh chunks
-    are compact enough that the box test wins even for bounced rays."""
+    are compact enough that the box test wins even for bounced rays.
+
+    alive: optional bool/f32[N] mask from the path integrator's carry —
+    fully dead (32 x 128) ray tiles skip the sweeps entirely and dead
+    lanes report miss, which the integrator's own masks already treat as
+    'no contribution' (the sweep-side half of dead-ray harvesting; the
+    megakernel gets the same effect from its in-kernel early-out)."""
     from . import pallas_intersect as pk  # local import: pallas optional
 
     n = rays.origin.shape[0]
@@ -429,7 +436,8 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     if n_s:
         st, si = pk.sphere_best_hit(rays.origin, rays.direction,
                                     scene.spheres.center, scene.spheres.radius,
-                                    float(t_min), float(t_max), coherent)
+                                    float(t_min), float(t_max), coherent,
+                                    alive)
         take = (si >= 0) & (st < best_t)
         best_t = jnp.where(take, st, best_t)
         best_idx = jnp.where(take, si, best_idx)
@@ -438,7 +446,7 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
         tr = scene.triangles
         tt, ti = pk.triangle_best_hit(rays.origin, rays.direction, tr.v0,
                                       tr.v1, tr.v2, tr.normal, float(t_min),
-                                      float(t_max), quirks)
+                                      float(t_max), quirks, alive)
         take = (ti >= 0) & (tt < best_t)
         best_t = jnp.where(take, tt, best_t)
         best_idx = jnp.where(take, ti + n_s, best_idx)

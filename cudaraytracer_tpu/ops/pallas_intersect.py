@@ -151,12 +151,22 @@ def _tri_chunk_t(tri_ref, base, ox, oy, oz, dx, dy, dz, *, t_min, t_max,
 # Spheres
 # ---------------------------------------------------------------------------
 
-def _sphere_kernel(sph_ref, box_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
-                   n_chunks: int, t_min: float, t_max: float):
+def _sphere_kernel(sph_ref, box_ref, *rest, n_chunks: int, t_min: float,
+                   t_max: float, has_alive: bool = False):
     """Sphere sweep with the same tiled chunk-box culling as the triangle
     kernel: one slab test per (chunk x ray tile) decides whether the chunk's
     quadratics run at all.  Sphere tables are usually built in spatial order
-    (e.g. the One-Weekend grid), so chunks are compact."""
+    (e.g. the One-Weekend grid), so chunks are compact.
+
+    has_alive: an f32 0/1 alive mask rides before the ray planes — a fully
+    dead TILE skips the whole sweep (outputs keep their miss seed), and
+    dead lanes are excluded from the chunk reachability vote (a dead ray's
+    stale direction otherwise forces chunk visits; same rationale as the
+    megakernel's alive gating).  Dead lanes report miss (-1), which the
+    integrator's masks already treat as 'no contribution'."""
+    rest = list(rest)
+    alive_ref = rest.pop(0) if has_alive else None
+    o_ref, d_ref, out_t_ref, out_i_ref = rest
     seg = pl.program_id(1)
     seg_base = seg * SEG_PRIMS
 
@@ -165,69 +175,89 @@ def _sphere_kernel(sph_ref, box_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
         out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
         out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
 
-    ox = o_ref[0][None]        # (1, R, L)
-    oy = o_ref[1][None]
-    oz = o_ref[2][None]
-    dx = d_ref[0][None]
-    dy = d_ref[1][None]
-    dz = d_ref[2][None]
-    a = dx * dx + dy * dy + dz * dz
-    inv_a = 1.0 / a
-    inv_dx = 1.0 / dx[0]
-    inv_dy = 1.0 / dy[0]
-    inv_dz = 1.0 / dz[0]
-    prim_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                         (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+    def sweep():
+        ox = o_ref[0][None]        # (1, R, L)
+        oy = o_ref[1][None]
+        oz = o_ref[2][None]
+        dx = d_ref[0][None]
+        dy = d_ref[1][None]
+        dz = d_ref[2][None]
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        inv_dx = 1.0 / dx[0]
+        inv_dy = 1.0 / dy[0]
+        inv_dz = 1.0 / dz[0]
+        prim_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (PRIM_CHUNK, TILE_ROWS, LANES), 0)
 
-    best_t0 = out_t_ref[:]
-    best_i0 = out_i_ref[:]
+        best_t0 = out_t_ref[:]
+        best_i0 = out_i_ref[:]
 
-    def body(j, carry):
-        best_t, best_i = carry
-        base = j * PRIM_CHUNK
-
-        def bx(k):
-            return box_ref[k, pl.ds(j, 1), :][0, 0]
-
-        tx0 = (bx(0) - ox[0]) * inv_dx
-        tx1 = (bx(3) - ox[0]) * inv_dx
-        ty0 = (bx(1) - oy[0]) * inv_dy
-        ty1 = (bx(4) - oy[0]) * inv_dy
-        tz0 = (bx(2) - oz[0]) * inv_dz
-        tz1 = (bx(5) - oz[0]) * inv_dz
-        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        # sphere tests DO respect [t_min, t_max] (no negative-t quirk), so the
-        # cull window matches exactly.  Negated form: axis-parallel rays
-        # (inv_d = inf) starting exactly on an unpadded box plane give
-        # 0 * inf = NaN in near/far; NaN comparisons are False, so this shape
-        # makes NaN lanes conservatively REACHABLE instead of silently culled.
-        reachable = ~((far < near) | (far < t_min) | (near >= best_t))
-        any_hit = jnp.any(reachable)
-
-        def run_chunk(carry):
+        def body(j, carry):
             best_t, best_i = carry
-            t = _sphere_chunk_t(sph_ref, base, ox, oy, oz, dx, dy, dz,
-                                a, inv_a, t_min, t_max)
-            return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
+            base = j * PRIM_CHUNK
 
-        return jax.lax.cond(any_hit, run_chunk, lambda cr: cr,
-                            (best_t, best_i))
+            def bx(k):
+                return box_ref[k, pl.ds(j, 1), :][0, 0]
 
-    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
-    out_t_ref[:] = best_t
-    out_i_ref[:] = best_i
+            tx0 = (bx(0) - ox[0]) * inv_dx
+            tx1 = (bx(3) - ox[0]) * inv_dx
+            ty0 = (bx(1) - oy[0]) * inv_dy
+            ty1 = (bx(4) - oy[0]) * inv_dy
+            tz0 = (bx(2) - oz[0]) * inv_dz
+            tz1 = (bx(5) - oz[0]) * inv_dz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            # sphere tests DO respect [t_min, t_max] (no negative-t quirk),
+            # so the cull window matches exactly.  Negated form:
+            # axis-parallel rays (inv_d = inf) starting exactly on an
+            # unpadded box plane give 0 * inf = NaN in near/far; NaN
+            # comparisons are False, so this shape makes NaN lanes
+            # conservatively REACHABLE instead of silently culled.
+            reachable = ~((far < near) | (far < t_min) | (near >= best_t))
+            if has_alive:
+                reachable &= alive_ref[:] > 0.0
+            any_hit = jnp.any(reachable)
+
+            def run_chunk(carry):
+                best_t, best_i = carry
+                t = _sphere_chunk_t(sph_ref, base, ox, oy, oz, dx, dy, dz,
+                                    a, inv_a, t_min, t_max)
+                return _merge_chunk(best_t, best_i, t, seg_base + base,
+                                    prim_iota)
+
+            return jax.lax.cond(any_hit, run_chunk, lambda cr: cr,
+                                (best_t, best_i))
+
+        best_t, best_i = jax.lax.fori_loop(0, n_chunks, body,
+                                           (best_t0, best_i0))
+        out_t_ref[:] = best_t
+        out_i_ref[:] = best_i
+
+    if has_alive:
+        @pl.when(jnp.any(alive_ref[:] > 0.0))
+        def _():
+            sweep()
+    else:
+        sweep()
 
 
-def _sphere_kernel_plain(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
-                         n_chunks: int, t_min: float, t_max: float):
+def _sphere_kernel_plain(sph_ref, *rest, n_chunks: int, t_min: float,
+                         t_max: float, has_alive: bool = False):
     """Uncull'd sphere sweep — the right default for path tracing, where
     bounced rays are incoherent and per-chunk box tests are pure overhead
-    (measured ~15% loss on the 484-sphere path-8 benchmark)."""
+    (measured ~15% loss on the 484-sphere path-8 benchmark).
+
+    has_alive: tile-level early-out on a fully dead tile (see
+    _sphere_kernel); within a live tile every chunk still runs (no
+    per-chunk vote here by design)."""
+    rest = list(rest)
+    alive_ref = rest.pop(0) if has_alive else None
+    o_ref, d_ref, out_t_ref, out_i_ref = rest
     seg = pl.program_id(1)
     seg_base = seg * SEG_PRIMS
 
@@ -236,39 +266,54 @@ def _sphere_kernel_plain(sph_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
         out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
         out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
 
-    ox = o_ref[0][None]
-    oy = o_ref[1][None]
-    oz = o_ref[2][None]
-    dx = d_ref[0][None]
-    dy = d_ref[1][None]
-    dz = d_ref[2][None]
-    a = dx * dx + dy * dy + dz * dz
-    inv_a = 1.0 / a
-    prim_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                         (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+    def sweep():
+        ox = o_ref[0][None]
+        oy = o_ref[1][None]
+        oz = o_ref[2][None]
+        dx = d_ref[0][None]
+        dy = d_ref[1][None]
+        dz = d_ref[2][None]
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        prim_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (PRIM_CHUNK, TILE_ROWS, LANES), 0)
 
-    best_t0 = out_t_ref[:]
-    best_i0 = out_i_ref[:]
+        best_t0 = out_t_ref[:]
+        best_i0 = out_i_ref[:]
 
-    def body(j, carry):
-        best_t, best_i = carry
-        base = j * PRIM_CHUNK
-        t = _sphere_chunk_t(sph_ref, base, ox, oy, oz, dx, dy, dz,
-                            a, inv_a, t_min, t_max)
-        return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
+        def body(j, carry):
+            best_t, best_i = carry
+            base = j * PRIM_CHUNK
+            t = _sphere_chunk_t(sph_ref, base, ox, oy, oz, dx, dy, dz,
+                                a, inv_a, t_min, t_max)
+            return _merge_chunk(best_t, best_i, t, seg_base + base,
+                                prim_iota)
 
-    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
-    out_t_ref[:] = best_t
-    out_i_ref[:] = best_i
+        best_t, best_i = jax.lax.fori_loop(0, n_chunks, body,
+                                           (best_t0, best_i0))
+        out_t_ref[:] = best_t
+        out_i_ref[:] = best_i
+
+    if has_alive:
+        @pl.when(jnp.any(alive_ref[:] > 0.0))
+        def _():
+            sweep()
+    else:
+        sweep()
 
 
 def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
                         radius: Array, t_min: float, t_max: float,
-                        cull: bool = False) -> Tuple[Array, Array]:
+                        cull: bool = False,
+                        alive: Array | None = None) -> Tuple[Array, Array]:
     """(best_t f32[N], best_idx int32[N]) over all spheres; idx -1 = miss.
 
     cull=True enables tiled chunk-box culling (wins for coherent
     primary-ray workloads; loses for incoherent path bounces).
+
+    alive: optional f32/bool[N] mask — fully dead ray TILES skip the sweep
+    entirely (tile early-out) and dead lanes report miss; the path
+    integrator's alive carry makes later bounces progressively cheaper.
     """
     n = origin.shape[0]
     c = center.shape[0]
@@ -296,32 +341,36 @@ def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
     boxes = jnp.concatenate([lo.min(axis=1).T, hi.max(axis=1).T])[..., None]
 
     grid = (rows // TILE_ROWS, n_segs)
+    has_alive = alive is not None
+    ray_spec = pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    alive_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
+                              memory_space=pltpu.VMEM)
+    alive_args = ((_pad_rays(alive.astype(jnp.float32), rows),)
+                  if has_alive else ())
+    alive_specs = (alive_spec,) if has_alive else ()
     if cull:
         kernel = functools.partial(_sphere_kernel, n_chunks=seg_chunks,
-                                   t_min=float(t_min), t_max=float(t_max))
+                                   t_min=float(t_min), t_max=float(t_max),
+                                   has_alive=has_alive)
         in_specs = [
             pl.BlockSpec((4, seg_prims, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, seg_chunks, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            *alive_specs, ray_spec, ray_spec,
         ]
-        args = (tbl, boxes, o, d)
+        args = (tbl, boxes, *alive_args, o, d)
     else:
         kernel = functools.partial(_sphere_kernel_plain, n_chunks=seg_chunks,
-                                   t_min=float(t_min), t_max=float(t_max))
+                                   t_min=float(t_min), t_max=float(t_max),
+                                   has_alive=has_alive)
         in_specs = [
             pl.BlockSpec((4, seg_prims, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            *alive_specs, ray_spec, ray_spec,
         ]
-        args = (tbl, o, d)
+        args = (tbl, *alive_args, o, d)
     out_t, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -345,10 +394,12 @@ def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
 # Triangles (Moller-Trumbore, quirk-compatible)
 # ---------------------------------------------------------------------------
 
-def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
-                     n_chunks: int, t_min: float, t_max: float,
-                     backface_only: bool, no_t_clip: bool,
-                     back_culling: bool):
+def _triangle_kernel(tri_ref, *rest, n_chunks: int, t_min: float,
+                     t_max: float, backface_only: bool, no_t_clip: bool,
+                     back_culling: bool, has_alive: bool = False):
+    rest = list(rest)
+    alive_ref = rest.pop(0) if has_alive else None
+    o_ref, d_ref, out_t_ref, out_i_ref = rest
     seg = pl.program_id(1)
     seg_base = seg * SEG_PRIMS
 
@@ -357,36 +408,46 @@ def _triangle_kernel(tri_ref, o_ref, d_ref, out_t_ref, out_i_ref, *,
         out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
         out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
 
-    ox = o_ref[0][None]
-    oy = o_ref[1][None]
-    oz = o_ref[2][None]
-    dx = d_ref[0][None]
-    dy = d_ref[1][None]
-    dz = d_ref[2][None]
-    prim_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                         (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+    def sweep():
+        ox = o_ref[0][None]
+        oy = o_ref[1][None]
+        oz = o_ref[2][None]
+        dx = d_ref[0][None]
+        dy = d_ref[1][None]
+        dz = d_ref[2][None]
+        prim_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (PRIM_CHUNK, TILE_ROWS, LANES), 0)
 
-    best_t0 = out_t_ref[:]
-    best_i0 = out_i_ref[:]
+        best_t0 = out_t_ref[:]
+        best_i0 = out_i_ref[:]
 
-    def body(j, carry):
-        best_t, best_i = carry
-        base = j * PRIM_CHUNK
-        t = _tri_chunk_t(tri_ref, base, ox, oy, oz, dx, dy, dz,
-                         t_min=t_min, t_max=t_max,
-                         backface_only=backface_only, no_t_clip=no_t_clip,
-                         back_culling=back_culling)
-        return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
+        def body(j, carry):
+            best_t, best_i = carry
+            base = j * PRIM_CHUNK
+            t = _tri_chunk_t(tri_ref, base, ox, oy, oz, dx, dy, dz,
+                             t_min=t_min, t_max=t_max,
+                             backface_only=backface_only,
+                             no_t_clip=no_t_clip, back_culling=back_culling)
+            return _merge_chunk(best_t, best_i, t, seg_base + base,
+                                prim_iota)
 
-    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
-    out_t_ref[:] = best_t
-    out_i_ref[:] = best_i
+        best_t, best_i = jax.lax.fori_loop(0, n_chunks, body,
+                                           (best_t0, best_i0))
+        out_t_ref[:] = best_t
+        out_i_ref[:] = best_i
+
+    if has_alive:   # tile early-out (see _sphere_kernel)
+        @pl.when(jnp.any(alive_ref[:] > 0.0))
+        def _():
+            sweep()
+    else:
+        sweep()
 
 
-def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
-                            out_i_ref, *, n_chunks: int, t_min: float,
-                            t_max: float, backface_only: bool,
-                            no_t_clip: bool, back_culling: bool):
+def _triangle_kernel_culled(tri_ref, box_ref, *rest, n_chunks: int,
+                            t_min: float, t_max: float, backface_only: bool,
+                            no_t_clip: bool, back_culling: bool,
+                            has_alive: bool = False):
     """Triangle sweep with TILED AABB CULLING.
 
     Triangles arrive Morton-sorted, so each PRIM_CHUNK chunk is spatially
@@ -399,6 +460,9 @@ def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
     (behind-ray triangles stay reachable), so results are bit-identical to
     the uncculled sweep in both quirk profiles.
     """
+    rest = list(rest)
+    alive_ref = rest.pop(0) if has_alive else None
+    o_ref, d_ref, out_t_ref, out_i_ref = rest
     seg = pl.program_id(1)
     seg_base = seg * SEG_PRIMS
 
@@ -407,63 +471,77 @@ def _triangle_kernel_culled(tri_ref, box_ref, o_ref, d_ref, out_t_ref,
         out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
         out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
 
-    ox = o_ref[0][None]
-    oy = o_ref[1][None]
-    oz = o_ref[2][None]
-    dx = d_ref[0][None]
-    dy = d_ref[1][None]
-    dz = d_ref[2][None]
-    inv_dx = 1.0 / dx[0]
-    inv_dy = 1.0 / dy[0]
-    inv_dz = 1.0 / dz[0]
-    cull_lo = -float(BIG) if no_t_clip else t_min
-    prim_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                         (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+    def sweep():
+        ox = o_ref[0][None]
+        oy = o_ref[1][None]
+        oz = o_ref[2][None]
+        dx = d_ref[0][None]
+        dy = d_ref[1][None]
+        dz = d_ref[2][None]
+        inv_dx = 1.0 / dx[0]
+        inv_dy = 1.0 / dy[0]
+        inv_dz = 1.0 / dz[0]
+        cull_lo = -float(BIG) if no_t_clip else t_min
+        prim_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (PRIM_CHUNK, TILE_ROWS, LANES), 0)
 
-    best_t0 = out_t_ref[:]
-    best_i0 = out_i_ref[:]
+        best_t0 = out_t_ref[:]
+        best_i0 = out_i_ref[:]
 
-    def body(j, carry):
-        best_t, best_i = carry
-        base = j * PRIM_CHUNK
-
-        # --- chunk box vs ray tile (slab test against running best) ---
-        def bx(k):
-            return box_ref[k, pl.ds(j, 1), :][0, 0]   # scalar
-
-        lox, loy, loz, hix, hiy, hiz = (bx(0), bx(1), bx(2), bx(3), bx(4),
-                                        bx(5))
-        tx0 = (lox - ox[0]) * inv_dx
-        tx1 = (hix - ox[0]) * inv_dx
-        ty0 = (loy - oy[0]) * inv_dy
-        ty1 = (hiy - oy[0]) * inv_dy
-        tz0 = (loz - oz[0]) * inv_dz
-        tz1 = (hiz - oz[0]) * inv_dz
-        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        # negated form: NaN (0 * inf on unpadded box planes) lanes stay
-        # conservatively reachable — see the sphere kernel's comment
-        reachable = ~((far < near) | (far < cull_lo) | (near >= best_t))
-        any_hit = jnp.any(reachable)
-
-        def run_chunk(carry):
+        def body(j, carry):
             best_t, best_i = carry
-            t = _tri_chunk_t(tri_ref, base, ox, oy, oz, dx, dy, dz,
-                             t_min=t_min, t_max=t_max,
-                             backface_only=backface_only,
-                             no_t_clip=no_t_clip, back_culling=back_culling)
-            return _merge_chunk(best_t, best_i, t, seg_base + base, prim_iota)
+            base = j * PRIM_CHUNK
 
-        return jax.lax.cond(any_hit, run_chunk, lambda c: c,
-                            (best_t, best_i))
+            # --- chunk box vs ray tile (slab test against running best) ---
+            def bx(k):
+                return box_ref[k, pl.ds(j, 1), :][0, 0]   # scalar
 
-    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, (best_t0, best_i0))
-    out_t_ref[:] = best_t
-    out_i_ref[:] = best_i
+            lox, loy, loz, hix, hiy, hiz = (bx(0), bx(1), bx(2), bx(3),
+                                            bx(4), bx(5))
+            tx0 = (lox - ox[0]) * inv_dx
+            tx1 = (hix - ox[0]) * inv_dx
+            ty0 = (loy - oy[0]) * inv_dy
+            ty1 = (hiy - oy[0]) * inv_dy
+            tz0 = (loz - oz[0]) * inv_dz
+            tz1 = (hiz - oz[0]) * inv_dz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            # negated form: NaN (0 * inf on unpadded box planes) lanes stay
+            # conservatively reachable — see the sphere kernel's comment
+            reachable = ~((far < near) | (far < cull_lo)
+                          | (near >= best_t))
+            if has_alive:   # dead lanes can't force chunk visits
+                reachable &= alive_ref[:] > 0.0
+            any_hit = jnp.any(reachable)
+
+            def run_chunk(carry):
+                best_t, best_i = carry
+                t = _tri_chunk_t(tri_ref, base, ox, oy, oz, dx, dy, dz,
+                                 t_min=t_min, t_max=t_max,
+                                 backface_only=backface_only,
+                                 no_t_clip=no_t_clip,
+                                 back_culling=back_culling)
+                return _merge_chunk(best_t, best_i, t, seg_base + base,
+                                    prim_iota)
+
+            return jax.lax.cond(any_hit, run_chunk, lambda c: c,
+                                (best_t, best_i))
+
+        best_t, best_i = jax.lax.fori_loop(0, n_chunks, body,
+                                           (best_t0, best_i0))
+        out_t_ref[:] = best_t
+        out_i_ref[:] = best_i
+
+    if has_alive:   # tile early-out (see _sphere_kernel)
+        @pl.when(jnp.any(alive_ref[:] > 0.0))
+        def _():
+            sweep()
+    else:
+        sweep()
 
 
 def morton_order(v0: Array, v1: Array, v2: Array):
@@ -489,19 +567,22 @@ def morton_order(v0: Array, v1: Array, v2: Array):
 def triangle_best_hit_raw(origin: Array, direction: Array, v0: Array,
                           v1: Array, v2: Array, normal: Array, t_min: float,
                           t_max: float, quirks: Quirks,
-                          cull: bool | None = None) -> Tuple[Array, Array]:
+                          cull: bool | None = None,
+                          alive: Array | None = None) -> Tuple[Array, Array]:
     n = origin.shape[0]
     c = v0.shape[0]
     rows = _ray_rows(n)
     o = jnp.stack([_pad_rays(origin[:, k], rows) for k in range(3)])
     d = jnp.stack([_pad_rays(direction[:, k], rows) for k in range(3)])
+    al = (None if alive is None
+          else _pad_rays(alive.astype(jnp.float32), rows))
     if cull is None:
         cull = c >= 128
     if cull:
         return _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows,
-                                         t_min, t_max, quirks)
+                                         t_min, t_max, quirks, al)
     return _triangle_best_hit_plain(o, d, v0, v1, v2, normal, n, rows,
-                                    t_min, t_max, quirks)
+                                    t_min, t_max, quirks, al)
 
 
 def _pad_tris(v0, v1, v2, normal, multiple=PRIM_CHUNK):
@@ -531,7 +612,7 @@ def _tri_table(v0, v1, v2, normal, c_pad):
 
 
 def _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows, t_min,
-                              t_max, quirks: Quirks):
+                              t_max, quirks: Quirks, alive=None):
     c = v0.shape[0]
     mult = PRIM_CHUNK if c <= SEG_PRIMS else SEG_PRIMS
     v0, v1, v2, normal, c_pad = _pad_tris(v0, v1, v2, normal, mult)
@@ -548,11 +629,18 @@ def _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows, t_min,
     boxes = jnp.concatenate([lo.min(axis=1).T, hi.max(axis=1).T])[..., None]
 
     grid = (rows // TILE_ROWS, n_segs)
+    has_alive = alive is not None
+    ray_spec = pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    alive_specs = ((pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
+                                 memory_space=pltpu.VMEM),)
+                   if has_alive else ())
+    alive_args = (alive,) if has_alive else ()
     kernel = functools.partial(
         _triangle_kernel_culled, n_chunks=seg_chunks, t_min=float(t_min),
         t_max=float(t_max), backface_only=quirks.triangle_backface_only,
         no_t_clip=quirks.triangle_no_t_clip,
-        back_culling=quirks.triangle_back_culling)
+        back_culling=quirks.triangle_back_culling, has_alive=has_alive)
     out_t, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -561,10 +649,7 @@ def _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows, t_min,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, seg_chunks, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            *alive_specs, ray_spec, ray_spec,
         ],
         out_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
@@ -577,12 +662,12 @@ def _triangle_best_hit_culled(o, d, v0, v1, v2, normal, n, rows, t_min,
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ],
         interpret=_interpret(),
-    )(tbl, boxes, o, d)
+    )(tbl, boxes, *alive_args, o, d)
     return out_t.reshape(-1)[:n], out_i.reshape(-1)[:n]
 
 
 def _triangle_best_hit_plain(o, d, v0, v1, v2, normal, n, rows, t_min,
-                             t_max, quirks: Quirks):
+                             t_max, quirks: Quirks, alive=None):
     # triangle table (12, c_pad, 1): v0, e1, e2, normal
     c = v0.shape[0]
     mult = PRIM_CHUNK if c <= SEG_PRIMS else SEG_PRIMS
@@ -592,22 +677,26 @@ def _triangle_best_hit_plain(o, d, v0, v1, v2, normal, n, rows, t_min,
     tbl = _tri_table(v0, v1, v2, normal, c_pad)
 
     grid = (rows // TILE_ROWS, n_segs)
+    has_alive = alive is not None
+    ray_spec = pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    alive_specs = ((pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
+                                 memory_space=pltpu.VMEM),)
+                   if has_alive else ())
+    alive_args = (alive,) if has_alive else ()
     kernel = functools.partial(
         _triangle_kernel, n_chunks=seg_prims // PRIM_CHUNK,
         t_min=float(t_min), t_max=float(t_max),
         backface_only=quirks.triangle_backface_only,
         no_t_clip=quirks.triangle_no_t_clip,
-        back_culling=quirks.triangle_back_culling)
+        back_culling=quirks.triangle_back_culling, has_alive=has_alive)
     out_t, out_i = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((12, seg_prims, 1), lambda i, s: (0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            *alive_specs, ray_spec, ray_spec,
         ],
         out_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
@@ -620,7 +709,7 @@ def _triangle_best_hit_plain(o, d, v0, v1, v2, normal, n, rows, t_min,
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ],
         interpret=_interpret(),
-    )(tbl, o, d)
+    )(tbl, *alive_args, o, d)
     return out_t.reshape(-1)[:n], out_i.reshape(-1)[:n]
 
 
@@ -641,19 +730,20 @@ def _sphere_t_of(origin, direction, center, radius, pick_first):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def sphere_best_hit(origin, direction, center, radius, t_min, t_max,
-                    cull=False):
+                    cull=False, alive=None):
     return sphere_best_hit_raw(origin, direction, center, radius, t_min,
-                               t_max, cull)
+                               t_max, cull, alive)
 
 
-def _sphere_fwd(origin, direction, center, radius, t_min, t_max, cull=False):
+def _sphere_fwd(origin, direction, center, radius, t_min, t_max, cull=False,
+                alive=None):
     t, idx = sphere_best_hit_raw(origin, direction, center, radius, t_min,
-                                 t_max, cull)
-    return (t, idx), (origin, direction, center, radius, t, idx)
+                                 t_max, cull, alive)
+    return (t, idx), (origin, direction, center, radius, t, idx, alive)
 
 
 def _sphere_bwd(t_min, t_max, cull, res, g):
-    origin, direction, center, radius, t, idx = res
+    origin, direction, center, radius, t, idx, alive = res
     g_t, _ = g
     hit = idx >= 0
     safe = jnp.maximum(idx, 0)
@@ -681,8 +771,9 @@ def _sphere_bwd(t_min, t_max, cull, res, g):
     g_center = jnp.zeros_like(center).at[safe].add(
         jnp.where(hit[:, None], g_c, 0.0))
     g_radius = jnp.zeros_like(radius).at[safe].add(jnp.where(hit, g_r, 0.0))
+    g_alive = None if alive is None else jnp.zeros_like(alive)
     return (jnp.where(hit[:, None], g_o, 0.0),
-            jnp.where(hit[:, None], g_d, 0.0), g_center, g_radius)
+            jnp.where(hit[:, None], g_d, 0.0), g_center, g_radius, g_alive)
 
 
 sphere_best_hit.defvjp(_sphere_fwd, _sphere_bwd)
@@ -707,19 +798,20 @@ def _tri_t_of(origin, direction, v0, v1, v2, mask):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def triangle_best_hit(origin, direction, v0, v1, v2, normal, t_min, t_max,
-                      quirks):
+                      quirks, alive=None):
     return triangle_best_hit_raw(origin, direction, v0, v1, v2, normal,
-                                 t_min, t_max, quirks)
+                                 t_min, t_max, quirks, alive=alive)
 
 
-def _tri_fwd(origin, direction, v0, v1, v2, normal, t_min, t_max, quirks):
+def _tri_fwd(origin, direction, v0, v1, v2, normal, t_min, t_max, quirks,
+             alive=None):
     t, idx = triangle_best_hit_raw(origin, direction, v0, v1, v2, normal,
-                                   t_min, t_max, quirks)
-    return (t, idx), (origin, direction, v0, v1, v2, idx)
+                                   t_min, t_max, quirks, alive=alive)
+    return (t, idx), (origin, direction, v0, v1, v2, idx, alive)
 
 
 def _tri_bwd(t_min, t_max, quirks, res, g):
-    origin, direction, v0, v1, v2, idx = res
+    origin, direction, v0, v1, v2, idx, alive = res
     g_t, _ = g
     hit = idx >= 0
     safe = jnp.maximum(idx, 0)
@@ -734,7 +826,8 @@ def _tri_bwd(t_min, t_max, quirks, res, g):
     gv0 = jnp.zeros_like(v0).at[safe].add(g0 * z)
     gv1 = jnp.zeros_like(v1).at[safe].add(g1 * z)
     gv2 = jnp.zeros_like(v2).at[safe].add(g2 * z)
-    return (g_o * z, g_d * z, gv0, gv1, gv2, jnp.zeros_like(v0))
+    g_alive = None if alive is None else jnp.zeros_like(alive)
+    return (g_o * z, g_d * z, gv0, gv1, gv2, jnp.zeros_like(v0), g_alive)
 
 
 triangle_best_hit.defvjp(_tri_fwd, _tri_bwd)

@@ -59,10 +59,12 @@ def pallas_intersector(cfg: RenderConfig, coherent: bool = False):
     sphere sweep with chunk boxes (use for primary-ray-only work)."""
     k = (cfg, coherent)
     if k not in _PALLAS_FN_CACHE:
-        def fn(scene, rays, aux, _cfg=cfg, _coh=coherent):
+        def fn(scene, rays, aux, alive=None, _cfg=cfg, _coh=coherent):
+            # alive: dead-tile early-out mask threaded by the path
+            # integrator's scan (see intersect_scene_pallas)
             return _isect.intersect_scene_pallas(scene, rays, _cfg.t_min,
                                                  _cfg.t_max, _cfg.quirks,
-                                                 _coh)
+                                                 _coh, alive)
         _PALLAS_FN_CACHE[k] = fn
     return _PALLAS_FN_CACHE[k]
 

@@ -45,7 +45,9 @@ def test_sharded_render_matches_single_device():
     scene, cam = presets.three_spheres(aspect=2.0)
     cfg = _cfg()
     single = np.asarray(render_image(scene, cam, jax.random.key(0), cfg))
-    for tp in [1, 2, 4]:
+    # tp=2 exercises the sharded-primitive combine; tp=4 added ~75 s of
+    # SPMD compile for no extra code path (suite wall-clock, VERDICT r3 #9)
+    for tp in [1, 2]:
         mesh = make_mesh(8, tp=tp)
         sharded = np.asarray(render_image_sharded(scene, cam,
                                                   jax.random.key(0), cfg, mesh))
@@ -87,8 +89,10 @@ def test_tp_intersection_exact():
 
     ref = isect.intersect_scene(scene, rays)
 
+    # 4-device mesh: the tp=4 combine is identical, the 8-device SPMD
+    # program compiled ~2x slower (suite wall-clock, VERDICT r3 #9)
     tp = 4
-    mesh = make_mesh(8, tp=tp)
+    mesh = make_mesh(4, tp=tp)
     padded, n_s, n_t = shard_scene(scene, tp)
 
     def local(sph, tri, rest):
@@ -199,9 +203,10 @@ def test_megakernel_inside_shard_map():
     stream), so sharded mega must equal sharded wavefront to fp tolerance —
     same keys, same streams, different engine."""
     scene, cam = presets.three_spheres(aspect=2.0)
-    mesh = make_mesh(8, tp=1)
-    cfg_w = _cfg(integrator="path", samples=1, max_depth=6)
-    cfg_m = _cfg(integrator="path", samples=1, max_depth=6, engine="mega")
+    # 4-device mesh + depth 4: same code paths, ~2x less SPMD compile
+    mesh = make_mesh(4, tp=1)
+    cfg_w = _cfg(integrator="path", samples=1, max_depth=4)
+    cfg_m = _cfg(integrator="path", samples=1, max_depth=4, engine="mega")
     img_w = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
                                             cfg_w, mesh))
     img_m = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
@@ -209,16 +214,24 @@ def test_megakernel_inside_shard_map():
     np.testing.assert_allclose(img_m, img_w, atol=3e-4)
 
 
-def test_megakernel_streaming_inside_shard_map():
+def test_megakernel_streaming_inside_shard_map(monkeypatch):
     """HBM-streamed triangle tables (> MAX_VMEM_PRIMS -> in-kernel segment
     DMA, incl. the per-segment chunk-box DMA) must work under shard_map the
     same as on a single device: sharded mega == sharded wavefront on the
-    same keys/streams."""
+    same keys/streams.
+
+    The streaming THRESHOLDS are monkeypatched down (512-prim VMEM ceiling,
+    256-tri segments) so a ~1,400-tri scene exercises the same multi-segment
+    DMA code paths at a fraction of the interpret-mode cost — the original
+    8,450-tri scene spent 152 s mostly in CPU interpret sweeps (suite
+    wall-clock, VERDICT r3 #9)."""
     from cudaraytracer_tpu.models.scene import SceneBuilder
     from cudaraytracer_tpu.ops import megakernel as mk
     from cudaraytracer_tpu.core.camera import make_camera
 
-    n = 65   # 65x65 quads = 8450 tris > MAX_VMEM_PRIMS (8192)
+    monkeypatch.setattr(mk, "MAX_VMEM_PRIMS", 512)
+    monkeypatch.setattr(mk, "SEG_T", 256)     # == SUPER_T: 1 super/segment
+    n = 26   # 26x26 quads = 1352 tris > the patched 512 ceiling
     xs = np.linspace(-5, 5, n + 1)
     zs = np.linspace(-10, 0, n + 1)
     X, Z = np.meshgrid(xs, zs)
@@ -241,7 +254,7 @@ def test_megakernel_streaming_inside_shard_map():
     assert scene.n_triangles > mk.MAX_VMEM_PRIMS
     cam = make_camera((0, 4.0, 2.0), (0, 0, -5), (0, 1, 0), 55.0, 2.0,
                       0.0, 8.0)
-    mesh = make_mesh(8, tp=1)
+    mesh = make_mesh(4, tp=1)
     cfg_w = _cfg(width=32, height=16, integrator="path", samples=1,
                  max_depth=3)
     cfg_m = _cfg(width=32, height=16, integrator="path", samples=1,
@@ -310,11 +323,16 @@ def test_mega_tex_inside_shard_map():
     assert mk.mega_tex_supported(scene)
     cam = make_camera((0, 0.3, 1), (0, 0, -3), (0, 1, 0), 50.0, 2.0,
                       0.0, 4.0)
-    mesh = make_mesh(8, tp=1)
-    for quirks in (crt.Quirks.reference(), crt.Quirks.fixed()):
-        cfg_w = _cfg(integrator="path", samples=1, max_depth=4,
+    # 4-device mesh, ONE quirk profile, depth 3: this test proves the
+    # sharding COMPOSITION only — both quirk profiles and deeper paths are
+    # covered single-device in test_mega_tex.py, and the 8-device dual-
+    # profile version spent 533 s compiling (suite wall-clock, VERDICT #9).
+    # reference() keeps the lambertian_zero_uv att00 path in scope here.
+    mesh = make_mesh(4, tp=1)
+    for quirks in (crt.Quirks.reference(),):
+        cfg_w = _cfg(integrator="path", samples=1, max_depth=3,
                      quirks=quirks)
-        cfg_m = _cfg(integrator="path", samples=1, max_depth=4,
+        cfg_m = _cfg(integrator="path", samples=1, max_depth=3,
                      engine="mega", quirks=quirks)
         img_w = np.asarray(render_image_sharded(scene, cam,
                                                 jax.random.key(4), cfg_w,
