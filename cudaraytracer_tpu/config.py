@@ -112,6 +112,16 @@ class RenderConfig:
     # injected sample stream, wavefront backward replaying the same stream
     # (exact gradients, fused forward; path integrator only).
     engine: str = "wavefront"
+    # engine='wavefront' only: stably PARTITION the ray batch alive-first
+    # between bounces (two cumsums + ~15 O(N) gathers — no sort).  Dead
+    # lanes collapse into tail tiles that the alive-masked Pallas sweeps
+    # skip wholesale (tile early-out), so each bounce sweeps only ~the
+    # alive prefix; on the headline path-8 scene per-bounce alive fractions
+    # decay [100, 83, 32, 16, 8, 5, 3, 2, 2]% — a ~3.6x sweep-work
+    # reduction at full occupancy.  Permutation-only: values identical (the
+    # injected sample stream rides the permutation; radiance unscrambles by
+    # ONE final scatter).  Skipped automatically for replay/recording runs.
+    wavefront_compact: bool = False
     # engine='mega' only: after this many bounces, SORT the wavefront (dead
     # rays last, alive rays in Morton order of their scatter origin) and
     # resume in a second fused kernel — dead tiles then early-out and alive

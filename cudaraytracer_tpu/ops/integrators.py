@@ -170,6 +170,14 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     alive0 = jnp.ones((n,), bool)
     ambient = jnp.float32(cfg.quirks.ambient_on_absorb)
     primary_fn, bounce_fn = _split_fns(intersect_fn)
+    # alive-first inter-bounce partition (cfg.wavefront_compact): dead
+    # lanes collapse into tail tiles the alive-masked Pallas sweeps skip
+    # wholesale.  Pure permutation — the injected stream is gathered into
+    # the current arrangement per bounce and the radiance unscrambles by
+    # one final scatter.  Replay/recording runs keep original order (the
+    # winners arrays are position-indexed).
+    compact = bool(cfg.wavefront_compact) and winners is None \
+        and not return_winners
 
     def make_bounce(isect_fn, use_alive=True):
         # use_alive=False for the unrolled primary step (all lanes alive —
@@ -205,7 +213,12 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                 win = next(it)
         else:
             step = xs
-        rays, throughput, radiance, alive = carry
+        if compact:
+            rays, throughput, radiance, alive, idx = carry
+            if ball is not None:     # stream planes ride the permutation
+                ball, prob = ball[idx], prob[idx]
+        else:
+            rays, throughput, radiance, alive = carry
         bounce_key = jax.random.fold_in(key, step)
         # per-bounce gradient bucketing: this bounce's scene-parameter
         # cotangents all-reduce during ITS backward step, overlapping with
@@ -250,9 +263,18 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
             jnp.where(continues, sc.scattered.time, rays.time))
         ys = (jnp.where(alive & hits.hit, hits.prim, -1) if return_winners
               else None)
+        if compact:
+            from .megakernel import _partition_alive_first
+            order = _partition_alive_first(continues)
+            new_rays = Rays(new_rays.origin[order],
+                            new_rays.direction[order], new_rays.time[order])
+            return (new_rays, throughput[order], radiance[order],
+                    continues[order], idx[order]), ys
         return (new_rays, throughput, radiance, continues), ys
 
     carry = (rays, throughput0, radiance0, alive0)
+    if compact:
+        carry = carry + (jnp.arange(n, dtype=jnp.int32),)
     # Each bounce body is jax.checkpoint'ed: reverse-mode rematerializes per
     # bounce instead of storing rays x depth intermediates (SURVEY.md §7 hard
     # part 1 "memory-aware backward").  When a (primary, bounce) intersect
@@ -271,9 +293,12 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                                       carry, _scan_xs(1, cfg.max_depth + 1))
             if return_winners:
                 ys = jnp.concatenate([ys, ys1])
+    radiance = carry[2]
+    if compact:   # unscramble: one scatter (near-serial on TPU — pay once)
+        radiance = jnp.zeros_like(radiance).at[carry[4]].set(radiance)
     if return_winners:
-        return carry[2], ys
-    return carry[2]
+        return radiance, ys
+    return radiance
 
 
 def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,

@@ -1817,7 +1817,8 @@ def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
                            cfg: RenderConfig,
                            tables: Optional[MegaTables] = None,
                            compact_every: int = 1, samples=None,
-                           octants: Optional[bool] = None) -> Array:
+                           octants: Optional[bool] = None,
+                           first_window: Optional[int] = None) -> Array:
     """Fused path with CHEAP stable-partition compaction every N bounces.
 
     The single megakernel's per-bounce cost is FLAT on mixed tiles: one alive
@@ -1878,7 +1879,18 @@ def trace_path_mega_phased(scene: Scene, rays: Rays, key: jax.Array,
     state = None                             # (4, rl): thr rgb + alive
     step_lo, phase = 0, 0
     while step_lo < total:
-        n_steps = min(compact_every, total - step_lo)
+        # first_window: length of the FIRST phase window.  The round-4
+        # decomposition (docs/experiments/big_field_decomp.py) measured the
+        # first incoherent bounce as 44% of the 124k-tri frame, running on
+        # the UNCOMPACTED post-primary wavefront (1,055 live tiles vs the
+        # 889 a compaction would leave) — first_window=1 compacts right
+        # after the coherent primary pass.  MEASURED NEGATIVE on the field
+        # (9.52 -> 10.49 s/frame): the extra phase boundary's state
+        # round-trip + sort costs more than the ~16% of bounce-1 it saves.
+        # Kept as an explicit knob for other workload shapes.
+        window = (first_window if phase == 0 and first_window
+                  else compact_every)
+        n_steps = min(window, total - step_lo)
         last = step_lo + n_steps >= total
         sp = None
         if injected:

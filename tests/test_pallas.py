@@ -257,3 +257,47 @@ def test_triangle_bwd_no_nan_from_miss_rays():
     for g in (g0, g1, g2):
         assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g0)).max() > 0   # hit ray's grads still flow
+
+
+def test_wavefront_compact_bit_exact_and_grads():
+    """cfg.wavefront_compact (alive-first inter-bounce partition feeding the
+    alive-masked sweeps) is a pure permutation: values AND gradients must be
+    bit-identical to the unpartitioned wavefront under an injected stream,
+    on both the jnp and Pallas intersector paths."""
+    import dataclasses
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops import integrators as integ
+    from cudaraytracer_tpu.ops.render import pallas_intersector_pair
+    from cudaraytracer_tpu.core.camera import generate_pixel_rays
+
+    scene, cam = presets.three_spheres(aspect=2.0)
+    cfg = crt.RenderConfig(width=64, height=32, samples=2, max_depth=8,
+                           integrator="path", gamma=False)
+    ccfg = dataclasses.replace(cfg, wavefront_compact=True)
+    rays = generate_pixel_rays(cam, 64, 32, 2, jax.random.key(0))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(7), n, cfg.max_depth)
+
+    ref = np.asarray(integ.trace_path(scene, rays, jax.random.key(7), cfg,
+                                      samples=stream))
+    got = np.asarray(integ.trace_path(scene, rays, jax.random.key(7), ccfg,
+                                      samples=stream))
+    np.testing.assert_array_equal(got, ref)
+
+    p_ref = np.asarray(integ.trace_path(
+        scene, rays, jax.random.key(7), cfg, samples=stream,
+        intersect_fn=pallas_intersector_pair(cfg)))
+    p_got = np.asarray(integ.trace_path(
+        scene, rays, jax.random.key(7), ccfg, samples=stream,
+        intersect_fn=pallas_intersector_pair(ccfg)))
+    np.testing.assert_array_equal(p_got, p_ref)
+
+    def loss(c0, cfgx):
+        s = scene._replace(textures=scene.textures._replace(color0=c0))
+        return jnp.mean(integ.trace_path(s, rays, jax.random.key(7), cfgx,
+                                         samples=stream))
+
+    g1 = np.asarray(jax.grad(loss)(scene.textures.color0, cfg))
+    g2 = np.asarray(jax.grad(loss)(scene.textures.color0, ccfg))
+    np.testing.assert_array_equal(g1, g2)
+    assert np.abs(g1).max() > 1e-3
