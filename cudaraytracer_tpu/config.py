@@ -113,14 +113,14 @@ class RenderConfig:
     # (exact gradients, fused forward; path integrator only).
     engine: str = "wavefront"
     # engine='wavefront' only: stably PARTITION the ray batch alive-first
-    # between bounces (two cumsums + ~15 O(N) gathers — no sort).  Dead
-    # lanes collapse into tail tiles that the alive-masked Pallas sweeps
-    # skip wholesale (tile early-out), so each bounce sweeps only ~the
-    # alive prefix; on the headline path-8 scene per-bounce alive fractions
-    # decay [100, 83, 32, 16, 8, 5, 3, 2, 2]% — a ~3.6x sweep-work
-    # reduction at full occupancy.  Permutation-only: values identical (the
-    # injected sample stream rides the permutation; radiance unscrambles by
-    # ONE final scatter).  Skipped automatically for replay/recording runs.
+    # between bounces (two cumsums + ~15 O(N) gathers — no sort) so dead
+    # lanes collapse into tail tiles the alive-masked Pallas sweeps skip.
+    # MEASURED NEGATIVE on TPU at headline scale (3.30 -> 14.78 s/frame):
+    # arbitrary-permutation gathers cost ~3.5 ms per M-indices on v5e, so
+    # ~15 planes x 33M lanes x 9 bounces is ~4x the sweep work it saves,
+    # despite per-bounce alive decaying [100, 83, 32, 16, 8, 5, 3, 2, 2]%
+    # (docs/ROUND4_NOTES.md §11).  Kept as a tested, bit-exact knob
+    # (values AND gradients identical — permutation only); default off.
     wavefront_compact: bool = False
     # engine='mega' only: after this many bounces, SORT the wavefront (dead
     # rays last, alive rays in Morton order of their scatter origin) and
