@@ -122,6 +122,18 @@ class RenderConfig:
     # (docs/ROUND4_NOTES.md §11).  Kept as a tested, bit-exact knob
     # (values AND gradients identical — permutation only); default off.
     wavefront_compact: bool = False
+    # Sphere-sweep culling policy for the Pallas wavefront intersectors
+    # (ops/intersect.intersect_scene_pallas):
+    #   'morton'  — chunk-box culling on EVERY bounce over spheres permuted
+    #               into Morton order in-trace (winner ids mapped back; on
+    #               exact-t ties the winner follows Morton order, the same
+    #               caveat the mega tables carry).  The megakernel's recipe,
+    #               brought to the wavefront.
+    #   'primary' — cull coherent primary sweeps only (rounds 1-4 behavior;
+    #               the round-1 'culling loses 15% on bounces' measurement
+    #               predates the alive-vote exclusion and spatial ordering).
+    #   'off'     — never cull sphere sweeps.
+    wavefront_sphere_cull: str = "morton"
     # engine='mega' only: after this many bounces, SORT the wavefront (dead
     # rays last, alive rays in Morton order of their scatter origin) and
     # resume in a second fused kernel — dead tiles then early-out and alive

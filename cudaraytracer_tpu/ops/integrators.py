@@ -170,6 +170,27 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     alive0 = jnp.ones((n,), bool)
     ambient = jnp.float32(cfg.quirks.ambient_on_absorb)
     primary_fn, bounce_fn = _split_fns(intersect_fn)
+    # Sphere-block Morton permutation (cfg.wavefront_sphere_cull='morton',
+    # advertised by the built-in Pallas intersectors — custom intersect_fns
+    # with their own aux keep builder order): permute center/radius/mat ONCE
+    # so every sweep, finalize gather, and shade runs consistently in sorted
+    # space.  Spatially compact chunks make the every-bounce chunk-box
+    # culling fire (the megakernel's recipe, build_mega_tables) at ZERO
+    # per-ray cost — remapping winner ids per bounce instead measured
+    # +2.2 s/frame at headline scale (docs/ROUND4_NOTES.md §12).  Values
+    # identical up to exact-t ties (winner follows Morton order there, the
+    # same caveat the mega tables carry).  Skipped in replay mode: winners
+    # are recorded in SCENE space and replay_hits does no sweeps at all.
+    sphere_order = None
+    if (winners is None and getattr(bounce_fn, "morton_spheres", False)):
+        from . import pallas_intersect as _pk
+        if scene.n_spheres > _pk.PRIM_CHUNK:
+            sphere_order = _pk.morton_argsort(scene.spheres.center)
+            sp = scene.spheres
+            scene = scene._replace(spheres=sp._replace(
+                center=sp.center[sphere_order],
+                radius=sp.radius[sphere_order],
+                mat=sp.mat[sphere_order]))
     # alive-first inter-bounce partition (cfg.wavefront_compact): dead
     # lanes collapse into tail tiles the alive-masked Pallas sweeps skip
     # wholesale.  Pure permutation — the injected stream is gathered into
@@ -297,6 +318,14 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     if compact:   # unscramble: one scatter (near-serial on TPU — pay once)
         radiance = jnp.zeros_like(radiance).at[carry[4]].set(radiance)
     if return_winners:
+        if sphere_order is not None:
+            # recorded winners leave in SCENE (builder) space: sphere ids
+            # map back through the permutation, everything else (tri/rect/
+            # TRS offsets, -1 misses) is untouched.  One small gather per
+            # recorded render — never paid by plain rendering.
+            n_s = scene.n_spheres
+            ys = jnp.where((ys >= 0) & (ys < n_s),
+                           sphere_order[jnp.clip(ys, 0, n_s - 1)], ys)
         return radiance, ys
     return radiance
 

@@ -409,16 +409,25 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
                            t_max: float = float(BIG),
                            quirks: Quirks = Quirks(),
                            coherent: bool = False,
-                           alive: Array | None = None) -> Hits:
+                           alive: Array | None = None,
+                           sphere_cull: str = "primary") -> Hits:
     """Closest-hit via the fused Pallas kernels (ops/pallas_intersect.py):
     sphere and triangle sweeps run fully in VMEM with no (rays x prims)
     HBM materialization; rects (rare) stay on the jnp path.  Differentiable
     via the kernels' custom VJPs.
 
-    coherent=True enables tiled chunk-box culling for the sphere sweep too
-    (right for primary/camera rays rendered in swizzled screen blocks; wrong
-    for incoherent path bounces).  Triangle sweeps always cull — mesh chunks
-    are compact enough that the box test wins even for bounced rays.
+    sphere_cull selects the sphere-sweep culling policy:
+      * "all"     — chunk-box culling on EVERY sweep.  Only worth it when
+        the sphere table is spatially ordered (trace_path's 'morton' mode
+        permutes the scene's sphere block once and passes this policy —
+        without an order "every chunk spans the whole scene and the
+        per-chunk cull never fires", build_mega_tables).
+      * "primary" — cull only when coherent=True (builder order).
+      * "off"     — never cull.
+    coherent=True marks coherent primary/camera rays rendered in swizzled
+    screen blocks (the (primary, bounce) intersector pair).  Triangle
+    sweeps always cull — mesh chunks are compact enough that the box test
+    wins even for bounced rays.
 
     alive: optional bool/f32[N] mask from the path integrator's carry —
     fully dead (32 x 128) ray tiles skip the sweeps entirely and dead
@@ -434,9 +443,11 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     n_s, n_t, n_r = scene.n_spheres, scene.n_triangles, scene.n_rects
 
     if n_s:
+        cull = sphere_cull == "all" or (sphere_cull != "off" and coherent)
         st, si = pk.sphere_best_hit(rays.origin, rays.direction,
-                                    scene.spheres.center, scene.spheres.radius,
-                                    float(t_min), float(t_max), coherent,
+                                    scene.spheres.center,
+                                    scene.spheres.radius,
+                                    float(t_min), float(t_max), cull,
                                     alive)
         take = (si >= 0) & (st < best_t)
         best_t = jnp.where(take, st, best_t)

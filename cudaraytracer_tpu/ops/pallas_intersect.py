@@ -544,6 +544,31 @@ def _triangle_kernel_culled(tri_ref, box_ref, *rest, n_chunks: int,
         sweep()
 
 
+def morton_argsort(points: Array) -> Array:
+    """Traced Morton (30-bit) argsort of f32[N,3] points -> int32[N] order.
+
+    Used by intersect_scene_pallas to lay sphere chunks out spatially
+    compact INSIDE jit (the wavefront has no host-built aux tables by
+    design — the scene is the only input, and per-frame vertex updates
+    must not recompile).  The sort depends only on the scene, so XLA's
+    while-loop invariant code motion hoists it out of the bounce scan;
+    at wavefront scene scales (<= a few thousand prims) it is nanoseconds
+    either way."""
+    lo = points.min(axis=0)
+    span = jnp.maximum(points.max(axis=0) - lo, 1e-20)
+    q = jnp.clip((points - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return jnp.argsort(code, stable=True).astype(jnp.int32)
+
+
 def morton_order(v0: Array, v1: Array, v2: Array):
     """Spatial sort order of triangles by 30-bit Morton code of centroids
     (host-side numpy) — makes PRIM_CHUNK chunks spatially compact."""

@@ -59,12 +59,22 @@ def pallas_intersector(cfg: RenderConfig, coherent: bool = False):
     sphere sweep with chunk boxes (use for primary-ray-only work)."""
     k = (cfg, coherent)
     if k not in _PALLAS_FN_CACHE:
-        def fn(scene, rays, aux, alive=None, _cfg=cfg, _coh=coherent):
+        # cfg.wavefront_sphere_cull='morton': the intersector itself uses
+        # the plain 'all' culling policy and ADVERTISES morton_spheres —
+        # trace_path sees the flag and permutes the scene's sphere block
+        # into Morton order ONCE per trace, which is what makes the
+        # every-bounce chunk culling fire (and costs no per-ray id remap).
+        mode = cfg.wavefront_sphere_cull
+        policy = {"morton": "all"}.get(mode, mode)
+
+        def fn(scene, rays, aux, alive=None, _cfg=cfg, _coh=coherent,
+               _policy=policy):
             # alive: dead-tile early-out mask threaded by the path
             # integrator's scan (see intersect_scene_pallas)
-            return _isect.intersect_scene_pallas(scene, rays, _cfg.t_min,
-                                                 _cfg.t_max, _cfg.quirks,
-                                                 _coh, alive)
+            return _isect.intersect_scene_pallas(
+                scene, rays, _cfg.t_min, _cfg.t_max, _cfg.quirks, _coh,
+                alive, sphere_cull=_policy)
+        fn.morton_spheres = mode == "morton"
         _PALLAS_FN_CACHE[k] = fn
     return _PALLAS_FN_CACHE[k]
 
