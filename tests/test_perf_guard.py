@@ -8,15 +8,19 @@ f32 row gather, whose backward on XLA:CPU assembles a wide cotangent row
 (models/materials.decode_materials) and splits static columns into an
 int32 gather with no VJP.
 
-This test pins the RATIO of grad-step to forward-render wall time on CPU
-at small shape.  A ratio is used, not absolute times, because the two legs
-share host conditions (the 4-core host is noisy; absolute times swing 2x).
-Measured ratios on this host: 2.4 (fixed), 2.8 (pre-regression), 3.5
-(regressed).  The bound 3.3 re-fails if the regression class returns while
-tolerating ~35% ratio noise.
+Round-4 rework: the original guard pinned the grad/fwd WALL ratio (2.4
+fixed / 3.5 regressed, bound 3.3), but wall time on this shared 4-core
+host tripped twice under concurrent load (full-suite + TPU bench runs) —
+a flaky guard trains people to ignore it.  This version pins the
+COMPILED COST instead: XLA:CPU "bytes accessed" of the jitted grad step
+at fixed shapes is deterministic (same HLO -> same number, immune to
+contention and xdist).  Measured on this host: fixed form 429 MB,
+regressed consolidated form 551 MB (+28% — the wide cotangent-row
+assembly and extra scatter columns are exactly what it counts).
+Bound 480 MB re-fails the regression class with ~12% headroom for noise
+in unrelated changes; if a DELIBERATE feature legitimately raises grad
+bytes, re-baseline the bound in the same commit and say why.
 """
-
-import time
 
 import jax
 import jax.numpy as jnp
@@ -27,19 +31,14 @@ from cudaraytracer_tpu.models import presets
 from cudaraytracer_tpu.ops.integrators import integrate
 
 
-def _min_batches(fn, arg, iters=3, batches=4):
-    jax.block_until_ready(fn(arg))          # warmup/compile
-    ts = []
-    for _ in range(batches):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(arg)
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / iters)
-    return min(ts)
+def _bytes_accessed(compiled) -> float:
+    c = compiled.cost_analysis()
+    if isinstance(c, (list, tuple)):   # older jax returns [dict]
+        c = c[0]
+    return float(c.get("bytes accessed", 0.0))
 
 
-def test_grad_step_to_forward_ratio_cpu():
+def test_grad_step_compiled_bytes_cpu():
     scene, cam = presets.three_spheres(aspect=2.0)
     cfg = crt.RenderConfig(width=256, height=128, samples=2, max_depth=8,
                            integrator="path", ray_chunk=1 << 20, gamma=False)
@@ -47,21 +46,22 @@ def test_grad_step_to_forward_ratio_cpu():
                                jax.random.key(0))
     key = jax.random.key(1)
 
-    fwd = jax.jit(lambda s: jnp.mean(integrate(s, rays, key, cfg)))
-
     def loss(p):
         s = scene._replace(
             spheres=scene.spheres._replace(center=p["centers"]),
             textures=scene.textures._replace(color0=p["albedo"]))
         return jnp.mean(integrate(s, rays, key, cfg))
 
-    grad = jax.jit(jax.grad(loss))
     p0 = {"centers": scene.spheres.center, "albedo": scene.textures.color0}
-
-    t_f = _min_batches(fwd, scene)
-    t_g = _min_batches(grad, p0)
-    ratio = t_g / max(t_f, 1e-9)
-    assert ratio < 3.3, (
-        f"grad/fwd wall ratio {ratio:.2f} (grad {t_g:.4f}s fwd {t_f:.4f}s) — "
-        "the backward got disproportionately slower on CPU; see module "
-        "docstring (SCALING_r03 regression class)")
+    grad_mb = _bytes_accessed(
+        jax.jit(jax.grad(loss)).lower(p0).compile()) / 1e6
+    fwd_mb = _bytes_accessed(
+        jax.jit(lambda s: jnp.mean(integrate(s, rays, key, cfg)))
+        .lower(scene).compile()) / 1e6
+    assert grad_mb > 0 and fwd_mb > 0, "cost_analysis returned nothing"
+    assert grad_mb < 480.0, (
+        f"compiled grad step reads/writes {grad_mb:.0f} MB (fwd "
+        f"{fwd_mb:.0f} MB) — the backward got disproportionately heavier "
+        "on CPU; see module docstring (SCALING_r03 regression class).  If "
+        "this is a deliberate feature, re-baseline the bound in the same "
+        "commit and document why.")
