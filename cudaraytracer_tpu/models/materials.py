@@ -109,9 +109,21 @@ def decode_materials(mat: MaterialTable, tex: TextureTable, mat_id: Array,
             ref_idx=mat.ref_idx[mat_id], albedo=mat.albedo[mat_id],
             tex_kind=tex.kind[tid].astype(jnp.float32), c0=tex.color0[tid],
             c1=tex.color1[tid], img=img, wh=tex.image_wh[img])
+    row = decode_table(mat, tex)[mat_id]
+    return decoded_from_rows(row)
+
+
+DEC_COLS = 16      # decode_table row width (DecodedMaterials packed)
+
+
+def decode_table(mat: MaterialTable, tex: TextureTable) -> Array:
+    """The (M, 16) packed material/texture decode table of the consolidated
+    form — also appended per-PRIM to ops/intersect._prim_rows so finalize
+    and decode share ONE per-ray gather (the decode gather measured ~0.45 s
+    of the r4 wavefront headline frame as a separate op)."""
     tid = mat.tex_id
     img = tex.image_id[tid]
-    tbl = jnp.concatenate([
+    return jnp.concatenate([
         mat.kind.astype(jnp.float32)[:, None],
         mat.fuzz[:, None],
         mat.ref_idx[:, None],
@@ -122,7 +134,10 @@ def decode_materials(mat: MaterialTable, tex: TextureTable, mat_id: Array,
         img.astype(jnp.float32)[:, None],
         tex.image_wh[img].astype(jnp.float32),
     ], axis=1)                                   # (M, 16)
-    row = tbl[mat_id]
+
+
+def decoded_from_rows(row: Array) -> DecodedMaterials:
+    """Unpack gathered decode_table rows (..., 16) -> DecodedMaterials."""
     return DecodedMaterials(
         kind=row[..., 0], fuzz=row[..., 1], ref_idx=row[..., 2],
         albedo=row[..., 3:6], tex_kind=row[..., 6], c0=row[..., 7:10],

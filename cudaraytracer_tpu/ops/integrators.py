@@ -253,9 +253,14 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
             hits = _intersect(bscene, rays, cfg, isect_fn, aux,
                               alive=alive if use_alive else None)
 
-        # one material/texture row gather serves emitted AND scatter
-        dec = _mat.decode_materials(bscene.materials, bscene.textures,
-                                    hits.mat)
+        # one material/texture row gather serves emitted AND scatter; when
+        # finalize could fold the decode columns into its winner-row gather
+        # (hits.dec, TPU consolidated form on sphere/tri-only scenes) the
+        # bounce pays NO separate decode gather at all
+        dec = hits.dec
+        if dec is None:
+            dec = _mat.decode_materials(bscene.materials, bscene.textures,
+                                        hits.mat)
         emitted = _mat.emitted(bscene.materials, bscene.textures, hits.mat,
                                hits.u, hits.v, hits.p, dec=dec)
         sc = _mat.scatter(bscene.materials, bscene.textures, hits.mat, rays,
@@ -334,7 +339,9 @@ def lambert_shade(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                   intersect_fn=None, aux=None) -> Array:
     """LambertShade (render.h:70-87), the reference's active integrator."""
     hits = _intersect(scene, rays, cfg, _split_fns(intersect_fn)[0], aux)
-    dec = _mat.decode_materials(scene.materials, scene.textures, hits.mat)
+    dec = hits.dec
+    if dec is None:
+        dec = _mat.decode_materials(scene.materials, scene.textures, hits.mat)
     emitted = _mat.emitted(scene.materials, scene.textures, hits.mat,
                            hits.u, hits.v, hits.p, dec=dec)
     sc = _mat.scatter(scene.materials, scene.textures, hits.mat, rays,

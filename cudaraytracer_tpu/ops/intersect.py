@@ -34,6 +34,10 @@ Array = jnp.ndarray
 import numpy as _np
 BIG = _np.float32(3.4028235e38)
 TRI_EPSILON = 1e-6               # triangle.h:9 EPSILON
+# Fold the material decode columns into finalize_hits' winner-row gather
+# (consolidated TPU form, sphere/tri-only scenes).  Module-level so the
+# A/B is testable; see _prim_rows(with_dec)/Hits.dec.
+FOLD_DEC = True
 
 
 class Hits(NamedTuple):
@@ -47,6 +51,15 @@ class Hits(NamedTuple):
     v: Array       # f32[N]
     mat: Array     # int32[N]
     prim: Array    # int32[N] global primitive id (spheres, then tris, then rects)
+    # Pre-decoded material/texture fields for the winner, when finalize_hits
+    # could fold the decode columns into its winner-row gather (consolidated
+    # TPU form, sphere/triangle-only scenes).  The separate per-ray
+    # decode_materials gather measured ~0.45 s/frame on the r4 wavefront
+    # headline; sharing the row gather removes it.  None -> the bounce body
+    # decodes via decode_materials as before.  Miss lanes carry prim-0's
+    # decoded row (the old form decoded mat 0 there) — both are masked
+    # downstream and only need to be finite.
+    dec: object = None   # Optional[models.materials.DecodedMaterials]
 
 
 # ---------------------------------------------------------------------------
@@ -476,8 +489,14 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks)
 
 
+def _prim_geom_width(scene: Scene) -> int:
+    """f32 geometry-column count of _prim_rows rows (mat column follows)."""
+    return max(4, 12 if scene.n_triangles else 4)
+
+
 def _prim_rows(scene: Scene, tri_override=None,
-               consolidate: bool | None = None) -> tuple[Array, Array]:
+               consolidate: bool | None = None,
+               with_dec: bool = False) -> tuple[Array, Array]:
     """Unified per-primitive row tables for finalize_hits/replay_hits:
     (f32 geometry rows, i32-or-f32 material ids) over [spheres|triangles]
     — sphere rows [center(3), radius(1), pad...], triangle rows [v0(3),
@@ -498,8 +517,7 @@ def _prim_rows(scene: Scene, tri_override=None,
     if consolidate is None:
         consolidate = jax.default_backend() == "tpu"
     n_s, n_t = scene.n_spheres, scene.n_triangles
-    tri_w = 12 if n_t else 4
-    width = max(4, tri_w)
+    width = _prim_geom_width(scene)
     blocks, mats = [], []
     if n_s:
         sp = scene.spheres
@@ -519,8 +537,16 @@ def _prim_rows(scene: Scene, tri_override=None,
     geom = jnp.concatenate(blocks)
     mat = jnp.concatenate(mats)
     if consolidate:
-        return jnp.concatenate(
-            [geom, mat.astype(jnp.float32)[:, None]], axis=1), None
+        cols = [geom, mat.astype(jnp.float32)[:, None]]
+        if with_dec:
+            # fold the (M, 16) decode_table rows in per PRIM (a tiny
+            # n_prims-row gather) so the per-RAY winner gather serves
+            # finalize geometry AND material decode in ONE op — TPU
+            # gathers pay per op, not per byte (gather_micro.py)
+            from ..models import materials as _m
+            cols.append(_m.decode_table(scene.materials,
+                                        scene.textures)[mat])
+        return jnp.concatenate(cols, axis=1), None
     return geom, mat
 
 
@@ -579,14 +605,26 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
     vv = jnp.zeros((n,), jnp.float32)
     mat = jnp.zeros((n,), jnp.int32)
 
+    base = n_s + n_t + n_r
+    n_ts, n_tt = scene.n_t_spheres, scene.n_t_triangles
+    n_x = n_r + n_ts + n_tt
+    dec = None
     if n_s or n_t:
-        prow, pmat = _prim_rows(scene, tri_override)
+        # dec folding only when EVERY possible winner rides this row table
+        # (no rect/TRS lanes to merge a different material into) — those
+        # scenes keep the separate decode gather in the bounce body
+        want_dec = n_x == 0 and FOLD_DEC
+        prow, pmat = _prim_rows(scene, tri_override, with_dec=want_dec)
         cidx = jnp.clip(idx, 0, max(n_s + n_t - 1, 0))
         row = prow[cidx]
-        # consolidated (TPU) form: mat rides the f32 row's last column;
-        # split (CPU) form: separate int32 gather (no VJP)
-        row_mat = (row[..., -1].astype(jnp.int32) if pmat is None
+        # consolidated (TPU) form: mat rides the f32 column after the
+        # geometry block; split (CPU) form: separate int32 gather (no VJP)
+        gw = _prim_geom_width(scene)
+        row_mat = (row[..., gw].astype(jnp.int32) if pmat is None
                    else pmat[cidx])
+        if want_dec and pmat is None and row.shape[-1] > gw + 1:
+            from ..models import materials as _m
+            dec = _m.decoded_from_rows(row[..., gw + 1:gw + 1 + _m.DEC_COLS])
     if n_s:
         center = row[..., 0:3]
         is_s = hit & (best_idx < n_s)
@@ -623,9 +661,6 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         vv = jnp.where(is_t, tv, vv)
         mat = jnp.where(is_t, row_mat, mat)
 
-    base = n_s + n_t + n_r
-    n_ts, n_tt = scene.n_t_spheres, scene.n_t_triangles
-    n_x = n_r + n_ts + n_tt
     if n_x:
         # ONE row gather + ONE per-lane TransformRay for all three
         # transform-tested classes (see _xform_rows); recompute the winner's
@@ -707,7 +742,7 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         vv = jnp.where(is_tt, ttv, vv)
         mat = jnp.where(is_tt, x_mat, mat)
 
-    return Hits(hit, t, p, normal, u, vv, mat, best_idx)
+    return Hits(hit, t, p, normal, u, vv, mat, best_idx, dec)
 
 
 def replay_hits(scene: Scene, rays: Rays, winner: Array, t_min, t_max,
