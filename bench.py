@@ -362,12 +362,18 @@ def main() -> int:
                                  pallas_intersector(wtcfg), n_iters)
             secondary["tex_scene_wavefront_sec"] = round(wtdt, 4)
 
-    if os.environ.get("BENCH_WAVEFRONT", "0") == "1":
+    if os.environ.get("BENCH_WAVEFRONT", "1") == "1":
+        # default ON since round 4: the differentiable engine is a headline
+        # metric in its own right (14.1M rays/s after the alive-mask +
+        # Morton-cull + dec-fold work) and its compile is ~20 s at 16spp.
+        # 16spp regardless of BENCH_SPP: rays/s is ~spp-invariant and the
+        # 100spp wavefront program compiles ~5x slower through the tunnel.
         import dataclasses
-        wcfg = dataclasses.replace(cfg, engine="wavefront")
+        wcfg = dataclasses.replace(cfg, engine="wavefront", samples=16)
         wdt = _timed_render(scene, cam, wcfg, pallas_intersector(wcfg),
                             n_iters)
-        secondary["wavefront_rays_per_sec"] = round(rays / wdt, 1)
+        secondary["wavefront_rays_per_sec"] = round(
+            width * height * 16 / wdt, 1)
 
     if os.environ.get("BENCH_FIT", "1") == "1":
         wdt_f, mdt_f = _fit_step_times()
