@@ -38,6 +38,10 @@ TRI_EPSILON = 1e-6               # triangle.h:9 EPSILON
 # (consolidated TPU form, sphere/tri-only scenes).  Module-level so the
 # A/B is testable; see _prim_rows(with_dec)/Hits.dec.
 FOLD_DEC = True
+# Test hook: force the consolidated row form on/off regardless of backend
+# (None = follow jax.default_backend()).  The CPU suite uses it to exercise
+# the TPU-default fold path (tests/test_intersect.py).
+CONSOLIDATE = None
 
 
 class Hits(NamedTuple):
@@ -515,7 +519,8 @@ def _prim_rows(scene: Scene, tri_override=None,
     concat's VJP is a slice, the gather's a scatter-add — same gradients
     as the per-field form up to fp summation order."""
     if consolidate is None:
-        consolidate = jax.default_backend() == "tpu"
+        consolidate = (CONSOLIDATE if CONSOLIDATE is not None
+                       else jax.default_backend() == "tpu")
     n_s, n_t = scene.n_spheres, scene.n_triangles
     width = _prim_geom_width(scene)
     blocks, mats = [], []

@@ -438,3 +438,88 @@ def test_prim_rows_consolidated_vs_split_forms():
     np.testing.assert_array_equal(np.asarray(cons[:, :-1]), np.asarray(split))
     np.testing.assert_array_equal(np.asarray(cons[:, -1]).astype(np.int32),
                                   np.asarray(mat_s))
+
+
+def test_fold_dec_path_matches_separate_decode():
+    """The TPU-default dec folding (finalize_hits gathers geometry AND the
+    packed decode_table columns in ONE winner-row gather, Hits.dec) must
+    render bit-identically to the separate decode_materials gather, and
+    Hits.dec itself must equal decode_materials(hits.mat) on hit lanes.
+    CPU never takes the fold by default (consolidate follows the backend),
+    so this test forces it via the isect.CONSOLIDATE hook."""
+    import dataclasses
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import materials as M
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops.render import pallas_intersector, render_pixels
+
+    rng = np.random.default_rng(11)
+    b = SceneBuilder()
+    m = b.materials
+    mats = [m.lambertian(m.textures.checker((.8, .8, .8), (.1, .2, .1))),
+            m.metal((0.8, 0.6, 0.2), 0.2), m.dielectric(1.5),
+            m.diffuse_light(color=(4, 3, 2)),
+            m.lambertian(tex_id=m.textures.image(
+                rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)))]
+    b.add_sphere((0, -100.5, -2), 100.0, mats[0])
+    for k in range(8):
+        b.add_sphere(rng.uniform(-2, 2, 3) - [0, 0, 4],
+                     float(rng.uniform(0.3, 0.8)), mats[k % 5])
+    for k in range(4):
+        v0 = rng.uniform(-2, 2, 3) - [0, 0, 4]
+        b.add_triangle(v0, v0 + rng.uniform(-1, 1, 3),
+                       v0 + rng.uniform(-1, 1, 3), mats[k % 5])
+    scene = b.build()
+    cfg = crt.RenderConfig(width=32, height=16, samples=2, max_depth=4,
+                           integrator="path", gamma=False)
+
+    _, cam = presets.three_spheres(aspect=2.0)
+
+    def render2(fold):
+        isect.FOLD_DEC = fold
+        jax.clear_caches()
+        try:
+            return np.asarray(render_pixels(scene, cam, jax.random.key(2),
+                                            cfg, None,
+                                            pallas_intersector(cfg)))
+        finally:
+            isect.FOLD_DEC = True
+
+    isect.CONSOLIDATE = True
+    try:
+        img_fold = render2(True)
+        img_sep = render2(False)
+        np.testing.assert_array_equal(img_fold, img_sep)
+
+        # Hits.dec equals decode_materials on hit lanes
+        r = _rays([[0, 0.2, 0]] * 64,
+                  np.stack([np.linspace(-0.6, 0.6, 64),
+                            np.linspace(-0.3, 0.5, 64),
+                            -np.ones(64)], 1))
+        hits = isect.intersect_scene_pallas(scene, r, quirks=Quirks.reference())
+        assert hits.dec is not None
+        ref_dec = M.decode_materials(scene.materials, scene.textures,
+                                     hits.mat, consolidate=True)
+        hm = np.asarray(hits.hit)
+        for got, want in zip(hits.dec, ref_dec):
+            np.testing.assert_array_equal(np.asarray(got)[hm],
+                                          np.asarray(want)[hm])
+    finally:
+        isect.CONSOLIDATE = None
+        jax.clear_caches()
+
+    # scenes with rect/TRS prims keep the separate decode (dec is None)
+    b2 = SceneBuilder()
+    m2 = b2.materials
+    b2.add_sphere((0, 0, -3), 0.5, m2.lambertian(color=(0.5, 0.5, 0.5)))
+    b2.add_rect(m2.diffuse_light(color=(1, 1, 1)), position=(0, 2, -3),
+                rotation=(90, 0, 0))
+    s2 = b2.build()
+    isect.CONSOLIDATE = True
+    try:
+        h2 = isect.intersect_scene_pallas(s2, _rays([[0, 0, 0]], [[0, 0, -1]]),
+                                          quirks=Quirks.reference())
+        assert h2.dec is None
+    finally:
+        isect.CONSOLIDATE = None
+        jax.clear_caches()
