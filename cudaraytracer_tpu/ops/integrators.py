@@ -181,7 +181,7 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     # identical up to exact-t ties (winner follows Morton order there, the
     # same caveat the mega tables carry).  Skipped in replay mode: winners
     # are recorded in SCENE space and replay_hits does no sweeps at all.
-    sphere_order = None
+    sphere_order = tri_order = None
     if (winners is None and getattr(bounce_fn, "morton_spheres", False)):
         from . import pallas_intersect as _pk
         if scene.n_spheres > _pk.PRIM_CHUNK:
@@ -191,6 +191,16 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
                 center=sp.center[sphere_order],
                 radius=sp.radius[sphere_order],
                 mat=sp.mat[sphere_order]))
+        # triangles too: the tri sweeps cull on every bounce already, but
+        # builder/OBJ order leaves chunk boxes loose; Morton-compact
+        # centroids tighten them (same zero-remap trick, same tie caveat)
+        if scene.n_triangles > _pk.PRIM_CHUNK:
+            tr = scene.triangles
+            tri_order = _pk.morton_argsort((tr.v0 + tr.v1 + tr.v2) / 3.0)
+            scene = scene._replace(triangles=tr._replace(
+                v0=tr.v0[tri_order], v1=tr.v1[tri_order],
+                v2=tr.v2[tri_order], normal=tr.normal[tri_order],
+                mat=tr.mat[tri_order]))
     # alive-first inter-bounce partition (cfg.wavefront_compact): dead
     # lanes collapse into tail tiles the alive-masked Pallas sweeps skip
     # wholesale.  Pure permutation — the injected stream is gathered into
@@ -323,14 +333,20 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
     if compact:   # unscramble: one scatter (near-serial on TPU — pay once)
         radiance = jnp.zeros_like(radiance).at[carry[4]].set(radiance)
     if return_winners:
-        if sphere_order is not None:
-            # recorded winners leave in SCENE (builder) space: sphere ids
-            # map back through the permutation, everything else (tri/rect/
-            # TRS offsets, -1 misses) is untouched.  One small gather per
-            # recorded render — never paid by plain rendering.
-            n_s = scene.n_spheres
-            ys = jnp.where((ys >= 0) & (ys < n_s),
-                           sphere_order[jnp.clip(ys, 0, n_s - 1)], ys)
+        if sphere_order is not None or tri_order is not None:
+            # recorded winners leave in SCENE (builder) space: sphere/tri
+            # ids map back through their permutations, everything else
+            # (rect/TRS offsets, -1 misses) is untouched.  One small
+            # gather per recorded render — never paid by plain rendering.
+            n_s, n_t = scene.n_spheres, scene.n_triangles
+            if sphere_order is not None:
+                ys = jnp.where((ys >= 0) & (ys < n_s),
+                               sphere_order[jnp.clip(ys, 0, n_s - 1)], ys)
+            if tri_order is not None:
+                in_t = (ys >= n_s) & (ys < n_s + n_t)
+                ys = jnp.where(
+                    in_t,
+                    n_s + tri_order[jnp.clip(ys - n_s, 0, n_t - 1)], ys)
         return radiance, ys
     return radiance
 
