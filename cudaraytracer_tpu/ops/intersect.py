@@ -56,13 +56,13 @@ class Hits(NamedTuple):
     mat: Array     # int32[N]
     prim: Array    # int32[N] global primitive id (spheres, then tris, then rects)
     # Pre-decoded material/texture fields for the winner, when finalize_hits
-    # could fold the decode columns into its winner-row gather (consolidated
-    # TPU form, sphere/triangle-only scenes).  The separate per-ray
-    # decode_materials gather measured ~0.45 s/frame on the r4 wavefront
-    # headline; sharing the row gather removes it.  None -> the bounce body
-    # decodes via decode_materials as before.  Miss lanes carry prim-0's
-    # decoded row (the old form decoded mat 0 there) — both are masked
-    # downstream and only need to be finite.
+    # could fold the decode columns into its winner-row gathers (the
+    # consolidated TPU form; prim rows and xform rows both carry them).
+    # The separate per-ray decode_materials gather measured ~0.45 s/frame
+    # on the r4 wavefront headline; sharing the row gather removes it.
+    # None -> the bounce body decodes via decode_materials as before.
+    # Miss lanes carry prim-0's decoded row (the old form decoded mat 0
+    # there) — both are masked downstream and only need to be finite.
     dec: object = None   # Optional[models.materials.DecodedMaterials]
 
 
@@ -555,12 +555,13 @@ def _prim_rows(scene: Scene, tri_override=None,
     return geom, mat
 
 
-def _xform_rows(scene: Scene) -> Array:
+def _xform_rows(scene: Scene, with_dec: bool = False) -> Array:
     """Unified row table for the transform-tested classes
     [rects | t_spheres | t_triangles] x 23 f32 columns:
     [trs.position(3), trs.rotation(3), trs.scale(3), mat(1),
      {rect: object-normal z (+-1) | t_sphere: radius | t_triangle: 0}(1),
-     t_triangle v0(3), v1(3), v2(3), object normal(3)].
+     t_triangle v0(3), v1(3), v2(3), object normal(3)]
+    (+ the 16 packed decode_table columns when with_dec — see _prim_rows).
 
     Same rationale as _prim_rows: finalize_hits/replay_hits gather ONE row
     per winner and recompute that prim's continuous quantities on a
@@ -591,8 +592,14 @@ def _xform_rows(scene: Scene) -> Array:
             ttri.mat.astype(jnp.float32)[:, None],
             jnp.zeros((n_tt, 1), jnp.float32),
             ttri.v0, ttri.v1, ttri.v2, ttri.normal], axis=1))
-    return jnp.concatenate(blocks) if blocks else jnp.zeros((1, 23),
-                                                            jnp.float32)
+    rows = (jnp.concatenate(blocks) if blocks
+            else jnp.zeros((1, 23), jnp.float32))
+    if with_dec and blocks:
+        from ..models import materials as _m
+        rows = jnp.concatenate(
+            [rows, _m.decode_table(scene.materials, scene.textures)[
+                rows[:, 9].astype(jnp.int32)]], axis=1)
+    return rows
 
 
 def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
@@ -613,13 +620,16 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
     base = n_s + n_t + n_r
     n_ts, n_tt = scene.n_t_spheres, scene.n_t_triangles
     n_x = n_r + n_ts + n_tt
+    # dec folding (consolidated TPU form): the winner-row gathers — prim
+    # rows AND xform rows — carry the 16 packed decode_table columns, so
+    # the bounce body pays NO separate per-ray decode gather (Hits.dec)
+    consolidate = (CONSOLIDATE if CONSOLIDATE is not None
+                   else jax.default_backend() == "tpu")
+    want_dec = FOLD_DEC and consolidate
     dec = None
     if n_s or n_t:
-        # dec folding only when EVERY possible winner rides this row table
-        # (no rect/TRS lanes to merge a different material into) — those
-        # scenes keep the separate decode gather in the bounce body
-        want_dec = n_x == 0 and FOLD_DEC
-        prow, pmat = _prim_rows(scene, tri_override, with_dec=want_dec)
+        prow, pmat = _prim_rows(scene, tri_override, consolidate,
+                                with_dec=want_dec)
         cidx = jnp.clip(idx, 0, max(n_s + n_t - 1, 0))
         row = prow[cidx]
         # consolidated (TPU) form: mat rides the f32 column after the
@@ -670,7 +680,8 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         # ONE row gather + ONE per-lane TransformRay for all three
         # transform-tested classes (see _xform_rows); recompute the winner's
         # continuous quantities instead of re-sweeping every candidate.
-        xrow = _xform_rows(scene)[jnp.clip(idx - n_s - n_t, 0, n_x - 1)]
+        xrow = _xform_rows(scene, with_dec=want_dec)[
+            jnp.clip(idx - n_s - n_t, 0, n_x - 1)]
         x_rot = xrow[..., 3:6]
         xo, xd, _ = _transform_rays_single(rays, xrow[..., 0:3], x_rot,
                                            xrow[..., 6:9])
@@ -746,6 +757,20 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
         u = jnp.where(is_tt, ttu, u)
         vv = jnp.where(is_tt, ttv, vv)
         mat = jnp.where(is_tt, x_mat, mat)
+
+    if n_x and want_dec:
+        # merge the xform winners' decode columns into dec per lane (the
+        # same where-merge finalize already does for p/normal/mat)
+        from ..models import materials as _m
+        xdec = _m.decoded_from_rows(xrow[..., 23:23 + _m.DEC_COLS])
+        if dec is None:           # xform-only scene: xrow covers all lanes
+            dec = xdec
+        else:
+            is_x = hit & (best_idx >= n_s + n_t)
+            dec = jax.tree.map(
+                lambda a, b: jnp.where(
+                    is_x.reshape(is_x.shape + (1,) * (a.ndim - 1)), a, b),
+                xdec, dec)
 
     return Hits(hit, t, p, normal, u, vv, mat, best_idx, dec)
 

@@ -508,18 +508,42 @@ def test_fold_dec_path_matches_separate_decode():
         isect.CONSOLIDATE = None
         jax.clear_caches()
 
-    # scenes with rect/TRS prims keep the separate decode (dec is None)
+    # scenes with rect/TRS prims fold too: the xform rows carry the same
+    # decode columns, merged per lane — dec must match decode_materials
+    # for sphere AND rect winners
     b2 = SceneBuilder()
     m2 = b2.materials
     b2.add_sphere((0, 0, -3), 0.5, m2.lambertian(color=(0.5, 0.5, 0.5)))
-    b2.add_rect(m2.diffuse_light(color=(1, 1, 1)), position=(0, 2, -3),
-                rotation=(90, 0, 0))
+    b2.add_rect(m2.diffuse_light(color=(2, 1, 1)), position=(0, 2, -3),
+                rotation=(0, 0, 0), scale=(3, 3, 1))
+    b2.add_sphere((1.2, 0, -3), 0.4, m2.metal((0.9, 0.8, 0.7), 0.05),
+                  scale=(1.0, 1.4, 1.0))
     s2 = b2.build()
+    assert s2.n_rects == 1 and s2.n_t_spheres == 1
     isect.CONSOLIDATE = True
     try:
-        h2 = isect.intersect_scene_pallas(s2, _rays([[0, 0, 0]], [[0, 0, -1]]),
-                                          quirks=Quirks.reference())
-        assert h2.dec is None
+        # a fan from the origin (plain + TRS sphere winners) plus
+        # perpendicular rays from the y=2 plane (rect winners — the
+        # unscaled-origin TransformRay quirk makes oblique aim tricky)
+        dirs = np.stack([np.repeat(np.linspace(-0.2, 0.6, 6), 4),
+                         np.tile(np.linspace(-0.15, 0.3, 4), 6),
+                         -np.ones(24)], 1)
+        o = np.concatenate([np.zeros((24, 3)),
+                            np.stack([np.linspace(-1.2, 1.2, 24),
+                                      np.full(24, 2.0),
+                                      np.zeros(24)], 1)])
+        d = np.concatenate([dirs, np.tile([[0.0, 0.0, -1.0]], (24, 1))])
+        r2 = _rays(o, d)
+        h2 = isect.intersect_scene_pallas(s2, r2, quirks=Quirks.reference())
+        assert h2.dec is not None
+        prims = np.asarray(h2.prim)
+        assert (prims == 1).any() and (prims == 2).any(), prims  # rect+TRS
+        ref2 = M.decode_materials(s2.materials, s2.textures, h2.mat,
+                                  consolidate=True)
+        hm2 = np.asarray(h2.hit)
+        for got, want in zip(h2.dec, ref2):
+            np.testing.assert_array_equal(np.asarray(got)[hm2],
+                                          np.asarray(want)[hm2])
     finally:
         isect.CONSOLIDATE = None
         jax.clear_caches()
