@@ -64,7 +64,10 @@ def main(argv=None):
     cfg = crt.RenderConfig(width=args.width, height=args.height,
                            samples=args.samples, max_depth=4,
                            integrator="path", gamma=False,
-                           engine=args.engine)
+                           engine=args.engine,
+                           # gradient workload: grad-optimized sweep form
+                           # (config.py wavefront_kernel_attrs)
+                           wavefront_kernel_attrs=True)
 
     target = render_image(scene, cam, jax.random.key(1234), cfg)
     os.makedirs(args.out, exist_ok=True)

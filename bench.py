@@ -183,7 +183,8 @@ def _bwd_fwd_ratios(scene, cam, cfg):
 
     gcfg = dataclasses.replace(cfg, width=256, height=256, samples=4,
                                gamma=False, ray_chunk=1 << 17,
-                               engine="wavefront")
+                               engine="wavefront",
+                               wavefront_kernel_attrs=True)
     pix = jnp.arange(gcfg.width * gcfg.height, dtype=jnp.int32)
     gkey = jax.random.key(5)
 
@@ -235,7 +236,7 @@ def _fit_step_times(n_steps: int = 4):
 
     scene, cam = presets.three_spheres(aspect=2.0)
     base = crt.RenderConfig(width=512, height=256, samples=4, max_depth=4,
-                            gamma=False)
+                            gamma=False, wavefront_kernel_attrs=True)
     rays = generate_pixel_rays(cam, base.width, base.height, base.samples,
                                jax.random.key(0))
     key = jax.random.key(1)

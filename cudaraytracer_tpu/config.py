@@ -134,6 +134,16 @@ class RenderConfig:
     #               predates the alive-vote exclusion and spatial ordering).
     #   'off'     — never cull sphere sweeps.
     wavefront_sphere_cull: str = "morton"
+    # Pure-sphere scenes only: the sweep kernel carries the winner's
+    # attribute row ([center, radius, mat, decode columns]) out of the
+    # kernel, so the hit record builds with ZERO per-ray gathers.  Measured
+    # on v5e (ROUND4_NOTES §17): FORWARD loses ~6% (the in-kernel attr
+    # carries cost more than the one winner-row gather they replace) but
+    # GRADIENTS win 16-19% (the backward drops the gather VJP scatter and
+    # reads the winner's center/radius from the saved attrs).  Default off;
+    # the fit paths (parallel/train.make_fit_step, apps/fit, bench fit
+    # legs) enable it — the wavefront is the gradients engine.
+    wavefront_kernel_attrs: bool = False
     # engine='mega' only: after this many bounces, SORT the wavefront (dead
     # rays last, alive rays in Morton order of their scatter origin) and
     # resume in a second fused kernel — dead tiles then early-out and alive

@@ -427,7 +427,8 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
                            quirks: Quirks = Quirks(),
                            coherent: bool = False,
                            alive: Array | None = None,
-                           sphere_cull: str = "primary") -> Hits:
+                           sphere_cull: str = "primary",
+                           kernel_attrs: bool = False) -> Hits:
     """Closest-hit via the fused Pallas kernels (ops/pallas_intersect.py):
     sphere and triangle sweeps run fully in VMEM with no (rays x prims)
     HBM materialization; rects (rare) stay on the jnp path.  Differentiable
@@ -458,6 +459,19 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     best_idx = jnp.full((n,), -1, jnp.int32)
 
     n_s, n_t, n_r = scene.n_spheres, scene.n_triangles, scene.n_rects
+    n_x_all = n_r + scene.n_t_spheres + scene.n_t_triangles
+
+    if n_s and not n_t and not n_x_all and kernel_attrs and _want_fold():
+        # PURE-SPHERE gradient-optimized path
+        # (cfg.wavefront_kernel_attrs, the fit paths' default): the sweep
+        # kernel carries the winner's attribute row out ([center(3),
+        # radius, mat, decode_table(16)]), so the hit record builds with
+        # NO per-ray winner gather at all.  v5e: backward 16-19% faster
+        # (no gather VJP scatter, residual center/radius), forward ~6%
+        # slower than the row-gather form — hence opt-in (ROUND4_NOTES
+        # §17).
+        return _sphere_attrs_hits(scene, rays, t_min, t_max, coherent,
+                                  sphere_cull, alive)
 
     if n_s:
         cull = sphere_cull == "all" or (sphere_cull != "off" and coherent)
@@ -491,6 +505,55 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
                                         jnp.float32(t_min), jnp.float32(t_max),
                                         quirks)
     return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks)
+
+
+def _want_fold() -> bool:
+    """Trace-time: should finalize fold decode columns / should the pure-
+    sphere path use the attrs-carrying kernel?  (Consolidated TPU form;
+    tests force it on CPU via CONSOLIDATE.)"""
+    consolidate = (CONSOLIDATE if CONSOLIDATE is not None
+                   else jax.default_backend() == "tpu")
+    return FOLD_DEC and consolidate
+
+
+def _sphere_attrs_hits(scene: Scene, rays: Rays, t_min, t_max,
+                       coherent: bool, sphere_cull: str,
+                       alive: Array | None) -> Hits:
+    """Pure-sphere hit records via the attrs-carrying sweep: the kernel
+    returns the winner's [center(3), radius, mat, decode_table(16)] row per
+    lane, so the record (and Hits.dec) builds gather-free.  Value-identical
+    to the finalize_hits path (same candidate math, same tie rules, same
+    double-where discipline); pinned by
+    tests/test_intersect.py::test_sphere_attrs_path_matches_finalize."""
+    from . import pallas_intersect as pk
+    from ..models import materials as _m
+
+    sp = scene.spheres
+    cull = sphere_cull == "all" or (sphere_cull != "off" and coherent)
+    attr_tbl = jnp.concatenate([
+        sp.center.T, sp.radius[None], sp.mat.astype(jnp.float32)[None],
+        _m.decode_table(scene.materials, scene.textures)[sp.mat].T], axis=0)
+    st, si, attrs = pk.sphere_best_hit_attrs(
+        rays.origin, rays.direction, sp.center, sp.radius, attr_tbl,
+        float(t_min), float(t_max), cull, alive)
+    hit = si >= 0
+    t = jnp.where(hit, st, BIG)
+    p = rays.point_at(t)
+    center = attrs[:, 0:3]
+    # same double-where discipline as finalize_hits: miss lanes pair a
+    # possibly-inf p with the (zero) attr row, and radius 0 would put inf
+    # in the masked-out partials
+    p_in = jnp.where(hit[..., None], p, center)
+    radius = jnp.where(hit, attrs[:, 3], 1.0)
+    s_norm = (p_in - center) / radius[..., None]
+    phi = jnp.arctan2(s_norm[..., 2], s_norm[..., 0])
+    theta = _safe_arcsin(s_norm[..., 2])
+    u = jnp.where(hit, 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi), 0.0)
+    vv = jnp.where(hit, (theta + jnp.pi / 2.0) / jnp.pi, 0.0)
+    normal = jnp.where(hit[..., None], s_norm, 0.0)
+    mat = jnp.where(hit, attrs[:, 4].astype(jnp.int32), 0)
+    dec = _m.decoded_from_rows(attrs[:, 5:5 + _m.DEC_COLS])
+    return Hits(hit, t, p, normal, u, vv, mat, si, dec)
 
 
 def _prim_geom_width(scene: Scene) -> int:

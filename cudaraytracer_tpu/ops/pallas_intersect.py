@@ -302,6 +302,211 @@ def _sphere_kernel_plain(sph_ref, *rest, n_chunks: int, t_min: float,
         sweep()
 
 
+def _sphere_kernel_attrs(sph_ref, *rest, n_chunks: int, t_min: float,
+                         t_max: float, cull: bool, has_alive: bool,
+                         n_attrs: int):
+    """Sphere sweep that ALSO carries the winner's per-prim attribute row
+    (the megakernel's pick_attrs pattern): each chunk merge extracts the
+    improving lanes' attr components from a (n_attrs, prims, 1) VMEM table,
+    so finalize needs NO per-ray winner-row gather at all for pure-sphere
+    scenes (one gather op costs ~3.5 ms/M indices on v5e — ~0.45 s of the
+    round-4 headline frame).  Same candidate math (_sphere_chunk_t) and
+    same tie semantics as the (t, i)-only twins: within a chunk the lowest
+    prim id wins ties, across chunks the earlier chunk wins (strict <)."""
+    rest = list(rest)
+    box_ref = rest.pop(0) if cull else None
+    attr_ref = rest.pop(0)
+    alive_ref = rest.pop(0) if has_alive else None
+    o_ref, d_ref, out_t_ref, out_i_ref = rest[:4]
+    out_attr_refs = rest[4:]
+    seg = pl.program_id(1)
+    seg_base = seg * SEG_PRIMS
+
+    @pl.when(seg == 0)
+    def _():
+        out_t_ref[:] = jnp.full((TILE_ROWS, LANES), BIG, jnp.float32)
+        out_i_ref[:] = jnp.full((TILE_ROWS, LANES), -1, jnp.int32)
+        # zeros here; the wrapper swaps miss lanes to PRIM 0's attr row
+        # outside the kernel (Mosaic cannot broadcast (1,1) -> (R,L):
+        # "Broadcast in both sublanes and lanes" is unimplemented)
+        for ar in out_attr_refs:
+            ar[:] = jnp.zeros((TILE_ROWS, LANES), jnp.float32)
+
+    def sweep():
+        ox = o_ref[0][None]
+        oy = o_ref[1][None]
+        oz = o_ref[2][None]
+        dx = d_ref[0][None]
+        dy = d_ref[1][None]
+        dz = d_ref[2][None]
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        if cull:
+            inv_dx = 1.0 / dx[0]
+            inv_dy = 1.0 / dy[0]
+            inv_dz = 1.0 / dz[0]
+        prim_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (PRIM_CHUNK, TILE_ROWS, LANES), 0)
+
+        carry0 = (out_t_ref[:], out_i_ref[:],
+                  tuple(ar[:] for ar in out_attr_refs))
+
+        def body(j, carry):
+            base = j * PRIM_CHUNK
+
+            def run(carry):
+                best_t, best_i, attrs = carry
+                t3 = _sphere_chunk_t(sph_ref, base, ox, oy, oz, dx, dy, dz,
+                                     a, inv_a, t_min, t_max)
+                tmin = jnp.min(t3, axis=0)
+                gidx = prim_iota + (seg_base + base)
+                idxc = jnp.where(t3 <= tmin[None], gidx, IDX_BIG)
+                imin = jnp.min(idxc, axis=0)
+                take = tmin < best_t
+                # f32 masks: i1 vectors may not cross the lax.cond boundary
+                # (Mosaic trunci) — same workaround as the megakernel
+                tf = jnp.where(take, 1.0, 0.0)
+                wf = jnp.where(gidx == imin[None], 1.0, 0.0)
+                new_attrs = []
+                for k, curk in enumerate(attrs):
+                    valk = attr_ref[k, pl.ds(base, PRIM_CHUNK), :][:, :, None]
+                    w = jnp.sum(valk * wf, axis=0)
+                    new_attrs.append(w * tf + curk * (1.0 - tf))
+                return (jnp.where(take, tmin, best_t),
+                        jnp.where(take, imin, best_i), tuple(new_attrs))
+
+            if not cull:
+                return run(carry)
+            best_t = carry[0]
+
+            def bx(k):
+                return box_ref[k, pl.ds(j, 1), :][0, 0]
+
+            tx0 = (bx(0) - ox[0]) * inv_dx
+            tx1 = (bx(3) - ox[0]) * inv_dx
+            ty0 = (bx(1) - oy[0]) * inv_dy
+            ty1 = (bx(4) - oy[0]) * inv_dy
+            tz0 = (bx(2) - oz[0]) * inv_dz
+            tz1 = (bx(5) - oz[0]) * inv_dz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            # negated form: NaN lanes conservatively REACHABLE (see
+            # _sphere_kernel)
+            reachable = ~((far < near) | (far < t_min) | (near >= best_t))
+            if has_alive:
+                reachable &= alive_ref[:] > 0.0
+            return jax.lax.cond(jnp.any(reachable), run, lambda c: c, carry)
+
+        best_t, best_i, attrs = jax.lax.fori_loop(0, n_chunks, body, carry0)
+        out_t_ref[:] = best_t
+        out_i_ref[:] = best_i
+        for ar, val in zip(out_attr_refs, attrs):
+            ar[:] = val
+
+    if has_alive:
+        @pl.when(jnp.any(alive_ref[:] > 0.0))
+        def _():
+            sweep()
+    else:
+        sweep()
+
+
+def sphere_best_hit_attrs_raw(origin: Array, direction: Array, center: Array,
+                              radius: Array, attr_tbl: Array, t_min: float,
+                              t_max: float, cull: bool = False,
+                              alive: Array | None = None):
+    """(t f32[N], idx int32[N], attrs f32[N, A]) — sphere sweep carrying the
+    winner's attribute row out of the kernel (see _sphere_kernel_attrs).
+
+    attr_tbl: f32[A, C] per-prim columns.  CONTRACT: rows 0..2 = center
+    xyz and row 3 = radius (the custom VJP's exact-root backward reads the
+    winner's center/radius from the returned attrs instead of gathering).
+    Miss lanes carry PRIM 0's attr row — the analogue of the gather path's
+    clamped index, keeping downstream math finite (zeros would feed
+    ref_idx = 0 into 1/ri)."""
+    n = origin.shape[0]
+    c = center.shape[0]
+    n_attrs = attr_tbl.shape[0]
+    rows = _ray_rows(n)
+    o = jnp.stack([_pad_rays(origin[:, k], rows) for k in range(3)])
+    d = jnp.stack([_pad_rays(direction[:, k], rows) for k in range(3)])
+    c_seg = PRIM_CHUNK if c <= SEG_PRIMS else SEG_PRIMS
+    c_pad = -(-c // c_seg) * c_seg
+    seg_prims = min(c_pad, SEG_PRIMS)
+    n_segs = c_pad // seg_prims
+    pad = c_pad - c
+    center_p = jnp.concatenate(
+        [center, jnp.broadcast_to(center[-1:], (pad, 3))]) if pad else center
+    radius_p = jnp.concatenate(
+        [radius, jnp.broadcast_to(radius[-1:], (pad,))]) if pad else radius
+    attr_p = jnp.concatenate(
+        [attr_tbl, jnp.broadcast_to(attr_tbl[:, -1:], (n_attrs, pad))],
+        axis=1) if pad else attr_tbl
+    tbl = jnp.concatenate([center_p.T, (radius_p * radius_p)[None]])[..., None]
+    attr3 = attr_p[..., None]
+
+    n_chunks_total = c_pad // PRIM_CHUNK
+    seg_chunks = seg_prims // PRIM_CHUNK
+    grid = (rows // TILE_ROWS, n_segs)
+    has_alive = alive is not None
+    ray_spec = pl.BlockSpec((3, TILE_ROWS, LANES), lambda i, s: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    alive_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
+                              memory_space=pltpu.VMEM)
+    alive_args = ((_pad_rays(alive.astype(jnp.float32), rows),)
+                  if has_alive else ())
+    alive_specs = (alive_spec,) if has_alive else ()
+    attr_spec = pl.BlockSpec((n_attrs, seg_prims, 1), lambda i, s: (0, s, 0),
+                             memory_space=pltpu.VMEM)
+    if cull:
+        lo = (center_p - radius_p[:, None]).reshape(n_chunks_total,
+                                                    PRIM_CHUNK, 3)
+        hi = (center_p + radius_p[:, None]).reshape(n_chunks_total,
+                                                    PRIM_CHUNK, 3)
+        boxes = jnp.concatenate([lo.min(axis=1).T, hi.max(axis=1).T])[..., None]
+        box_specs = (pl.BlockSpec((6, seg_chunks, 1), lambda i, s: (0, s, 0),
+                                  memory_space=pltpu.VMEM),)
+        box_args = (boxes,)
+    else:
+        box_specs, box_args = (), ()
+    kernel = functools.partial(_sphere_kernel_attrs, n_chunks=seg_chunks,
+                               t_min=float(t_min), t_max=float(t_max),
+                               cull=cull, has_alive=has_alive,
+                               n_attrs=n_attrs)
+    out_plane = pl.BlockSpec((TILE_ROWS, LANES), lambda i, s: (i, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, seg_prims, 1), lambda i, s: (0, s, 0),
+                         memory_space=pltpu.VMEM),
+            *box_specs, attr_spec, *alive_specs, ray_spec, ray_spec,
+        ],
+        out_specs=[out_plane] * (2 + n_attrs),
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * n_attrs,
+        interpret=_interpret(),
+    )(tbl, *box_args, attr3, *alive_args, o, d)
+    out_t, out_i, *out_attrs = outs
+    t = out_t.reshape(-1)[:n]
+    i = out_i.reshape(-1)[:n]
+    attrs = jnp.stack([p.reshape(-1)[:n] for p in out_attrs], axis=-1)
+    # miss lanes carry PRIM 0's attr row — the analogue of the gather
+    # path's clamped index (max(idx, 0)); an all-zeros row would feed
+    # ref_idx = 0 into the dielectric leg's 1/ri and NaN the backward.
+    # A broadcast where, not a gather (Mosaic can't do this init in-kernel:
+    # (1,1) -> (R,L) broadcast is unimplemented).
+    attrs = jnp.where((i >= 0)[:, None], attrs,
+                      jax.lax.stop_gradient(attr_tbl[:, 0])[None, :])
+    return t, i, attrs
+
+
 def sphere_best_hit_raw(origin: Array, direction: Array, center: Array,
                         radius: Array, t_min: float, t_max: float,
                         cull: bool = False,
@@ -802,6 +1007,74 @@ def _sphere_bwd(t_min, t_max, cull, res, g):
 
 
 sphere_best_hit.defvjp(_sphere_fwd, _sphere_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def sphere_best_hit_attrs(origin, direction, center, radius, attr_tbl,
+                          t_min, t_max, cull=False, alive=None):
+    """Differentiable attrs-carrying sweep (see sphere_best_hit_attrs_raw).
+
+    Gradients: t flows to origin/direction/center/radius via the exact
+    nearest-root recompute (detached winner, like sphere_best_hit) — with
+    the winner's center/radius read from the returned ATTRS (contract:
+    attr_tbl rows 0..3), not re-gathered; attr outputs flow to attr_tbl by
+    scatter-add at the winner rows (the gather VJP, one scatter op).  The
+    caller builds attr_tbl from center/radius/decode_table, so attr
+    cotangents reach scene parameters through that concat's VJP, while the
+    t path reaches center/radius directly — two disjoint paths, no double
+    counting."""
+    return sphere_best_hit_attrs_raw(origin, direction, center, radius,
+                                     attr_tbl, t_min, t_max, cull, alive)
+
+
+def _sphere_attrs_fwd(origin, direction, center, radius, attr_tbl,
+                      t_min, t_max, cull=False, alive=None):
+    t, idx, attrs = sphere_best_hit_attrs_raw(origin, direction, center,
+                                              radius, attr_tbl, t_min,
+                                              t_max, cull, alive)
+    return (t, idx, attrs), (origin, direction, attr_tbl.shape, t, idx,
+                             attrs, alive)
+
+
+def _sphere_attrs_bwd(t_min, t_max, cull, res, g):
+    origin, direction, tbl_shape, t, idx, attrs, alive = res
+    g_t, _, g_attrs = g
+    hit = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    c_w = attrs[:, 0:3]                  # contract: rows 0..2 center xyz
+    r_w = attrs[:, 3]                    #           row 3 radius
+    # miss lanes carry prim-0's attr row (finite real geometry), and every
+    # grad term is where(hit, ..)-masked — same shape as _sphere_bwd's
+    # clamped gather
+    oc = origin - c_w
+    a = jnp.sum(direction * direction, axis=-1)
+    b = jnp.sum(oc * direction, axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - r_w * r_w
+    disc = b * b - a * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / a
+    pick_first = (disc > 0.0) & (t0 < t_max) & (t0 > t_min)
+
+    def t_fn(o, d, c, r):
+        return jnp.sum(_sphere_t_of(o, d, c, r, pick_first)
+                       * jnp.where(hit, g_t, 0.0))
+
+    g_o, g_d, g_c, g_r = jax.grad(t_fn, argnums=(0, 1, 2, 3))(
+        origin, direction, c_w, r_w)
+    n_c = tbl_shape[1]
+    g_center = jnp.zeros((n_c, 3), origin.dtype).at[safe].add(
+        jnp.where(hit[:, None], g_c, 0.0))
+    g_radius = jnp.zeros((n_c,), origin.dtype).at[safe].add(
+        jnp.where(hit, g_r, 0.0))
+    g_tbl = jnp.zeros(tbl_shape, origin.dtype).at[:, safe].add(
+        jnp.where(hit[None], g_attrs.T, 0.0))
+    g_alive = None if alive is None else jnp.zeros_like(alive)
+    return (jnp.where(hit[:, None], g_o, 0.0),
+            jnp.where(hit[:, None], g_d, 0.0), g_center, g_radius, g_tbl,
+            g_alive)
+
+
+sphere_best_hit_attrs.defvjp(_sphere_attrs_fwd, _sphere_attrs_bwd)
 
 
 def _tri_t_of(origin, direction, v0, v1, v2, mask):

@@ -73,7 +73,8 @@ def pallas_intersector(cfg: RenderConfig, coherent: bool = False):
             # integrator's scan (see intersect_scene_pallas)
             return _isect.intersect_scene_pallas(
                 scene, rays, _cfg.t_min, _cfg.t_max, _cfg.quirks, _coh,
-                alive, sphere_cull=_policy)
+                alive, sphere_cull=_policy,
+                kernel_attrs=_cfg.wavefront_kernel_attrs)
         fn.morton_spheres = mode == "morton"
         _PALLAS_FN_CACHE[k] = fn
     return _PALLAS_FN_CACHE[k]

@@ -547,3 +547,85 @@ def test_fold_dec_path_matches_separate_decode():
     finally:
         isect.CONSOLIDATE = None
         jax.clear_caches()
+
+
+def test_sphere_attrs_path_matches_finalize():
+    """The pure-sphere attrs-carrying kernel path (isect.KERNEL_ATTRS) must
+    produce bit-identical hit records, radiance, AND gradients to the
+    winner-row-gather path — same candidate math, same tie rules."""
+    import dataclasses
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops.render import pallas_intersector, render_pixels
+    from cudaraytracer_tpu.ops.integrators import integrate
+    from cudaraytracer_tpu.core.camera import generate_pixel_rays
+
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    m = b.materials
+    mats = [m.lambertian(m.textures.checker((.7, .7, .2), (.1, .1, .3))),
+            m.metal((0.9, 0.7, 0.5), 0.15), m.dielectric(1.5),
+            m.diffuse_light(color=(3, 2, 1))]
+    b.add_sphere((0, -100.5, -3), 100.0, mats[0])
+    for k in range(12):
+        b.add_sphere(rng.uniform(-2.5, 2.5, 3) - [0, 0, 4],
+                     float(rng.uniform(0.3, 0.8)), mats[k % 4])
+    scene = b.build()
+    _, cam = presets.three_spheres(aspect=2.0)
+    cfg = crt.RenderConfig(width=32, height=16, samples=2, max_depth=4,
+                           integrator="path", gamma=False)
+    rays = generate_pixel_rays(cam, 32, 16, 2, jax.random.key(3))
+
+    def run(kernel_attrs):
+        c = dataclasses.replace(cfg, wavefront_kernel_attrs=kernel_attrs)
+        jax.clear_caches()
+        img = np.asarray(integrate(scene, rays, jax.random.key(1), c,
+                                   pallas_intersector(c)))
+
+        def loss(p):
+            s = scene._replace(
+                spheres=scene.spheres._replace(center=p["c"]),
+                textures=scene.textures._replace(color0=p["a"]))
+            return jnp.mean(integrate(s, rays, jax.random.key(1), c,
+                                      pallas_intersector(c)))
+
+        g = jax.grad(loss)({"c": scene.spheres.center,
+                            "a": scene.textures.color0})
+        return img, g
+
+    isect.CONSOLIDATE = True
+    try:
+        img_a, g_a = run(True)
+        img_f, g_f = run(False)
+    finally:
+        isect.CONSOLIDATE = None
+        jax.clear_caches()
+    np.testing.assert_array_equal(img_a, img_f)
+    for k in ("c", "a"):
+        np.testing.assert_allclose(np.asarray(g_a[k]), np.asarray(g_f[k]),
+                                   rtol=1e-5, atol=1e-7)
+    assert np.isfinite(np.asarray(g_a["c"])).all()
+
+    # direct hit-record equality incl. dec
+    r = _rays([[0, 0.3, 0]] * 64,
+              np.stack([np.linspace(-0.7, 0.7, 64),
+                        np.linspace(-0.4, 0.3, 64), -np.ones(64)], 1))
+    isect.CONSOLIDATE = True
+    try:
+        h_a = isect.intersect_scene_pallas(scene, r, quirks=Quirks.reference(),
+                                           kernel_attrs=True)
+        h_f = isect.intersect_scene_pallas(scene, r, quirks=Quirks.reference())
+    finally:
+        isect.CONSOLIDATE = None
+        jax.clear_caches()
+    assert h_a.dec is not None and h_f.dec is not None
+    hm = np.asarray(h_a.hit)
+    assert hm.any()
+    np.testing.assert_array_equal(np.asarray(h_a.prim), np.asarray(h_f.prim))
+    np.testing.assert_array_equal(np.asarray(h_a.t), np.asarray(h_f.t))
+    np.testing.assert_array_equal(np.asarray(h_a.normal)[hm],
+                                  np.asarray(h_f.normal)[hm])
+    np.testing.assert_array_equal(np.asarray(h_a.mat), np.asarray(h_f.mat))
+    for got, want in zip(h_a.dec, h_f.dec):
+        np.testing.assert_array_equal(np.asarray(got)[hm],
+                                      np.asarray(want)[hm])
