@@ -28,15 +28,19 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1.0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cpu-devices", type=int, default=8)
-    ap.add_argument("--engine", default="mega_diff",
+    ap.add_argument("--engine", default="wavefront",
                     choices=["wavefront", "mega_diff"],
-                    help="mega_diff = fused megakernel forward that records "
-                         "each bounce's winning primitive + a replay "
-                         "backward that gathers only those winners "
-                         "(cfg.mega_replay_bwd; exact grads, no re-sweep). "
-                         "Default since the v5e fit-step measurement "
-                         "(bench.py BENCH_FIT=1): 0.171 s/step vs the full "
-                         "wavefront's 0.374 s (2.2x).")
+                    help="wavefront = Pallas sweep pair + attrs kernel "
+                         "(default since the round-4 re-measurement: the "
+                         "old 'wavefront 0.374 s/step' figure was the "
+                         "brute-force jnp fallback — the real Pallas "
+                         "wavefront fits at 0.073 s/step on three_spheres "
+                         "/ 0.116 at 484 spheres vs mega_diff's 0.160 / "
+                         "0.184, ROUND4_NOTES §20).  mega_diff = fused "
+                         "megakernel forward recording each bounce's "
+                         "winner + a replay backward that gathers only "
+                         "those winners (cfg.mega_replay_bwd; exact "
+                         "grads, no re-sweep).")
     ap.add_argument("--out", default="/tmp/fit")
     ap.add_argument("--checkpoint-every", type=int, default=25,
                     help="save params every N steps (0 disables)")

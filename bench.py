@@ -187,11 +187,18 @@ def _bwd_fwd_ratios(scene, cam, cfg):
                                wavefront_kernel_attrs=True)
     pix = jnp.arange(gcfg.width * gcfg.height, dtype=jnp.int32)
     gkey = jax.random.key(5)
+    # the production gradient path: Pallas sweep pair + attrs kernel (the
+    # r4 advisor caught these legs silently measuring the brute-force jnp
+    # intersect); CPU dev runs keep brute force (interpret-mode pallas)
+    from cudaraytracer_tpu.ops.render import pallas_intersector_pair
+    isect = (pallas_intersector_pair(gcfg)
+             if jax.default_backend() == "tpu" else None)
 
     def ratio(install):
         @jax.jit
         def fwd(p):
-            return jnp.mean(render_pixels(install(p), cam, gkey, gcfg, pix))
+            return jnp.mean(render_pixels(install(p), cam, gkey, gcfg, pix,
+                                          isect))
 
         grad_fn = jax.jit(jax.grad(lambda p: fwd(p)))
         p0 = install.init
@@ -246,12 +253,19 @@ def _fit_step_times(n_steps: int = 4):
 
     def time_engine(engine):
         cfg = dataclasses.replace(base, engine=engine)
+        # wavefront leg rides the production Pallas pair on TPU (see
+        # _bwd_fwd_ratios note); mega_diff ignores intersect_fn
+        isect = None
+        if engine == "wavefront" and jax.default_backend() == "tpu":
+            from cudaraytracer_tpu.ops.render import pallas_intersector_pair
+            isect = pallas_intersector_pair(cfg)
 
         def loss(p):
             s = scene._replace(
                 spheres=scene.spheres._replace(center=p["centers"]),
                 textures=scene.textures._replace(color0=p["albedo"]))
-            return jnp.mean((integrate(s, rays, key, cfg) - target) ** 2)
+            return jnp.mean((integrate(s, rays, key, cfg, isect) - target)
+                            ** 2)
 
         @jax.jit
         def run(p):

@@ -428,7 +428,8 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
                            coherent: bool = False,
                            alive: Array | None = None,
                            sphere_cull: str = "primary",
-                           kernel_attrs: bool = False) -> Hits:
+                           kernel_attrs: bool = False,
+                           fold_dec: bool = True) -> Hits:
     """Closest-hit via the fused Pallas kernels (ops/pallas_intersect.py):
     sphere and triangle sweeps run fully in VMEM with no (rays x prims)
     HBM materialization; rects (rare) stay on the jnp path.  Differentiable
@@ -461,7 +462,8 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     n_s, n_t, n_r = scene.n_spheres, scene.n_triangles, scene.n_rects
     n_x_all = n_r + scene.n_t_spheres + scene.n_t_triangles
 
-    if n_s and not n_t and not n_x_all and kernel_attrs and _want_fold():
+    if (n_s and not n_t and not n_x_all and kernel_attrs and fold_dec
+            and _want_fold()):
         # PURE-SPHERE gradient-optimized path
         # (cfg.wavefront_kernel_attrs, the fit paths' default): the sweep
         # kernel carries the winner's attribute row out ([center(3),
@@ -504,7 +506,8 @@ def intersect_scene_pallas(scene: Scene, rays: Rays, t_min: float = 1e-3,
     best_t, best_idx = _reduce_t_tables(scene, rays, (best_t, best_idx),
                                         jnp.float32(t_min), jnp.float32(t_max),
                                         quirks)
-    return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks)
+    return finalize_hits(scene, rays, best_t, best_idx, t_min, t_max, quirks,
+                         fold_dec=fold_dec)
 
 
 def _want_fold() -> bool:
@@ -540,20 +543,37 @@ def _sphere_attrs_hits(scene: Scene, rays: Rays, t_min, t_max,
     t = jnp.where(hit, st, BIG)
     p = rays.point_at(t)
     center = attrs[:, 0:3]
-    # same double-where discipline as finalize_hits: miss lanes pair a
-    # possibly-inf p with the (zero) attr row, and radius 0 would put inf
-    # in the masked-out partials
-    p_in = jnp.where(hit[..., None], p, center)
-    radius = jnp.where(hit, attrs[:, 3], 1.0)
-    s_norm = (p_in - center) / radius[..., None]
-    phi = jnp.arctan2(s_norm[..., 2], s_norm[..., 0])
-    theta = _safe_arcsin(s_norm[..., 2])
-    u = jnp.where(hit, 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi), 0.0)
-    vv = jnp.where(hit, (theta + jnp.pi / 2.0) / jnp.pi, 0.0)
+    s_norm, s_u, s_v = _sphere_record(p, hit, center, attrs[:, 3])
+    u = jnp.where(hit, s_u, 0.0)
+    vv = jnp.where(hit, s_v, 0.0)
     normal = jnp.where(hit[..., None], s_norm, 0.0)
     mat = jnp.where(hit, attrs[:, 4].astype(jnp.int32), 0)
     dec = _m.decoded_from_rows(attrs[:, 5:5 + _m.DEC_COLS])
     return Hits(hit, t, p, normal, u, vv, mat, si, dec)
+
+
+def _sphere_record(p: Array, mask: Array, center: Array, radius_raw: Array):
+    """(normal, u, v) of sphere winners — the ONE copy of the sphere hit-
+    record math, shared by finalize_hits' sphere branch and the attrs-
+    kernel path so a quirk or NaN-guard fix cannot silently diverge.
+
+    sphere.h:40 — normal = p / radius in object space => (p - c)/r world.
+    Double-where the INPUTS: non-mask lanes pair p (possibly inf at
+    t = BIG) with another prim's row, and the masked-out 1/r^2 radius
+    partial would be inf — 0 cotangent * inf = NaN in the backward.  The
+    radius column can hold triangle data (even 0) on non-sphere rows, so
+    it is double-where'd too.  u/v: get_sphere_uv (texture.h:45-50) on
+    the unit normal; the reference leaves sphere u,v uninitialized (never
+    set in Sphere::collision_detection) — we define them via the existing
+    helper (its z-based theta verbatim)."""
+    p_in = jnp.where(mask[..., None], p, center)
+    radius = jnp.where(mask, radius_raw, 1.0)
+    s_norm = (p_in - center) / radius[..., None]
+    phi = jnp.arctan2(s_norm[..., 2], s_norm[..., 0])
+    theta = _safe_arcsin(s_norm[..., 2])
+    u = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
+    v = (theta + jnp.pi / 2.0) / jnp.pi
+    return s_norm, u, v
 
 
 def _prim_geom_width(scene: Scene) -> int:
@@ -666,8 +686,14 @@ def _xform_rows(scene: Scene, with_dec: bool = False) -> Array:
 
 
 def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
-                  t_min, t_max, quirks: Quirks, tri_override=None) -> Hits:
-    """Reconstruct the full hit record for the winning primitive only."""
+                  t_min, t_max, quirks: Quirks, tri_override=None,
+                  fold_dec: bool = True) -> Hits:
+    """Reconstruct the full hit record for the winning primitive only.
+
+    fold_dec=False skips the Hits.dec decode-column folding even on the
+    consolidated (TPU) form — for callers whose consumer never reads
+    materials (the 'normal' debug integrator, the tp-combine local
+    records), so they don't pay the 16 extra gathered columns."""
     n = rays.origin.shape[0]
     n_s, n_t, n_r = scene.n_spheres, scene.n_triangles, scene.n_rects
     hit = best_idx >= 0
@@ -688,7 +714,7 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
     # the bounce body pays NO separate per-ray decode gather (Hits.dec)
     consolidate = (CONSOLIDATE if CONSOLIDATE is not None
                    else jax.default_backend() == "tpu")
-    want_dec = FOLD_DEC and consolidate
+    want_dec = FOLD_DEC and consolidate and fold_dec
     dec = None
     if n_s or n_t:
         prow, pmat = _prim_rows(scene, tri_override, consolidate,
@@ -706,23 +732,7 @@ def finalize_hits(scene: Scene, rays: Rays, best_t: Array, best_idx: Array,
     if n_s:
         center = row[..., 0:3]
         is_s = hit & (best_idx < n_s)
-        # sphere.h:40 — normal = p / radius in object space => (p - c)/r world.
-        # Double-where the INPUT: non-winner lanes pair p (possibly inf at
-        # t = BIG) with another prim's row, and the masked-out 1/r^2 radius
-        # partial would be inf — 0 cotangent * inf = NaN in the backward.
-        # The radius column holds triangle data on non-sphere rows, so it is
-        # double-where'd too (it can be 0 there).
-        p_in = jnp.where(is_s[..., None], p, center)
-        radius = jnp.where(is_s, row[..., 3], 1.0)
-        s_norm = (p_in - center) / radius[..., None]
-        # get_sphere_uv (texture.h:45-50) on the unit normal; reference leaves
-        # sphere u,v uninitialized (never set in Sphere::collision_detection) —
-        # we define them via the existing helper (its z-based theta verbatim).
-        sp = s_norm
-        phi = jnp.arctan2(sp[..., 2], sp[..., 0])
-        theta = _safe_arcsin(sp[..., 2])
-        s_u = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
-        s_v = (theta + jnp.pi / 2.0) / jnp.pi
+        s_norm, s_u, s_v = _sphere_record(p, is_s, center, row[..., 3])
         normal = jnp.where(is_s[..., None], s_norm, normal)
         u = jnp.where(is_s, s_u, u)
         vv = jnp.where(is_s, s_v, vv)

@@ -72,6 +72,33 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _chunk_reachable(box_ref, j, ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                     best_t, lo_cut):
+    """(R, L) chunk-box slab reachability — the ONE copy of the in-kernel
+    cull test (shared by the sphere kernels and the culled triangle
+    kernel).  Negated form: axis-parallel rays (inv_d = inf) starting
+    exactly on an unpadded box plane give 0 * inf = NaN in near/far; NaN
+    comparisons are False, so this shape makes NaN lanes conservatively
+    REACHABLE instead of silently culled.  lo_cut is t_min, or -BIG under
+    the no-t-clip triangle quirk (negative t can win there)."""
+    def bx(k):
+        return box_ref[k, pl.ds(j, 1), :][0, 0]
+
+    tx0 = (bx(0) - ox) * inv_dx
+    tx1 = (bx(3) - ox) * inv_dx
+    ty0 = (bx(1) - oy) * inv_dy
+    ty1 = (bx(4) - oy) * inv_dy
+    tz0 = (bx(2) - oz) * inv_dz
+    tz1 = (bx(5) - oz) * inv_dz
+    near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                   jnp.minimum(ty0, ty1)),
+                       jnp.minimum(tz0, tz1))
+    far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                  jnp.maximum(ty0, ty1)),
+                      jnp.maximum(tz0, tz1))
+    return ~((far < near) | (far < lo_cut) | (near >= best_t))
+
+
 def _merge_chunk(best_t, best_i, t, base, prim_iota):
     """Reduce a (PRIM_CHUNK, R, L) candidate tile over prims and merge into
     the running (R, L) best; ties -> lowest prim id, earlier chunks win."""
@@ -196,29 +223,11 @@ def _sphere_kernel(sph_ref, box_ref, *rest, n_chunks: int, t_min: float,
         def body(j, carry):
             best_t, best_i = carry
             base = j * PRIM_CHUNK
-
-            def bx(k):
-                return box_ref[k, pl.ds(j, 1), :][0, 0]
-
-            tx0 = (bx(0) - ox[0]) * inv_dx
-            tx1 = (bx(3) - ox[0]) * inv_dx
-            ty0 = (bx(1) - oy[0]) * inv_dy
-            ty1 = (bx(4) - oy[0]) * inv_dy
-            tz0 = (bx(2) - oz[0]) * inv_dz
-            tz1 = (bx(5) - oz[0]) * inv_dz
-            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.minimum(tz0, tz1))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                          jnp.maximum(ty0, ty1)),
-                              jnp.maximum(tz0, tz1))
             # sphere tests DO respect [t_min, t_max] (no negative-t quirk),
-            # so the cull window matches exactly.  Negated form:
-            # axis-parallel rays (inv_d = inf) starting exactly on an
-            # unpadded box plane give 0 * inf = NaN in near/far; NaN
-            # comparisons are False, so this shape makes NaN lanes
-            # conservatively REACHABLE instead of silently culled.
-            reachable = ~((far < near) | (far < t_min) | (near >= best_t))
+            # so the cull window matches exactly (lo_cut = t_min)
+            reachable = _chunk_reachable(box_ref, j, ox[0], oy[0], oz[0],
+                                         inv_dx, inv_dy, inv_dz, best_t,
+                                         t_min)
             if has_alive:
                 reachable &= alive_ref[:] > 0.0
             any_hit = jnp.any(reachable)
@@ -378,25 +387,9 @@ def _sphere_kernel_attrs(sph_ref, *rest, n_chunks: int, t_min: float,
             if not cull:
                 return run(carry)
             best_t = carry[0]
-
-            def bx(k):
-                return box_ref[k, pl.ds(j, 1), :][0, 0]
-
-            tx0 = (bx(0) - ox[0]) * inv_dx
-            tx1 = (bx(3) - ox[0]) * inv_dx
-            ty0 = (bx(1) - oy[0]) * inv_dy
-            ty1 = (bx(4) - oy[0]) * inv_dy
-            tz0 = (bx(2) - oz[0]) * inv_dz
-            tz1 = (bx(5) - oz[0]) * inv_dz
-            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.minimum(tz0, tz1))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                          jnp.maximum(ty0, ty1)),
-                              jnp.maximum(tz0, tz1))
-            # negated form: NaN lanes conservatively REACHABLE (see
-            # _sphere_kernel)
-            reachable = ~((far < near) | (far < t_min) | (near >= best_t))
+            reachable = _chunk_reachable(box_ref, j, ox[0], oy[0], oz[0],
+                                         inv_dx, inv_dy, inv_dz, best_t,
+                                         t_min)
             if has_alive:
                 reachable &= alive_ref[:] > 0.0
             return jax.lax.cond(jnp.any(reachable), run, lambda c: c, carry)
@@ -697,28 +690,11 @@ def _triangle_kernel_culled(tri_ref, box_ref, *rest, n_chunks: int,
             best_t, best_i = carry
             base = j * PRIM_CHUNK
 
-            # --- chunk box vs ray tile (slab test against running best) ---
-            def bx(k):
-                return box_ref[k, pl.ds(j, 1), :][0, 0]   # scalar
-
-            lox, loy, loz, hix, hiy, hiz = (bx(0), bx(1), bx(2), bx(3),
-                                            bx(4), bx(5))
-            tx0 = (lox - ox[0]) * inv_dx
-            tx1 = (hix - ox[0]) * inv_dx
-            ty0 = (loy - oy[0]) * inv_dy
-            ty1 = (hiy - oy[0]) * inv_dy
-            tz0 = (loz - oz[0]) * inv_dz
-            tz1 = (hiz - oz[0]) * inv_dz
-            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.minimum(tz0, tz1))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                          jnp.maximum(ty0, ty1)),
-                              jnp.maximum(tz0, tz1))
-            # negated form: NaN (0 * inf on unpadded box planes) lanes stay
-            # conservatively reachable — see the sphere kernel's comment
-            reachable = ~((far < near) | (far < cull_lo)
-                          | (near >= best_t))
+            # chunk box vs ray tile (slab test against running best);
+            # lo_cut = -BIG under the no-t-clip quirk (negative t can win)
+            reachable = _chunk_reachable(box_ref, j, ox[0], oy[0], oz[0],
+                                         inv_dx, inv_dy, inv_dz, best_t,
+                                         cull_lo)
             if has_alive:   # dead lanes can't force chunk visits
                 reachable &= alive_ref[:] > 0.0
             any_hit = jnp.any(reachable)

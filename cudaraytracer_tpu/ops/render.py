@@ -65,6 +65,10 @@ def pallas_intersector(cfg: RenderConfig, coherent: bool = False):
         # into Morton order ONCE per trace, which is what makes the
         # every-bounce chunk culling fire (and costs no per-ray id remap).
         mode = cfg.wavefront_sphere_cull
+        if mode not in ("morton", "primary", "off"):
+            raise ValueError(
+                f"wavefront_sphere_cull={mode!r}: expected 'morton', "
+                "'primary', or 'off'")
         policy = {"morton": "all"}.get(mode, mode)
 
         def fn(scene, rays, aux, alive=None, _cfg=cfg, _coh=coherent,
@@ -74,7 +78,11 @@ def pallas_intersector(cfg: RenderConfig, coherent: bool = False):
             return _isect.intersect_scene_pallas(
                 scene, rays, _cfg.t_min, _cfg.t_max, _cfg.quirks, _coh,
                 alive, sphere_cull=_policy,
-                kernel_attrs=_cfg.wavefront_kernel_attrs)
+                kernel_attrs=_cfg.wavefront_kernel_attrs,
+                # the 'normal' debug integrator never reads materials —
+                # skip the dec-column folding so its winner rows stay
+                # narrow (finalize_hits fold_dec)
+                fold_dec=_cfg.integrator != "normal")
         fn.morton_spheres = mode == "morton"
         _PALLAS_FN_CACHE[k] = fn
     return _PALLAS_FN_CACHE[k]

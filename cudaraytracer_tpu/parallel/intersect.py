@@ -135,11 +135,13 @@ def intersect_scene_tp(scene_local: Scene, rays: Rays, axis_name: str,
     i_win = (best_gidx == gidx_glob) & hit
 
     # local record for our best candidate (only meaningful where i_win)
+    # fold_dec=False: the psum combine below rebuilds Hits from explicit
+    # fields and drops dec (mat ids are global; the bounce body re-decodes)
     local_hits = _isect.finalize_hits(
         scene_local, rays, best_t,
         _local_typed_index(best_gidx, best_lidx, scene_local,
                            n_spheres_global, n_triangles_global),
-        t_min, t_max, quirks)
+        t_min, t_max, quirks, fold_dec=False)
 
     def combine(x):
         masked = jnp.where(i_win[(...,) + (None,) * (x.ndim - 1)],

@@ -53,10 +53,10 @@ def apply_sphere_params(scene: Scene, params: Params) -> Scene:
 
 def pixel_loss(scene_template: Scene, params: Params, camera: Camera,
                key: jax.Array, cfg: RenderConfig, pixel_index: Array,
-               target: Array) -> Array:
+               target: Array, intersect_fn=None) -> Array:
     """Mean squared pixel error on a pixel subset (render differentiably)."""
     scene = apply_sphere_params(scene_template, params)
-    cols = render_pixels(scene, camera, key, cfg, pixel_index)
+    cols = render_pixels(scene, camera, key, cfg, pixel_index, intersect_fn)
     return jnp.mean((cols - target) ** 2)
 
 
@@ -92,6 +92,16 @@ def make_fit_step(scene_template: Scene, camera: Camera, cfg: RenderConfig,
     lcfg = dataclasses.replace(cfg, wavefront_kernel_attrs=True)
     if overlap_grads:
         lcfg = dataclasses.replace(lcfg, grad_sync_axes=("dp", "tp"))
+    # On TPU the wavefront legs of the fit ride the Pallas sweep pair (the
+    # round-4 advisor caught the fit paths silently falling back to the
+    # brute-force jnp intersect: three_spheres fit step 0.314 -> 0.074
+    # s/step with pair + attrs, 484-sphere 0.680 -> 0.117 — ROUND4_NOTES
+    # §20).  On CPU keep brute force: interpret-mode pallas is a test-only
+    # artifact and would slow the virtual-mesh suites/scaling harness.
+    isect = None
+    if jax.default_backend() == "tpu":
+        from ..ops.render import pallas_intersector_pair
+        isect = pallas_intersector_pair(lcfg)
 
     def local_step(params, pix_slice, target_slice, key):
         pix_slice = pix_slice.reshape(-1)          # drop (1,1,..) mesh dims
@@ -101,7 +111,7 @@ def make_fit_step(scene_template: Scene, camera: Camera, cfg: RenderConfig,
 
         def loss_fn(p):
             return pixel_loss(scene_template, p, camera, lkey, lcfg,
-                              pix_slice, target_slice)
+                              pix_slice, target_slice, intersect_fn=isect)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         loss = jax.lax.pmean(jax.lax.pmean(loss, "dp"), "tp")

@@ -18,9 +18,9 @@ gcfg = dataclasses.replace(cfg, width=512, height=256, samples=4,
 grays = generate_pixel_rays(cam, 512, 256, 4, jax.random.key(0))
 
 for ka in (True, False, True):
-    I.KERNEL_ATTRS = ka
+    acfg = dataclasses.replace(cfg, wavefront_kernel_attrs=ka)
     jax.clear_caches()
-    isect = pallas_intersector(cfg)
+    isect = pallas_intersector(acfg)
     @jax.jit
     def frame(s, key, isect=isect):
         return jnp.mean(render_image(s, cam, key, cfg, isect))
@@ -28,7 +28,8 @@ for ka in (True, False, True):
     t0 = time.perf_counter()
     v = float(frame(scene, jax.random.key(1)))
     dt = time.perf_counter() - t0
-    gisect = pallas_intersector(gcfg)
+    gisect = pallas_intersector(
+        dataclasses.replace(gcfg, wavefront_kernel_attrs=ka))
     def loss(p, gisect=gisect):
         s = scene._replace(spheres=scene.spheres._replace(center=p))
         return jnp.mean(integrate(s, grays, jax.random.key(1), gcfg, gisect))

@@ -550,7 +550,7 @@ def test_fold_dec_path_matches_separate_decode():
 
 
 def test_sphere_attrs_path_matches_finalize():
-    """The pure-sphere attrs-carrying kernel path (isect.KERNEL_ATTRS) must
+    """The pure-sphere attrs-carrying kernel path (cfg.wavefront_kernel_attrs) must
     produce bit-identical hit records, radiance, AND gradients to the
     winner-row-gather path — same candidate math, same tie rules."""
     import dataclasses
