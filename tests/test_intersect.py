@@ -629,3 +629,35 @@ def test_sphere_attrs_path_matches_finalize():
     for got, want in zip(h_a.dec, h_f.dec):
         np.testing.assert_array_equal(np.asarray(got)[hm],
                                       np.asarray(want)[hm])
+
+
+def test_fold_dec_matrix_lambert_normal():
+    """All three integrators render identically with the dec folding on and
+    off (CONSOLIDATE forced so CPU exercises the TPU form); the 'normal'
+    integrator routes through fold_dec=False (it never reads materials) and
+    must not be affected either way."""
+    import dataclasses
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops.render import pallas_intersector, render_pixels
+
+    scene, cam = presets.light_box(aspect=2.0)
+    base = crt.RenderConfig(width=32, height=16, samples=2, max_depth=3,
+                            gamma=False)
+    isect_cache = {}
+    try:
+        for integrator in ("path", "lambert", "normal"):
+            cfg = dataclasses.replace(base, integrator=integrator)
+            outs = {}
+            for fold in (True, False):
+                isect.CONSOLIDATE = True
+                isect.FOLD_DEC = fold
+                jax.clear_caches()
+                outs[fold] = np.asarray(render_pixels(
+                    scene, cam, jax.random.key(4), cfg, None,
+                    pallas_intersector(cfg)))
+            np.testing.assert_array_equal(outs[True], outs[False])
+    finally:
+        isect.CONSOLIDATE = None
+        isect.FOLD_DEC = True
+        jax.clear_caches()
