@@ -24,10 +24,12 @@ ride in the same JSON line under "secondary":
     training-step time (BASELINE config[3] analog).
   * bwd_fwd_ratio / bwd_fwd_ratio_geom — backward/forward time ratio for
     albedo and GEOMETRY (sphere-center) gradients (a BASELINE.md headline).
-  * secondary["vs"] — per-metric ratio against the frozen records in
-    BASELINE_SELF.json["secondary_baseline"] (ratios > 1 mean faster for
-    *_rays_per_sec / *_ratio metrics and SLOWER for *_sec metrics; they
-    are plain value ratios, value / recorded).
+  * secondary["vs"] — per-metric PLAIN value ratio (value / recorded)
+    against the frozen records in BASELINE_SELF.json["secondary_baseline"].
+    Direction depends on the metric: > 1 is faster for *_rays_per_sec,
+    SLOWER for *_sec, and for bwd_fwd_ratio* it means the backward got
+    relatively slower vs the record (the SCALING_r03 regression class) —
+    read the metric name, not just the number.
 
 Env knobs (legs default ON; set =0 to skip during iteration):
 BENCH_MESH, BENCH_BIG, BENCH_TEX, BENCH_FIT, BENCH_BWD.  Opt-in extras:
@@ -425,12 +427,14 @@ def main() -> int:
     if vs_sec:
         secondary["vs"] = vs_sec
     if os.environ.get("BENCH_UPDATE_BASELINE", "0") == "1":
+        # persist MEASUREMENTS only — not the derived 'vs' comparison block
+        # (a stored vs would masquerade as a recorded metric next round)
         record.update({
             "camera_rays_per_sec": value,
             "config": f"{width}x{height}x{spp}spp depth8 {scene_name} "
                       f"engine={engine}",
             "backend": jax.devices()[0].platform,
-            "secondary": secondary,
+            "secondary": {k: v for k, v in secondary.items() if k != "vs"},
         })
         with open(baseline_path, "w") as f:
             json.dump(record, f, indent=2)

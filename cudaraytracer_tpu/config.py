@@ -119,8 +119,11 @@ class RenderConfig:
     # arbitrary-permutation gathers cost ~3.5 ms per M-indices on v5e, so
     # ~15 planes x 33M lanes x 9 bounces is ~4x the sweep work it saves,
     # despite per-bounce alive decaying [100, 83, 32, 16, 8, 5, 3, 2, 2]%
-    # (docs/ROUND4_NOTES.md §11).  Kept as a tested, bit-exact knob
-    # (values AND gradients identical — permutation only); default off.
+    # (docs/ROUND4_NOTES.md §11).  Kept as a tested knob; default off.
+    # Bit-exact ONLY under an injected SampleStream (the stream rides the
+    # permutation); with key-derived sampling the reordered lanes consume
+    # different per-position draws — statistically identical image,
+    # different pixels (r4 review).
     wavefront_compact: bool = False
     # Sphere-sweep culling policy for the Pallas wavefront intersectors
     # (ops/intersect.intersect_scene_pallas):
