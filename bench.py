@@ -32,9 +32,10 @@ ride in the same JSON line under "secondary":
     read the metric name, not just the number.
 
 Env knobs (legs default ON; set =0 to skip during iteration):
-BENCH_MESH, BENCH_BIG, BENCH_TEX, BENCH_FIT, BENCH_BWD.  Opt-in extras:
-BENCH_WAVEFRONT=1 (wavefront engine on the headline workload — slow TPU
-compile), BENCH_TEX_WAVEFRONT=1 (the wavefront leg of the tex comparison),
+BENCH_MESH, BENCH_BIG, BENCH_TEX, BENCH_FIT, BENCH_BWD, BENCH_WAVEFRONT
+(wavefront engine on the headline workload — a headline metric of its own
+since round 4; ~20 s TPU compile at its 16spp shape).  Opt-in extras:
+BENCH_TEX_WAVEFRONT=1 (the wavefront leg of the tex comparison),
 BENCH_UPDATE_BASELINE=1.  Shape/engine overrides: BENCH_ENGINE
 (mega|wavefront), BENCH_SPP, BENCH_WIDTH/HEIGHT, BENCH_CHUNK, BENCH_SCENE
 (random_spheres|three_spheres|mesh), BENCH_ITERS.
