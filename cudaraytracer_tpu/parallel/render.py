@@ -64,9 +64,18 @@ def _strip_big_tables(padded_scene: Scene) -> Scene:
 def render_image_sharded(scene: Scene, camera: Camera, key: jax.Array,
                          cfg: RenderConfig, mesh: Mesh) -> Array:
     """Full-frame render with pixels over 'dp' and primitives over 'tp'.
-    Returns f32[height, width, 3] (row 0 = bottom, as render_image)."""
+    Returns f32[height, width, 3] (row 0 = bottom, as render_image).
+
+    The mega-family engines do NOT tp-shard the primitive tables: the fused
+    kernel runs its own closest-hit over whatever tables it sees and never
+    calls the tp intersect combine, so a tp shard would silently render a
+    1/tp slice of the scene (caught by the round-5 dryrun equality assert —
+    each tp member returned a DIFFERENT half-scene image and out_specs
+    picked one unchecked).  For 'mega'/'mega_diff' the tables are replicated
+    and tp members render the same pixels redundantly — exact, and the
+    engine's HBM answer at scale is its in-kernel streaming, not tp."""
     dp = mesh.shape["dp"]
-    tp = mesh.shape["tp"]
+    tp = 1 if cfg.engine in ("mega", "mega_diff") else mesh.shape["tp"]
     n_pix = cfg.width * cfg.height
     pixel_index = jnp.asarray(
         pad_to_multiple(np.arange(n_pix, dtype=np.int32), dp, fill=0))
@@ -92,8 +101,9 @@ def render_image_sharded(scene: Scene, camera: Camera, key: jax.Array,
 
     rest = _strip_big_tables(padded_scene)
     scene_spec = jax.tree.map(lambda _: P(), rest)
-    sph_spec = jax.tree.map(lambda _: P("tp"), padded_scene.spheres)
-    tri_spec = jax.tree.map(lambda _: P("tp"), padded_scene.triangles)
+    prim_spec = P("tp") if tp > 1 else P()
+    sph_spec = jax.tree.map(lambda _: prim_spec, padded_scene.spheres)
+    tri_spec = jax.tree.map(lambda _: prim_spec, padded_scene.triangles)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -113,10 +123,15 @@ def render_image_sample_sharded(scene: Scene, camera: Camera, key: jax.Array,
 
     Gamma is applied AFTER the cross-member average (sqrt of the mean, not the
     mean of sqrts — matching a single-device render at the combined spp).
+
+    As in render_image_sharded, the mega-family engines replicate the
+    primitive tables instead of tp-sharding them (the fused kernel bypasses
+    the tp intersect combine); tp members then compute identical
+    framebuffers and the dp-pmean is unchanged.
     """
     import dataclasses
     dp = mesh.shape["dp"]
-    tp = mesh.shape["tp"]
+    tp = 1 if cfg.engine in ("mega", "mega_diff") else mesh.shape["tp"]
     # members must return UNCLIPPED linear radiance: clip-then-average loses
     # energy wherever a member's partial mean exceeds 1 (bright emitters);
     # gamma AND clip are applied once, after the pmean.
@@ -142,8 +157,9 @@ def render_image_sample_sharded(scene: Scene, camera: Camera, key: jax.Array,
         return jax.lax.pmean(cols, "dp")
 
     rest = _strip_big_tables(padded_scene)
-    sph_spec = jax.tree.map(lambda _: P("tp"), padded_scene.spheres)
-    tri_spec = jax.tree.map(lambda _: P("tp"), padded_scene.triangles)
+    prim_spec = P("tp") if tp > 1 else P()
+    sph_spec = jax.tree.map(lambda _: prim_spec, padded_scene.spheres)
+    tri_spec = jax.tree.map(lambda _: prim_spec, padded_scene.triangles)
     scene_spec = jax.tree.map(lambda _: P(), rest)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(sph_spec, tri_spec, scene_spec),

@@ -214,6 +214,26 @@ def test_megakernel_inside_shard_map():
     np.testing.assert_allclose(img_m, img_w, atol=3e-4)
 
 
+def test_megakernel_shard_map_tp2_full_scene():
+    """REGRESSION (round 5): with tp>1 the mega engine used to receive the
+    tp-SHARDED primitive tables — it bypasses the tp intersect combine, so
+    each tp member silently rendered a 1/tp slice of the scene and
+    out_specs picked one member's wrong image unchecked (caught by the
+    round-5 dryrun equality assert; MULTICHIP_r01-r04 all ran dp4 x tp2
+    mega legs through this).  The fix replicates the tables for the
+    mega-family engines; sharded mega must equal sharded wavefront on the
+    same keys at ANY tp."""
+    scene, cam = presets.three_spheres(aspect=2.0)
+    mesh = make_mesh(4, tp=2)
+    cfg_w = _cfg(integrator="path", samples=1, max_depth=3)
+    cfg_m = _cfg(integrator="path", samples=1, max_depth=3, engine="mega")
+    img_w = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
+                                            cfg_w, mesh))
+    img_m = np.asarray(render_image_sharded(scene, cam, jax.random.key(4),
+                                            cfg_m, mesh))
+    np.testing.assert_allclose(img_m, img_w, atol=3e-4)
+
+
 def test_megakernel_streaming_inside_shard_map(monkeypatch):
     """HBM-streamed triangle tables (> MAX_VMEM_PRIMS -> in-kernel segment
     DMA, incl. the per-segment chunk-box DMA) must work under shard_map the
