@@ -110,7 +110,11 @@ def main(argv=None):
                      reverse_winding=True)
     scene0 = builder.build()
 
-    log = MetricsLog()
+    log = MetricsLog(config_note=(
+        f"{args.width}x{args.height}x{args.samples}spp depth{args.max_depth} "
+        f"integrator={args.integrator} pipeline={args.pipeline} "
+        f"asset={os.path.basename(args.fbx)} "
+        f"backend={jax.default_backend()}"))
     sw = StopWatch()
     key = jax.random.key(0)
 

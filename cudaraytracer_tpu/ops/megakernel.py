@@ -43,8 +43,9 @@ Design notes (see also ops/pallas_intersect.py, whose sweep math this reuses):
     textures, and all THREE integrators — the path tracer's full bounce loop,
     plus the single-intersect LambertShade (the reference's active
     integrator, render.h:70-87) and shade_normal.  Rects AND runtime-TRS
-    spheres/triangles run in-kernel too (unrolled per primitive — the
-    reference TransformRay chain via the shared trs_ray helper).  Scenes
+    spheres/triangles run in-kernel too (chunked table sweeps through the
+    reference TransformRay chain — trs_ray_chunk / _trs_table_sweep; up to
+    MAX_TRS_PRIMS per class since round 5).  Scenes
     with image textures render fused through DEFERRED texturing
     (trace_path_mega_tex: the kernel dumps per-bounce winner/term/hit-point
     planes — want_tex — and a light XLA pass multiplies the texel factors
@@ -98,6 +99,12 @@ SUPER_T = 256             # middle cull level: one box per 16 chunks
 # adds chunks); at thousands of spheres the slab floor dominates.
 SPH_SUPER_MIN = 1024
 MAX_STREAM_PRIMS = 1 << 20
+# Rect / runtime-TRS prims per class in the fused engine (round 5: the
+# r1-r4 cap was 64, set by the then-unrolled per-row sweeps' compile
+# cost; the chunked table sweeps lift it to a VMEM budget — 1024 rows x
+# 512 B = 0.5 MB per class on top of the sphere/tri tables).  The
+# wavefront engine still serves any count beyond this.
+MAX_TRS_PRIMS = 1024
 # Scenes at least this many triangles (HBM-streamed, far above the VMEM
 # ceiling) default to inter-phase octant compaction in integrate() when
 # cfg.compact_auto: measured 1.67x at 124k tris, a loss below ~VMEM scale.
@@ -109,10 +116,13 @@ AUTO_COMPACT_TRIS = 1 << 16
 _OCT_COARSE_SHIFT = 18
 # Lane-chunk size of _deferred_texture_radiance's lax.map pass (a per-lane
 # row gather materializes (8,128)-tiled — ~19 GB unchunked at full-frame
-# scale); matches the render driver's default ray_chunk so the map is a
-# single step for render-pipeline callers.  Module-level so tests can
+# scale).  Round-5 re-sweep UNDER the dead-chunk skip (docs/experiments/
+# tex_compact.py, tex bunny 1280x720x8): 2^13 0.485s / 2^14 0.551 /
+# 2^15 0.452 / 2^16 0.628 / 2^17 0.916 / 2^18 0.943 — finer chunks win
+# once sky chunks skip cheaply (the r4 sweep that picked 2^18 never
+# measured below it and predates the skip).  Module-level so tests can
 # shrink it to exercise the pad + reassembly path on CPU.
-_TEX_CHUNK = 1 << 18
+_TEX_CHUNK = 1 << 15
 
 # Sphere table lanes: geometry 0..4, material 5..13.
 S_CX, S_CY, S_CZ, S_R2, S_INVR = 0, 1, 2, 3, 4
@@ -179,9 +189,10 @@ class MegaTables(NamedTuple):
 
 
 def megakernel_supported(scene: Scene) -> bool:
-    """Scenes the fused path handles: spheres/triangles plus up to 64 each
-    of rects and runtime-TRS spheres/triangles (these evaluate unrolled per
-    bounce in-kernel through the reference TransformRay chain), constant/
+    """Scenes the fused path handles: spheres/triangles plus up to
+    MAX_TRS_PRIMS each of rects and runtime-TRS spheres/triangles (chunked
+    table sweeps through the reference TransformRay chain — round 5; the
+    r1-r4 unrolled form capped these at 64), constant/
     checker textures (no image gathers in-kernel), and tables small enough
     for VMEM residence / HBM streaming.  Uses only STATIC shape information
     so it can gate the engine choice inside jit (a TextureBuilder with no
@@ -191,9 +202,10 @@ def megakernel_supported(scene: Scene) -> bool:
     per-lane dynamic VMEM indexing does not exist on TPU) but still render
     fused through DEFERRED texturing when mega_tex_supported() passes:
     integrators.integrate routes them to trace_path_mega_tex."""
-    if scene.n_t_spheres > 64 or scene.n_t_triangles > 64:
-        return False   # TRS prims evaluate unrolled per bounce, like rects
-    if scene.n_rects > 64:   # rects evaluate unrolled per bounce
+    if scene.n_t_spheres > MAX_TRS_PRIMS or \
+            scene.n_t_triangles > MAX_TRS_PRIMS:
+        return False   # chunked TRS table sweeps, VMEM-budget cap
+    if scene.n_rects > MAX_TRS_PRIMS:
         return False
     if scene.n_spheres > MAX_STREAM_PRIMS:   # HBM streaming above 8k
         return False
@@ -211,9 +223,10 @@ def mega_tex_supported(scene: Scene) -> bool:
     mega_diff backward — cover the full [spheres | triangles | rects |
     t_spheres | t_triangles] index space).  Static-shape information only,
     like megakernel_supported."""
-    if scene.n_t_spheres > 64 or scene.n_t_triangles > 64:
+    if scene.n_t_spheres > MAX_TRS_PRIMS or \
+            scene.n_t_triangles > MAX_TRS_PRIMS:
         return False
-    if scene.n_rects > 64:
+    if scene.n_rects > MAX_TRS_PRIMS:
         return False
     if scene.n_spheres > MAX_STREAM_PRIMS:
         return False
@@ -418,9 +431,9 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
         cols = jnp.concatenate([
             sgn[:, None], rc.trs.position, rc.trs.scale,
             R.reshape(-1, 9), nrm, _mat_lanes(scene, rc.mat)], axis=1)
-        rect = pack(cols, 8)
+        rect = pack(cols, PRIM_CHUNK)
     else:
-        rect = jnp.zeros((8, LANES), jnp.float32)
+        rect = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
 
     if scene.n_t_spheres:
         tsp = scene.t_spheres
@@ -430,9 +443,9 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
             (tsp.radius * tsp.radius)[:, None],
             (1.0 / tsp.radius)[:, None],
             _mat_lanes(scene, tsp.mat)], axis=1)
-        tsph = pack(cols, 8)
+        tsph = pack(cols, PRIM_CHUNK)
     else:
-        tsph = jnp.zeros((8, LANES), jnp.float32)
+        tsph = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
 
     if scene.n_t_triangles:
         ttr = scene.t_triangles
@@ -443,9 +456,9 @@ def build_mega_tables(scene: Scene, tri_order: Optional[np.ndarray] = None,
             ttr.v0, ttr.v1 - ttr.v0, ttr.v2 - ttr.v0, ttr.normal, n_w,
             ttr.trs.position, ttr.trs.scale, R.reshape(-1, 9),
             _mat_lanes(scene, ttr.mat)], axis=1)
-        ttri = pack(cols, 8)
+        ttri = pack(cols, PRIM_CHUNK)
     else:
-        ttri = jnp.zeros((8, LANES), jnp.float32)
+        ttri = jnp.zeros((PRIM_CHUNK, LANES), jnp.float32)
 
     return MegaTables(sph, sph_box, sph_super, sph_seg, tri, tri_box,
                       tri_super, tri_seg, rect, tsph, ttri, tri_coef,
@@ -1099,14 +1112,20 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
     if mxu:
         tri_sweep = tri_sweep_mxu  # noqa: F811 — static dispatch
 
-    def trs_ray(tbl_ref, r, scl_k, rot_k, pos_k, ox, oy, oz, dx, dy, dz):
-        """TransformRay (transform.h:11-14) for one table row: ScaleRay
-        divides the DIRECTION by the scale and renormalizes (the reference's
-        unscaled-origin quirk), RotateRay row-matrix-rotates origin and
-        direction, TranslateRay shifts the origin.  Shared by the rect and
-        TRS-primitive sweeps (ops/intersect._transform_rays_nc twin)."""
+    def trs_ray_chunk(tbl_ref, base, scl_k, rot_k, pos_k,
+                      ox, oy, oz, dx, dy, dz):
+        """TransformRay (transform.h:11-14) for one PRIM_CHUNK of table
+        rows: ScaleRay divides the DIRECTION by the scale and renormalizes
+        (the reference's unscaled-origin quirk), RotateRay row-matrix-
+        rotates origin and direction, TranslateRay shifts the origin
+        (ops/intersect._transform_rays_nc twin).  Per-row scalars enter as
+        (P, 1, 1) sublane slices and broadcast against the (R, L) ray tile
+        — the same 3D-candidate-tile amortization as the sphere/triangle
+        sweeps (round 5: these sweeps were unrolled python loops over
+        single rows before, which is what capped the engine at 64 prims
+        per TRS class)."""
         def sc(k):
-            return box_scalar(tbl_ref, r, k)
+            return comp(tbl_ref, base, k)
 
         dsx = dx / sc(scl_k)
         dsy = dy / sc(scl_k + 1)
@@ -1122,67 +1141,104 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
         orz = m[6] * ox + m[7] * oy + m[8] * oz - sc(pos_k + 2)
         return (orx, ory, orz), (drx, dry, drz), m
 
-    def rect_sweep(ox, oy, oz, dx, dy, dz):
-        """rectangle.h:22-44 through the reference TransformRay chain
-        (ops/intersect.rect_candidates twin), unrolled over the (static,
-        small) rect count.  Returns native-over-|d| rescaled t plus carried
-        attrs: OBJECT-space hit point (the reference rec.p quirk — it is
-        also the scattered-ray origin and the checker evaluation point),
-        pre-rotated world normal, material block."""
-        raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    def _trs_table_sweep(n_prims, tbl_ref, candidate):
+        """Shared chunked-sweep driver for the rect / TRS-sphere / TRS-
+        triangle tables: fori_loop over PRIM_CHUNK chunks, merge() for the
+        closest-hit reduce (within-chunk ties -> lowest row id, across
+        chunks strict < — exactly the old unrolled loop's first-wins
+        order), pick_attrs() for the winner attribute carry.  candidate
+        (base) -> (t_cmp (P,R,L) BIG-on-miss, reads attr lambdas).
+
+        NaN discipline: pick_attrs selects by sum(val * winner_mask), so
+        every attr expression must be finite on NON-winning lanes too
+        (0 * NaN = NaN) — candidates guard their t before forming hit
+        points, unlike the old per-row where-chain which tolerated NaN on
+        untaken rows.  Pad rows duplicate the last real prim
+        (build_mega_tables pack): identical geometry -> equal t -> the
+        lower (real) id wins merge's tie-break, so pads can never win."""
         best_t = jnp.full(shape, BIG, jnp.float32)
         attrs = tuple(jnp.zeros(shape, jnp.float32)
                       for _ in range(6 + N_MAT_COMPS + want_winners))
+        n_chunks = -(-n_prims // PRIM_CHUNK)
 
-        def sc(r, k):
-            return box_scalar(rect_ref, r, k)
+        def body(ci, carry):
+            best_t, attrs = carry[0], carry[1:]
+            base = ci * PRIM_CHUNK
+            t_cmp, reads = candidate(base)
+            tmin, wmask, take = merge(best_t, t_cmp, base)
+            if want_winners:
+                reads = reads + [
+                    lambda: (piota + base).astype(jnp.float32)]
+            attrs = pick_attrs(wmask, take, reads, attrs)
+            best_t = jnp.where(take, tmin, best_t)
+            return (best_t,) + attrs
 
-        for r in range(n_rects):
-            sgn = sc(r, R_SGN)
-            (orx, ory, orz), (drx, dry, drz), _ = trs_ray(
-                rect_ref, r, R_SCL, R_ROT, R_POS, ox, oy, oz, dx, dy, dz)
+        if n_chunks == 1:     # common case: skip the loop machinery
+            out = body(0, (best_t,) + attrs)
+        else:
+            out = jax.lax.fori_loop(0, n_chunks, body, (best_t,) + attrs)
+        return out[0], out[1:]
+
+    def rect_sweep(ox, oy, oz, dx, dy, dz):
+        """rectangle.h:22-44 through the reference TransformRay chain
+        (ops/intersect.rect_candidates twin), swept in PRIM_CHUNK table
+        chunks.  Returns native-over-|d| rescaled t plus carried attrs:
+        OBJECT-space hit point (the reference rec.p quirk — it is also the
+        scattered-ray origin and the checker evaluation point), pre-rotated
+        world normal, material block."""
+        raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        inv_raw = 1.0 / raw_len
+
+        def candidate(base):
+            def sc(k):
+                return comp(rect_ref, base, k)
+
+            sgn = sc(R_SGN)
+            (orx, ory, orz), (drx, dry, drz), _ = trs_ray_chunk(
+                rect_ref, base, R_SCL, R_ROT, R_POS, ox, oy, oz, dx, dy, dz)
             t = -orz / drz
             x = orx + t * drx
             y = ory + t * dry
             facing = drz * sgn
             valid = (facing <= 0.0) & (t >= t_min) & (t <= t_max) \
                 & (x >= -0.5) & (x <= 0.5) & (y >= -0.5) & (y <= 0.5)
-            t_cmp = jnp.where(valid, t / raw_len, BIG)
-            take = t_cmp < best_t
-            best_t = jnp.where(take, t_cmp, best_t)
-            pz = orz + t * drz
-            new = (x, y, pz,
-                   sc(r, R_NRM) + 0.0 * x, sc(r, R_NRM + 1) + 0.0 * x,
-                   sc(r, R_NRM + 2) + 0.0 * x) + tuple(
-                       sc(r, R_MAT + k) + 0.0 * x for k in range(N_MAT_COMPS))
-            if want_winners:     # winner rect index as one more carried attr
-                new = new + (float(r) + 0.0 * x,)
+            t_cmp = jnp.where(valid, t * inv_raw, BIG)
+            # finite-on-miss attr forms (see _trs_table_sweep NaN note):
+            # t can be inf/NaN when drz ~ 0
+            tp = jnp.where(valid, t, 0.0)
+            xg = orx + tp * drx
+            yg = ory + tp * dry
+            pz = orz + tp * drz
             # p_obj = (x, y, ~0): the rect lives on its object z=0 plane
-            attrs = tuple(jnp.where(take, nv, av)
-                          for nv, av in zip(new, attrs))
-        return best_t, attrs
+            reads = [lambda: xg, lambda: yg, lambda: pz,
+                     lambda: sc(R_NRM) + 0.0 * xg,
+                     lambda: sc(R_NRM + 1) + 0.0 * xg,
+                     lambda: sc(R_NRM + 2) + 0.0 * xg] + [
+                (lambda k=k: sc(R_MAT + k) + 0.0 * xg)
+                for k in range(N_MAT_COMPS)]
+            return t_cmp, reads
+
+        return _trs_table_sweep(n_rects, rect_ref, candidate)
 
     def tsph_sweep(ox, oy, oz, dx, dy, dz):
         """sphere.h:27-55 on the TransformRay'd ray (origin-centered
-        object-space sphere; ops/intersect.t_sphere_candidates twin),
-        unrolled over the (static, small) runtime-TRS sphere count.  Attrs:
-        OBJECT-space hit point (reference rec.p quirk), world normal (object
-        normal p/r rotated by the object rotation, hitable.h:36), material
-        block."""
+        object-space sphere; ops/intersect.t_sphere_candidates twin), swept
+        in PRIM_CHUNK table chunks.  Attrs: OBJECT-space hit point
+        (reference rec.p quirk), world normal (object normal p/r rotated by
+        the object rotation, hitable.h:36), material block."""
         raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        best_t = jnp.full(shape, BIG, jnp.float32)
-        attrs = tuple(jnp.zeros(shape, jnp.float32)
-                      for _ in range(6 + N_MAT_COMPS + want_winners))
+        inv_raw = 1.0 / raw_len
 
-        def sc(r, k):
-            return box_scalar(tsph_ref, r, k)
+        def candidate(base):
+            def sc(k):
+                return comp(tsph_ref, base, k)
 
-        for r in range(n_tsph):
-            (orx, ory, orz), (drx, dry, drz), m = trs_ray(
-                tsph_ref, r, TS_SCL, TS_ROT, TS_POS, ox, oy, oz, dx, dy, dz)
+            (orx, ory, orz), (drx, dry, drz), m = trs_ray_chunk(
+                tsph_ref, base, TS_SCL, TS_ROT, TS_POS,
+                ox, oy, oz, dx, dy, dz)
             b = orx * drx + ory * dry + orz * drz
             a = drx * drx + dry * dry + drz * drz
-            c = orx * orx + ory * ory + orz * orz - sc(r, TS_R2)
+            c = orx * orx + ory * ory + orz * orz - sc(TS_R2)
             disc = b * b - a * c
             has = disc > 0.0
             sq = jnp.sqrt(jnp.where(has, disc, 0.0))
@@ -1195,55 +1251,50 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             ok1 = has & (t1 < t_max) & (t1 > t_min)
             tn = jnp.where(ok0, t0, t1)
             valid = ok0 | ok1
-            t_cmp = jnp.where(valid, tn / raw_len, BIG)
-            take = t_cmp < best_t
-            best_t = jnp.where(take, t_cmp, best_t)
+            t_cmp = jnp.where(valid, tn * inv_raw, BIG)
             tp = jnp.where(valid, tn, 0.0)   # miss: BIG*d overflows to inf
             pxo = orx + tp * drx
             pyo = ory + tp * dry
             pzo = orz + tp * drz
-            inv_r = sc(r, TS_INVR)
+            inv_r = sc(TS_INVR)
             nox, noy, noz = pxo * inv_r, pyo * inv_r, pzo * inv_r
-            new = (pxo, pyo, pzo,
-                   m[0] * nox + m[1] * noy + m[2] * noz,
-                   m[3] * nox + m[4] * noy + m[5] * noz,
-                   m[6] * nox + m[7] * noy + m[8] * noz) + tuple(
-                       sc(r, TS_MAT + k) + 0.0 * pxo
-                       for k in range(N_MAT_COMPS))
-            if want_winners:   # winner tsph index as one more carried attr
-                new = new + (float(r) + 0.0 * pxo,)
-            attrs = tuple(jnp.where(take, nv, av)
-                          for nv, av in zip(new, attrs))
-        return best_t, attrs
+            reads = [lambda: pxo, lambda: pyo, lambda: pzo,
+                     lambda: m[0] * nox + m[1] * noy + m[2] * noz,
+                     lambda: m[3] * nox + m[4] * noy + m[5] * noz,
+                     lambda: m[6] * nox + m[7] * noy + m[8] * noz] + [
+                (lambda k=k: sc(TS_MAT + k) + 0.0 * pxo)
+                for k in range(N_MAT_COMPS)]
+            return t_cmp, reads
+
+        return _trs_table_sweep(n_tsph, tsph_ref, candidate)
 
     def ttri_sweep(ox, oy, oz, dx, dy, dz):
         """triangle.h:57-100 (Moller-Trumbore, quirks included) on the
         TransformRay'd ray against OBJECT-space vertices
-        (ops/intersect.t_triangle_candidates twin), unrolled over the
-        (static, small) runtime-TRS triangle count.  Attrs: object-space hit
-        point, pre-rotated world normal, material block."""
+        (ops/intersect.t_triangle_candidates twin), swept in PRIM_CHUNK
+        table chunks.  Attrs: object-space hit point, pre-rotated world
+        normal, material block."""
         raw_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        best_t = jnp.full(shape, BIG, jnp.float32)
-        attrs = tuple(jnp.zeros(shape, jnp.float32)
-                      for _ in range(6 + N_MAT_COMPS + want_winners))
+        inv_raw = 1.0 / raw_len
 
-        def sc(r, k):
-            return box_scalar(ttri_ref, r, k)
+        def candidate(base):
+            def sc(k):
+                return comp(ttri_ref, base, k)
 
-        for r in range(n_ttri):
-            (orx, ory, orz), (drx, dry, drz), _ = trs_ray(
-                ttri_ref, r, TT_SCL, TT_ROT, TT_POS, ox, oy, oz, dx, dy, dz)
-            e1x, e1y, e1z = sc(r, TT_E1), sc(r, TT_E1 + 1), sc(r, TT_E1 + 2)
-            e2x, e2y, e2z = sc(r, TT_E2), sc(r, TT_E2 + 1), sc(r, TT_E2 + 2)
+            (orx, ory, orz), (drx, dry, drz), _ = trs_ray_chunk(
+                ttri_ref, base, TT_SCL, TT_ROT, TT_POS,
+                ox, oy, oz, dx, dy, dz)
+            e1x, e1y, e1z = sc(TT_E1), sc(TT_E1 + 1), sc(TT_E1 + 2)
+            e2x, e2y, e2z = sc(TT_E2), sc(TT_E2 + 1), sc(TT_E2 + 2)
             hx = dry * e2z - drz * e2y
             hy = drz * e2x - drx * e2z
             hz = drx * e2y - dry * e2x
             a = e1x * hx + e1y * hy + e1z * hz
             eps_ok = jnp.abs(a) >= TRI_EPSILON
             f = 1.0 / jnp.where(eps_ok, a, 1.0)
-            sx = orx - sc(r, TT_V0)
-            sy = ory - sc(r, TT_V0 + 1)
-            sz = orz - sc(r, TT_V0 + 2)
+            sx = orx - sc(TT_V0)
+            sy = ory - sc(TT_V0 + 1)
+            sz = orz - sc(TT_V0 + 2)
             uu = f * (sx * hx + sy * hy + sz * hz)
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
@@ -1257,30 +1308,26 @@ def _mega_kernel(sph_ref, sph_box_ref, sph_super_ref, tri_ref, tri_box_ref,
             if backface_only:
                 # triangle.h:61 on the TRANSFORMED direction vs the OBJECT
                 # normal
-                valid &= (drx * sc(r, TT_NOBJ) + dry * sc(r, TT_NOBJ + 1)
-                          + drz * sc(r, TT_NOBJ + 2)) >= 0.0
+                valid &= (drx * sc(TT_NOBJ) + dry * sc(TT_NOBJ + 1)
+                          + drz * sc(TT_NOBJ + 2)) >= 0.0
             if no_t_clip:
                 valid &= tn < t_max
             else:
                 valid &= (tn > t_min) & (tn < t_max)
-            t_cmp = jnp.where(valid, tn / raw_len, BIG)
-            take = t_cmp < best_t
-            best_t = jnp.where(take, t_cmp, best_t)
+            t_cmp = jnp.where(valid, tn * inv_raw, BIG)
             tp = jnp.where(valid, tn, 0.0)
             pxo = orx + tp * drx
             pyo = ory + tp * dry
             pzo = orz + tp * drz
-            new = (pxo, pyo, pzo,
-                   sc(r, TT_NW) + 0.0 * pxo,
-                   sc(r, TT_NW + 1) + 0.0 * pxo,
-                   sc(r, TT_NW + 2) + 0.0 * pxo) + tuple(
-                       sc(r, TT_MAT + k) + 0.0 * pxo
-                       for k in range(N_MAT_COMPS))
-            if want_winners:   # winner ttri index as one more carried attr
-                new = new + (float(r) + 0.0 * pxo,)
-            attrs = tuple(jnp.where(take, nv, av)
-                          for nv, av in zip(new, attrs))
-        return best_t, attrs
+            reads = [lambda: pxo, lambda: pyo, lambda: pzo,
+                     lambda: sc(TT_NW) + 0.0 * pxo,
+                     lambda: sc(TT_NW + 1) + 0.0 * pxo,
+                     lambda: sc(TT_NW + 2) + 0.0 * pxo] + [
+                (lambda k=k: sc(TT_MAT + k) + 0.0 * pxo)
+                for k in range(N_MAT_COMPS)]
+            return t_cmp, reads
+
+        return _trs_table_sweep(n_ttri, ttri_ref, candidate)
 
     def trs_merge(t, px, py, pz, nx, ny, nz, m, ox, oy, oz, dx, dy, dz,
                   wid=None):
@@ -2202,7 +2249,8 @@ def _tex_uv(rowT: Array, p: Array):
 
 def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
                                steps: int, quirks,
-                               att_includes_light: bool = False) -> Array:
+                               att_includes_light: bool = False,
+                               compact: bool = True) -> Array:
     """Reconstruct the radiance from the kernel's want_tex planes, applying
     the image-texture factors the kernel replaced with placeholder 1:
 
@@ -2293,8 +2341,42 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
     padded = (planes if not pad else
               jnp.concatenate([planes, jnp.zeros((steps, 10, pad),
                                                  jnp.float32)], axis=-1))
+    if not compact:
+        chunked = jnp.moveaxis(padded.reshape(steps, 10, k, CH), 2, 0)
+        out = jax.lax.map(body, chunked)                # (k, 3, CH)
+        return jnp.moveaxis(out, 0, 1).reshape(3, k * CH)[:, :n]
+
+    # DEAD-CHUNK SKIP (round 5): the full body loops over ALL rays x depth
+    # records, but the engine's own alive decay ([100, 83, 32, 16, 8, 5, 3,
+    # 2, 2]% — ROUND4_NOTES §11) says most lanes never hit anything at all
+    # (primary-miss sky lanes die immediately under fixed quirks).  On a
+    # never-hit lane the body is EXACTLY sum(em + other): every record
+    # gathers the all-zero miss row, so f = g = 1.0 identically and
+    # big_f = cumprod(1) = 1.  The render driver's swizzled pixel order
+    # makes each lax.map chunk a contiguous band of screen tiles, so a
+    # per-chunk lax.cond taking the cheap sum(em + other) branch when NO
+    # lane in the chunk ever hit skips whole sky bands at the cost of one
+    # any() reduction over the winner plane.  Physically PERMUTING lanes
+    # so hit lanes pack first measured NEGATIVE (+0.5 s on the tex bunny:
+    # gathering 90 record planes through an arbitrary lane permutation
+    # costs more than the skipped chunks save — docs/experiments/
+    # tex_compact.py, the same 3.5 ms/M-index wall as ROUND4_NOTES §11);
+    # this flag form is permutation-free and strictly upper-bounded by
+    # the plain map.  Values are exactly equal: per-lane math is
+    # unchanged, and dead chunks' cheap branch is the identity above.
     chunked = jnp.moveaxis(padded.reshape(steps, 10, k, CH), 2, 0)
-    out = jax.lax.map(body, chunked)                    # (k, 3, CH)
+    has_hit = jnp.any(chunked[:, :, 0, :] >= 0.0, axis=(1, 2))   # (k,)
+
+    def cheap(pl_c):
+        em = jnp.swapaxes(pl_c[:, 1:4], 0, 1)           # (3, steps, CH)
+        other = jnp.swapaxes(pl_c[:, 4:7], 0, 1)
+        return jnp.sum(em + other, axis=1)              # (3, CH)
+
+    def body_cond(args):
+        pl_c, flag = args
+        return jax.lax.cond(flag, body, cheap, pl_c)
+
+    out = jax.lax.map(body_cond, (chunked, has_hit))    # (k, 3, CH)
     return jnp.moveaxis(out, 0, 1).reshape(3, k * CH)[:, :n]
 
 

@@ -321,12 +321,39 @@ def test_tex_chunked_reconstruction_matches_unchunked(monkeypatch):
     stream = integ.stream_from_key(jax.random.key(6), n, cfg.max_depth)
     ref = mk.trace_path_mega_tex(scene, rays, jax.random.key(6), cfg,
                                  samples=stream)
-    # chunk size NOT a multiple of n: exercises the zero-pad tail too
+    # chunk size NOT a multiple of n: exercises the zero-pad tail too.
+    # The multi-chunk path defaults to LANE COMPACTION (round 5), so this
+    # also pins compacted == single-chunk.
     monkeypatch.setattr(mk, "_TEX_CHUNK", 1000)
     got = mk.trace_path_mega_tex(scene, rays, jax.random.key(6), cfg,
                                  samples=stream)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_tex_compact_reconstruction_matches_uncompacted(monkeypatch):
+    """The round-5 lane compaction (stable-partition ever-hit lanes first +
+    cheap-branch dead chunks) must equal the plain chunked map EXACTLY:
+    per-lane math is identical (reductions run along steps within a lane)
+    and dead lanes reduce to sum(em + other) with f = g = 1 identically.
+    Checked on the want_tex planes directly so both forms see the same
+    kernel output."""
+    scene, cam = _image_scene()
+    cfg = _cfg(width=48, height=24, samples=2)   # 2304 lanes
+    rays = _rays(cam, cfg, jax.random.key(2))
+    n = rays.origin.shape[0]
+    stream = integ.stream_from_key(jax.random.key(6), n, cfg.max_depth)
+    tables = mk.build_mega_tables(scene)
+    flat = mk._mega_tex_planes(scene, rays, jax.random.key(6), cfg, tables,
+                               stream, padded=True)
+    monkeypatch.setattr(mk, "_TEX_CHUNK", 768)
+    plain = mk._deferred_texture_radiance(scene, tables, flat,
+                                          cfg.max_depth + 1, cfg.quirks,
+                                          compact=False)
+    comp = mk._deferred_texture_radiance(scene, tables, flat,
+                                         cfg.max_depth + 1, cfg.quirks,
+                                         compact=True)
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(plain))
 
 
 def test_mega_tex_lambert_matches_wavefront_both_quirks():

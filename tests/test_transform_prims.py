@@ -165,6 +165,59 @@ def test_transformed_render_megakernel_matches_wavefront():
                                        err_msg=f"{integ} {quirks}")
 
 
+def test_trs_beyond_old_cap_matches_wavefront():
+    """Round 5 lifted the fused engine's rect/TRS ceiling from 64 (unrolled
+    per-row sweeps) to MAX_TRS_PRIMS=1024 (chunked table sweeps).  Pin a
+    scene ABOVE the old cap in every class — 100 TRS spheres, 80 TRS
+    triangles, 72 rects — against the wavefront on the same stream (multi-
+    chunk fori_loop path + pad-row tie-break + winner-id offsets all in
+    play).  One quirk profile / integrator: the combinatorial coverage
+    lives in test_transformed_render_megakernel_matches_wavefront."""
+    import dataclasses
+    from cudaraytracer_tpu.core.camera import make_camera
+    from cudaraytracer_tpu.ops import megakernel as mk
+    from cudaraytracer_tpu.ops.render import render_image
+
+    rng = np.random.default_rng(3)
+    b = SceneBuilder()
+    ground = b.materials.lambertian(color=(0.5, 0.7, 0.3))
+    red = b.materials.lambertian(color=(0.9, 0.2, 0.2))
+    met = b.materials.metal((0.8, 0.6, 0.2), 0.1)
+    light = b.materials.diffuse_light(color=(2.0, 2.0, 2.0))
+    b.add_sphere((0, -100.5, -3), 100.0, ground)
+    for i in range(100):
+        p = rng.uniform([-3, -0.3, -6], [3, 1.2, -2])
+        b.add_sphere(p, rng.uniform(0.08, 0.2),
+                     red if i % 3 else met,
+                     rotation=tuple(rng.uniform(-90, 90, 3)),
+                     scale=tuple(rng.uniform(0.6, 1.6, 3)))
+    for i in range(80):
+        p = rng.uniform([-3, -0.3, -6], [3, 1.2, -2])
+        b.add_triangle((-0.15, -0.1, 0), (0.15, -0.1, 0), (0, 0.2, 0),
+                       red, position=tuple(p),
+                       rotation=tuple(rng.uniform(-90, 90, 3)),
+                       scale=tuple(rng.uniform(0.7, 1.4, 3)))
+    for i in range(72):
+        p = rng.uniform([-3, 1.4, -6], [3, 2.2, -2])
+        b.add_rect(light if i % 9 == 0 else red, position=tuple(p),
+                   rotation=tuple(rng.uniform(-90, 90, 3)),
+                   scale=(0.3, 0.3, 1.0))
+    scene = b.build()
+    assert scene.n_t_spheres == 100 and scene.n_t_triangles == 80 \
+        and scene.n_rects == 72
+    assert mk.megakernel_supported(scene)        # above-64 now supported
+    cam = make_camera((0, 0.3, 1), (0, 0.3, -3), vfov=60, aspect=2.0,
+                      focus_dist=4.0)
+    cfg = RenderConfig(width=48, height=24, samples=1, max_depth=3,
+                       integrator="path", quirks=Quirks.fixed())
+    cfg_m = dataclasses.replace(cfg, engine="mega")
+    img = np.asarray(render_image(scene, cam, jax.random.key(0), cfg))
+    img_m = np.asarray(render_image(scene, cam, jax.random.key(0), cfg_m))
+    assert np.isfinite(img_m).all()
+    assert img.std() > 0.03
+    np.testing.assert_allclose(img_m, img, atol=3e-4)
+
+
 def test_transformed_mega_diff_falls_back():
     """engine='mega_diff' has no replay form for TRS scenes — it must route
     to the wavefront integrator (same image, and gradients must flow)."""
