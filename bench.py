@@ -40,7 +40,7 @@ ride in the same JSON line under "secondary":
 
 Env knobs (legs default ON; set =0 to skip during iteration):
 BENCH_MESH, BENCH_BIG, BENCH_BIG1M, BENCH_ANIM, BENCH_TEX, BENCH_FIT,
-BENCH_BWD, BENCH_WAVEFRONT
+BENCH_BWD, BENCH_WAVEFRONT, BENCH_MEGADIFF
 (wavefront engine on the headline workload — a headline metric of its own
 since round 4; ~20 s TPU compile at its 16spp shape).  Opt-in extras:
 BENCH_TEX_WAVEFRONT=1 (the wavefront leg of the tex comparison),
@@ -520,6 +520,20 @@ def main() -> int:
                             n_iters)
         secondary["wavefront_rays_per_sec"] = round(
             width * height * 16 / wdt, 1)
+
+    if os.environ.get("BENCH_MEGADIFF", "1") == "1":
+        # the FUSED differentiable forward (engine='mega_diff': winner-
+        # recording megakernel + replay backward; gradients pinned equal to
+        # the wavefront VJP by tests/test_replay.py).  The differentiable
+        # family has two forwards — this one wins at render scale (18.4M
+        # r5), the Pallas-pair wavefront wins at fit shapes (ROUND5_NOTES
+        # §10); 16spp like the wavefront leg.
+        import dataclasses
+        mdcfg = dataclasses.replace(cfg, engine="mega_diff", samples=16)
+        md_aux = aux if aux is not None else _mega_tables(scene)
+        mddt = _timed_render(scene, cam, mdcfg, None, n_iters, md_aux)
+        secondary["mega_diff_fwd_rays_per_sec"] = round(
+            width * height * 16 / mddt, 1)
 
     if os.environ.get("BENCH_FIT", "1") == "1":
         wdt_f, mdt_f = _fit_step_times()

@@ -147,6 +147,17 @@ class RenderConfig:
     # the fit paths (parallel/train.make_fit_step, apps/fit, bench fit
     # legs) enable it — the wavefront is the gradients engine.
     wavefront_kernel_attrs: bool = False
+    # engine='wavefront', TPU only: draw the per-bounce scatter samples
+    # (unit ball + uniform) with the hardware PRNG in a tiny Pallas kernel
+    # (pallas_intersect.scatter_draws_pallas) instead of threefry in XLA —
+    # the threefry draws measured ~0.15 s of the 2.25 s headline frame
+    # (ROUND5_NOTES §10).  Distribution identical to the megakernel's
+    # in-kernel sampler (Box-Muller + cbrt radius, round-2 distribution-
+    # checked); seeding derives from the bounce key, so remats/replays of
+    # the same key reproduce the same samples.  Ignored off-TPU and
+    # whenever a SampleStream is injected (the deterministic parity mode
+    # keeps bit-equality with stream_from_key).
+    wavefront_tpu_prng: bool = True
     # engine='mega' only: after this many bounces, SORT the wavefront (dead
     # rays last, alive rays in Morton order of their scatter origin) and
     # resume in a second fused kernel — dead tiles then early-out and alive

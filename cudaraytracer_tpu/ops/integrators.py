@@ -251,6 +251,14 @@ def trace_path(scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig,
         else:
             rays, throughput, radiance, alive = carry
         bounce_key = jax.random.fold_in(key, step)
+        if (ball is None and cfg.wavefront_tpu_prng
+                and jax.default_backend() == "tpu"):
+            # TPU forward draws from the hardware PRNG (ROUND5_NOTES §10);
+            # injected streams and CPU keep threefry (scatter() draws
+            # internally from bounce_key below when ball stays None)
+            from . import pallas_intersect as _pk
+            ball, prob = _pk.scatter_draws_pallas(
+                bounce_key, rays.origin.shape[0])
         # per-bounce gradient bucketing: this bounce's scene-parameter
         # cotangents all-reduce during ITS backward step, overlapping with
         # the neighbouring bounces' backward compute

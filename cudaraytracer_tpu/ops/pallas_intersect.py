@@ -1105,3 +1105,62 @@ def _tri_bwd(t_min, t_max, quirks, res, g):
 
 
 triangle_best_hit.defvjp(_tri_fwd, _tri_bwd)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel scatter draws (round 5): the wavefront's per-bounce threefry
+# RNG measured ~0.15 s of the 2.25 s headline frame (docs/ROUND5_NOTES.md
+# §10 — shared-stream control), so the TPU forward path draws its unit-ball
+# + uniform samples with the hardware PRNG instead, in a tiny Pallas
+# kernel.  Distribution and math are IDENTICAL to the megakernel's
+# draw_samples (Box-Muller direction + cbrt radius, 24-bit-mantissa
+# uniforms — distribution-checked in round 2); the seed derives from the
+# bounce key by one scalar threefry draw, exactly like the megakernel's
+# seeding, so replays/remats of the same key reproduce the same samples.
+# ---------------------------------------------------------------------------
+
+def _draws_kernel(seed_ref, out_ref):
+    import numpy as _np
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    bits = pltpu.prng_random_bits((6, TILE_ROWS, LANES))
+    # SIGNED int32 >> is arithmetic: mask the low 24 bits AFTER the shift
+    u = ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (1.0 / 16777216.0)
+    r1 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-12)))
+    ang1 = (2.0 * _np.pi) * u[1]
+    g0 = r1 * jnp.cos(ang1)
+    g1 = r1 * jnp.sin(ang1)
+    r2 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[2], 1e-12)))
+    g2 = r2 * jnp.cos((2.0 * _np.pi) * u[3])
+    inv_norm = 1.0 / jnp.maximum(jnp.sqrt(g0 * g0 + g1 * g1 + g2 * g2),
+                                 1e-12)
+    rad = jnp.exp(jnp.log(jnp.maximum(u[4], 1e-30)) * (1.0 / 3.0))
+    s = inv_norm * rad
+    out_ref[0] = g0 * s
+    out_ref[1] = g1 * s
+    out_ref[2] = g2 * s
+    out_ref[3] = u[5]
+
+
+def scatter_draws_pallas(key: jax.Array, n: int):
+    """(ball f32[n,3], prob f32[n]) from the TPU hardware PRNG — drop-in
+    for models/materials.scatter_draws on the TPU forward path
+    (cfg.wavefront_tpu_prng).  TPU-only: interpret mode has no lowering for
+    the pltpu PRNG primitives (raises NotImplementedError on CPU — the
+    integrator's gate never calls this off-TPU), and CPU keeps the
+    threefry draws (bit-parity with stream_from_key)."""
+    if _interpret():
+        raise NotImplementedError(
+            "scatter_draws_pallas is TPU-only (pltpu.prng_* has no CPU/"
+            "interpret lowering); use models.materials.scatter_draws")
+    rows = _ray_rows(n)
+    seed = jax.random.randint(key, (1,), 0, 2 ** 30 - 1, dtype=jnp.int32)
+    out = pl.pallas_call(
+        _draws_kernel,
+        grid=(rows // TILE_ROWS,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((4, TILE_ROWS, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, rows, LANES), jnp.float32),
+    )(seed)
+    flat = out.reshape(4, rows * LANES)[:, :n]
+    return flat[:3].T, flat[3]
