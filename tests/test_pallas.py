@@ -301,3 +301,30 @@ def test_wavefront_compact_bit_exact_and_grads():
     g2 = np.asarray(jax.grad(loss)(scene.textures.color0, ccfg))
     np.testing.assert_array_equal(g1, g2)
     assert np.abs(g1).max() > 1e-3
+
+
+def test_scatter_draws_pallas_cpu_semantics():
+    """cfg.wavefront_tpu_prng (round 5): the hardware-PRNG draws kernel is
+    TPU-only — on CPU it must refuse loudly (pltpu.prng has no interpret
+    lowering), and the integrator's gate must leave CPU renders
+    BIT-IDENTICAL with the knob on or off (threefry keeps running)."""
+    import dataclasses
+    import pytest
+    from cudaraytracer_tpu.ops import pallas_intersect as pk
+    from cudaraytracer_tpu.models import presets
+    from cudaraytracer_tpu.ops.render import render_pixels
+
+    with pytest.raises(NotImplementedError):
+        pk.scatter_draws_pallas(jax.random.key(0), 256)
+
+    scene, cam = presets.three_spheres(aspect=2.0)
+    base = crt.RenderConfig(width=24, height=12, samples=1, max_depth=3,
+                            integrator="path", gamma=False,
+                            ray_chunk=1 << 20)
+    on = np.asarray(render_pixels(
+        scene, cam, jax.random.key(2),
+        dataclasses.replace(base, wavefront_tpu_prng=True)))
+    off = np.asarray(render_pixels(
+        scene, cam, jax.random.key(2),
+        dataclasses.replace(base, wavefront_tpu_prng=False)))
+    np.testing.assert_array_equal(on, off)
