@@ -68,7 +68,25 @@ def golden_cases():
         import cudaraytracer_tpu as crt
         return case(s, c, quirks=crt.Quirks.fixed(), spp=2, depth=4)
 
+    def trs():
+        # runtime-TRS spheres/triangle + rect light through the round-5
+        # chunked table sweeps (megakernel _trs_table_sweep).  Only the
+        # unrotated red TRS sphere is VISIBLE — reference-faithful: the
+        # TransformRay chain rotates rays about the WORLD origin then
+        # translates (transform.h:11-14), so a rotated object appears at
+        # R^-1(position); the showcase's checker sphere lands underground
+        # (apparent y = -2.0) and the metal triangle inside the red
+        # sphere.  Engines agree to 7e-7 on this frame; the golden pins
+        # exactly that behavior.
+        from test_transform_prims import _trs_showcase_scene
+        from cudaraytracer_tpu.core.camera import make_camera
+        s = _trs_showcase_scene()
+        c = make_camera((0, 0.3, 1), (0, 0, -3), vfov=55, aspect=192 / 108,
+                        focus_dist=4.0)
+        return case(s, c, engine="mega", spp=2, depth=4)
+
     return {
+        "trs_showcase_mega": trs,
         "three_spheres_path": lambda: three(),
         "three_spheres_lambert": lambda: three(integrator="lambert"),
         "three_spheres_normal": lambda: three(integrator="normal"),
