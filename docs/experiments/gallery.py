@@ -71,6 +71,14 @@ def main():
     shoot("low_walking_frame20_lambert", scene_f,
           presets.fbx_walk_camera(aspect=2.0), 1024, 512, 4,
           integrator="lambert")
+
+    # round-5 additions — the two features that round changed most:
+    # tex_bunny_path8_fixed.png: the image-textured bunny through fused
+    #   deferred texturing + dead-chunk skip (the bench tex leg's frame) —
+    #   regenerate via docs/experiments/tex_compact.py (/tmp/tex_compact.png).
+    # trs_1660prims_path4.png: 1,660 runtime-TRS prims + rects through the
+    #   chunked TRS table sweeps (old cap: 64) — regenerate via
+    #   docs/experiments/trs_table_sweep.py (/tmp/trs_1k.png).
     print("done")
 
 
