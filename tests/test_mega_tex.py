@@ -355,6 +355,28 @@ def test_tex_compact_reconstruction_matches_uncompacted(monkeypatch):
                                          compact=True)
     np.testing.assert_array_equal(np.asarray(comp), np.asarray(plain))
 
+    # ALL-MISS edge: rays straight up see only sky, so every chunk takes
+    # the cheap sum(em + other) branch — must still equal the full body
+    import dataclasses
+    from cudaraytracer_tpu.core.rays import Rays
+    up = Rays(rays.origin + jnp.asarray([0.0, 50.0, 0.0]),
+              jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]),
+                               rays.direction.shape),
+              rays.time)
+    flat_m = mk._mega_tex_planes(scene, up, jax.random.key(6), cfg, tables,
+                                 stream, padded=True)
+    plain_m = mk._deferred_texture_radiance(scene, tables, flat_m,
+                                            cfg.max_depth + 1, cfg.quirks,
+                                            compact=False)
+    comp_m = mk._deferred_texture_radiance(scene, tables, flat_m,
+                                           cfg.max_depth + 1, cfg.quirks,
+                                           compact=True)
+    np.testing.assert_array_equal(np.asarray(comp_m), np.asarray(plain_m))
+    # sanity: those lanes really did all miss (radiance == sky only)
+    w = flat_m[3:3 + 10 * (cfg.max_depth + 1)].reshape(-1, 10,
+                                                       flat_m.shape[1])
+    assert float(jnp.max(w[:, 0])) < 0.0
+
 
 def test_mega_tex_lambert_matches_wavefront_both_quirks():
     """Image-texture scenes under integrator='lambert' (the reference's
