@@ -120,9 +120,13 @@ _OCT_COARSE_SHIFT = 18
 # tex_compact.py, tex bunny 1280x720x8): 2^13 0.485s / 2^14 0.551 /
 # 2^15 0.452 / 2^16 0.628 / 2^17 0.916 / 2^18 0.943 — finer chunks win
 # once sky chunks skip cheaply (the r4 sweep that picked 2^18 never
-# measured below it and predates the skip).  Module-level so tests can
-# shrink it to exercise the pad + reassembly path on CPU.
-_TEX_CHUNK = 1 << 15
+# measured below it and predates the skip).  Under the round-5 PER-STEP
+# skip the optimum moves finer still (docs/experiments/tex_step_skip.py:
+# 2^13 0.375 / 2^14 0.440 / 2^15 0.434 — smaller cells = more all-dead
+# (step, chunk) cells, 61% skippable at 2^13 vs 49% at 2^15).
+# Module-level so tests can shrink it to exercise the pad + reassembly
+# path on CPU.
+_TEX_CHUNK = 1 << 13
 
 # Sphere table lanes: geometry 0..4, material 5..13.
 S_CX, S_CY, S_CZ, S_R2, S_INVR = 0, 1, 2, 3, 4
@@ -2346,37 +2350,92 @@ def _deferred_texture_radiance(scene: Scene, tables: MegaTables, flat: Array,
         out = jax.lax.map(body, chunked)                # (k, 3, CH)
         return jnp.moveaxis(out, 0, 1).reshape(3, k * CH)[:, :n]
 
-    # DEAD-CHUNK SKIP (round 5): the full body loops over ALL rays x depth
-    # records, but the engine's own alive decay ([100, 83, 32, 16, 8, 5, 3,
-    # 2, 2]% — ROUND4_NOTES §11) says most lanes never hit anything at all
-    # (primary-miss sky lanes die immediately under fixed quirks).  On a
-    # never-hit lane the body is EXACTLY sum(em + other): every record
-    # gathers the all-zero miss row, so f = g = 1.0 identically and
-    # big_f = cumprod(1) = 1.  The render driver's swizzled pixel order
-    # makes each lax.map chunk a contiguous band of screen tiles, so a
-    # per-chunk lax.cond taking the cheap sum(em + other) branch when NO
-    # lane in the chunk ever hit skips whole sky bands at the cost of one
-    # any() reduction over the winner plane.  Physically PERMUTING lanes
-    # so hit lanes pack first measured NEGATIVE (+0.5 s on the tex bunny:
-    # gathering 90 record planes through an arbitrary lane permutation
-    # costs more than the skipped chunks save — docs/experiments/
-    # tex_compact.py, the same 3.5 ms/M-index wall as ROUND4_NOTES §11);
-    # this flag form is permutation-free and strictly upper-bounded by
-    # the plain map.  Values are exactly equal: per-lane math is
-    # unchanged, and dead chunks' cheap branch is the identity above.
+    # PER-(STEP, CHUNK) SKIP (round 5): the full body loops over ALL rays x
+    # depth records, but on a record with NO hit the math is the identity —
+    # the lane gathers the all-zero miss row, so f = g = 1.0 and the term
+    # reduces to F * (em + other) with the cumprod carry F unchanged.  The
+    # engine's own alive decay ([100, 83, 32, 16, 8, 5, 3, 2, 2]% —
+    # ROUND4_NOTES §11) makes most cells dead: the render driver's swizzled
+    # pixel order keeps each lax.map chunk a contiguous band of screen
+    # tiles, and on the bench tex bunny 58% of chunks never hit at all
+    # while, WITHIN hit chunks, the per-step any-hit rate decays
+    # [100, 98, 87, 72, 51, 30, 14, 5, 4]% — 49-61% of the expensive
+    # (step, chunk) cells are skippable (docs/experiments/tex_step_skip.py).
+    # So the chunk body scans steps with a per-step lax.cond: a no-hit cell
+    # pays one multiply-add instead of the gather + uv + texel work, and a
+    # never-hit chunk short-circuits to one sum via the outer cond.
+    # Measured (tex bunny, solo v5e, min-of-3): 0.375 s at CH=2^13 vs
+    # 0.450 s for the round-5 first cut (per-chunk flag + batched-step
+    # body at CH=2^15) vs 1.106 s for the r4 plain map — and BIT-EXACT
+    # against the unchunked body (the batched form's sum/cumprod over the
+    # 9-step axis associates in the same sequential order).  Physically
+    # PERMUTING lanes so hit lanes pack first measured NEGATIVE (+0.5 s:
+    # gathering 90 record planes through an arbitrary lane permutation —
+    # the 3.5 ms/M-index wall, ROUND4_NOTES §11); both skip forms are
+    # permutation-free.
     chunked = jnp.moveaxis(padded.reshape(steps, 10, k, CH), 2, 0)
-    has_hit = jnp.any(chunked[:, :, 0, :] >= 0.0, axis=(1, 2))   # (k,)
+    step_hit = jnp.any(chunked[:, :, 0, :] >= 0.0, axis=-1)     # (k, steps)
+
+    def step_factors(pl_s):
+        """f, g (each (3, c)) for ONE step's planes (10, c) — body()'s
+        texture math on a single-step slice (rowT keeps a length-1 steps
+        axis so _tex_uv is shared), gathered per step so the scan below
+        can skip no-hit cells entirely."""
+        w = pl_s[0].astype(jnp.int32)
+        row = info[jnp.where(w < 0, miss_row, w)]       # (c, TI_COLS)
+        rowT = jnp.transpose(row)[:, None, :]           # (TI_COLS, 1, c)
+        u, v = _tex_uv(rowT, pl_s[7:10][None])
+        nx, ny = rowT[TI_W], rowT[TI_H]
+        i = jnp.clip((u * nx).astype(jnp.int32), 0,
+                     jnp.maximum(nx.astype(jnp.int32) - 1, 0))
+        j = jnp.clip(((1.0 - v) * ny - 0.001).astype(jnp.int32), 0,
+                     jnp.maximum(ny.astype(jnp.int32) - 1, 0))
+        texel = jnp.transpose(scene.textures.images[
+            rowT[TI_IMG].astype(jnp.int32), j, i],
+            (2, 0, 1)).astype(jnp.float32) / 255.0      # (3, 1, c)
+        att = (rowT[TI_A00:TI_A00 + 3] if quirks.lambertian_zero_uv
+               else texel)
+        f_flag = rowT[TI_FLAM]
+        if att_includes_light:
+            f_flag = f_flag + rowT[TI_FLIT]
+        f = jnp.where(f_flag[None] > 0.0, att, 1.0)
+        g = jnp.where(rowT[TI_FLIT][None] > 0.0, texel, 1.0)
+        return f[:, 0], g[:, 0]
 
     def cheap(pl_c):
         em = jnp.swapaxes(pl_c[:, 1:4], 0, 1)           # (3, steps, CH)
         other = jnp.swapaxes(pl_c[:, 4:7], 0, 1)
         return jnp.sum(em + other, axis=1)              # (3, CH)
 
-    def body_cond(args):
-        pl_c, flag = args
-        return jax.lax.cond(flag, body, cheap, pl_c)
+    def chunk_body(args):
+        pl_c, flags = args                              # (steps,10,CH), (steps,)
 
-    out = jax.lax.map(body_cond, (chunked, has_hit))    # (k, 3, CH)
+        def scanned(_):
+            def step_fn(carry, xs):
+                acc, F = carry
+                pl_s, flag = xs                         # (10, CH), scalar
+
+                def cheap_step(op):
+                    a, Fc = op
+                    return a + Fc * (pl_s[1:4] + pl_s[4:7]), Fc
+
+                def full_step(op):
+                    a, Fc = op
+                    f, g = step_factors(pl_s)
+                    return a + Fc * (pl_s[1:4] * g + pl_s[4:7]), Fc * f
+
+                return jax.lax.cond(flag, full_step, cheap_step,
+                                    (acc, F)), None
+
+            init = (jnp.zeros((3, CH), jnp.float32),
+                    jnp.ones((3, CH), jnp.float32))
+            (acc, _), _ = jax.lax.scan(step_fn, init, (pl_c, flags))
+            return acc
+
+        return jax.lax.cond(jnp.any(flags), scanned,
+                            lambda _: cheap(pl_c), 0)
+
+    out = jax.lax.map(chunk_body, (chunked, step_hit))  # (k, 3, CH)
     return jnp.moveaxis(out, 0, 1).reshape(3, k * CH)[:, :n]
 
 
