@@ -332,10 +332,11 @@ def test_tex_chunked_reconstruction_matches_unchunked(monkeypatch):
 
 
 def test_tex_compact_reconstruction_matches_uncompacted(monkeypatch):
-    """The round-5 lane compaction (stable-partition ever-hit lanes first +
-    cheap-branch dead chunks) must equal the plain chunked map EXACTLY:
-    per-lane math is identical (reductions run along steps within a lane)
-    and dead lanes reduce to sum(em + other) with f = g = 1 identically.
+    """The round-5 compact path (per-(step, chunk) skip: per-step lax.cond
+    inside each chunk + outer never-hit-chunk cond) must equal the plain
+    chunked map EXACTLY: per-lane math is identical (reductions run along
+    steps within a lane, in the same sequential order) and a no-hit cell
+    reduces to acc + F * (em + other) with f = g = 1 identically.
     Checked on the want_tex planes directly so both forms see the same
     kernel output."""
     scene, cam = _image_scene()
@@ -354,6 +355,20 @@ def test_tex_compact_reconstruction_matches_uncompacted(monkeypatch):
                                          cfg.max_depth + 1, cfg.quirks,
                                          compact=True)
     np.testing.assert_array_equal(np.asarray(comp), np.asarray(plain))
+
+    # the per-STEP cheap branch must actually be exercised here: some hit
+    # chunk has at least one no-hit step (alive decay), else this test
+    # only covers the all-expensive and all-cheap extremes
+    CH = 768
+    steps = cfg.max_depth + 1
+    npad = flat.shape[1]
+    k = npad // CH
+    w = np.asarray(flat[3:3 + 10 * steps].reshape(steps, 10, npad)
+                   [:, 0, : k * CH].reshape(steps, k, CH))
+    hit = (w >= 0.0).any(axis=2)                     # (steps, k)
+    chunk_hit = hit.any(axis=0)
+    assert chunk_hit.any() and (~hit[:, chunk_hit]).any(), (
+        "fixture no longer exercises the per-step cheap branch")
 
     # ALL-MISS edge: rays straight up see only sky, so every chunk takes
     # the cheap sum(em + other) branch — must still equal the full body
